@@ -1,0 +1,91 @@
+"""HyperLogLog cardinality sketch (Flajolet et al. 2007) — mergeable,
+vectorized, deterministic.
+
+Not present in the reference (its only sketch is DDSketch); mandated by
+BASELINE.json north_rule. Same three-phase algebra as DDSketch:
+zero → update_batch → merge (elementwise max of registers), query at the
+end. Cross-checkable against Spark's built-in HLL++
+(`approx_count_distinct`).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from p2pddsketch_spark.functions.hashing import nlz64, splitmix64
+
+_MAGIC = b"HLL1"
+
+# Bias-correction constants from the HLL paper.
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+class HyperLogLog:
+    """2^p uint8 registers; register j = max rho of hashes landing in j."""
+
+    __slots__ = ("p", "m", "seed", "registers")
+
+    def __init__(self, p: int = 14, seed: int = 0) -> None:
+        if not (4 <= p <= 18):
+            raise ValueError(f"p must be in [4,18], got {p}")
+        self.p = int(p)
+        self.m = 1 << p
+        self.seed = int(seed)
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    # --------------------------------------------------------------- updates
+
+    def update_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        h = h.astype(np.uint64).ravel()
+        if h.size == 0:
+            return self
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
+        rho = np.minimum(nlz64(w), 64 - self.p).astype(np.int64) + 1
+        np.maximum.at(self.registers, idx, rho.astype(np.uint8))
+        return self
+
+    def update_batch(self, values: np.ndarray) -> "HyperLogLog":
+        """Insert a batch of int64 identifiers (e.g. token ids)."""
+        v = np.asarray(values).ravel()
+        if v.size == 0:
+            return self
+        return self.update_hashes(splitmix64(v.astype(np.int64), seed=self.seed))
+
+    # ----------------------------------------------------------------- merge
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if self.p != other.p or self.seed != other.seed:
+            raise ValueError("HLL p/seed mismatch")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    # ----------------------------------------------------------------- query
+
+    def cardinality(self) -> float:
+        m = float(self.m)
+        alpha = _ALPHA.get(self.m, 0.7213 / (1 + 1.079 / m))
+        regs = self.registers.astype(np.float64)
+        est = alpha * m * m / np.sum(np.exp2(-regs))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * np.log(m / zeros)  # linear counting
+        return float(est)
+
+    # --------------------------------------------------------- serialization
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<4sqq", _MAGIC, self.p, self.seed) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        magic, p, seed = struct.unpack_from("<4sqq", data, 0)
+        if magic != _MAGIC:
+            raise ValueError("bad HLL magic")
+        s = cls(p=int(p), seed=int(seed))
+        s.registers = np.frombuffer(data, dtype=np.uint8, count=s.m,
+                                    offset=struct.calcsize("<4sqq")).copy()
+        return s

@@ -1,0 +1,190 @@
+"""Unit tests for HLL / count-min / Bloom / KLL / t-digest (no Spark).
+
+The reference has only DDSketch; these sketches are the north_rule's
+gap-fill set. Each test checks update+merge+query against an exact
+oracle within the sketch's published bound, plus serialization and
+merge associativity.
+"""
+
+import numpy as np
+import pytest
+
+from p2pddsketch_spark.sketches.hll import HyperLogLog
+from p2pddsketch_spark.sketches.cms import CountMinSketch
+from p2pddsketch_spark.sketches.bloom import BloomFilter
+from p2pddsketch_spark.sketches.kll import KLLSketch
+from p2pddsketch_spark.sketches.tdigest import TDigest
+
+
+def zipf_tokens(n, vocab=50257, seed=0):
+    rng = np.random.default_rng(seed)
+    t = rng.zipf(1.2, n)
+    return np.clip(t, 1, vocab - 1).astype(np.int64)
+
+
+# ------------------------------------------------------------------- HLL
+
+def test_hll_accuracy():
+    tokens = zipf_tokens(200_000, seed=1)
+    h = HyperLogLog(p=14)
+    h.update_batch(tokens)
+    exact = len(np.unique(tokens))
+    est = h.cardinality()
+    assert abs(est - exact) / exact < 0.05  # 3σ at p=14 is ~2.5%
+
+
+def test_hll_merge_equals_union():
+    a_tok, b_tok = zipf_tokens(50_000, seed=2), zipf_tokens(50_000, seed=3)
+    a = HyperLogLog(p=12).update_batch(a_tok)
+    b = HyperLogLog(p=12).update_batch(b_tok)
+    union = HyperLogLog(p=12).update_batch(np.concatenate([a_tok, b_tok]))
+    merged = HyperLogLog.from_bytes(a.to_bytes()).merge(b)
+    assert np.array_equal(merged.registers, union.registers)  # exact state equality
+    # merge is commutative
+    merged2 = HyperLogLog.from_bytes(b.to_bytes()).merge(a)
+    assert merged.to_bytes() == merged2.to_bytes()
+
+
+def test_hll_roundtrip():
+    h = HyperLogLog(p=10, seed=5).update_batch(np.arange(1000))
+    assert HyperLogLog.from_bytes(h.to_bytes()).to_bytes() == h.to_bytes()
+
+
+# ------------------------------------------------------------------- CMS
+
+def test_cms_overcounts_only_and_bounded():
+    tokens = zipf_tokens(100_000, seed=4)
+    c = CountMinSketch(depth=5, width=8192)
+    c.update_batch(tokens)
+    uniq, counts = np.unique(tokens, return_counts=True)
+    est = c.estimate(uniq)
+    assert (est >= counts).all()  # never undercounts
+    eps = np.e / c.width
+    # Markov bound per row; with depth=5 essentially all estimates within eps*N
+    assert (est - counts <= eps * c.total).mean() > 0.999
+    # heavy hitters are near-exact
+    top = np.argsort(counts)[-20:]
+    assert (np.abs(est[top] - counts[top]) / counts[top] < 0.05).all()
+
+
+def test_cms_merge_additive():
+    a_tok, b_tok = zipf_tokens(30_000, seed=5), zipf_tokens(30_000, seed=6)
+    a = CountMinSketch(depth=4, width=4096).update_batch(a_tok)
+    b = CountMinSketch(depth=4, width=4096).update_batch(b_tok)
+    whole = CountMinSketch(depth=4, width=4096).update_batch(np.concatenate([a_tok, b_tok]))
+    merged = CountMinSketch.from_bytes(a.to_bytes()).merge(b)
+    assert np.array_equal(merged.table, whole.table)
+    assert merged.total == whole.total
+
+
+def test_cms_weighted_update():
+    c = CountMinSketch(depth=4, width=1024)
+    c.update_batch(np.array([7, 9]), weights=np.array([10, 3]))
+    assert c.estimate(np.array([7]))[0] >= 10
+    assert c.total == 13
+
+
+# ----------------------------------------------------------------- Bloom
+
+def test_bloom_no_false_negatives():
+    tokens = np.unique(zipf_tokens(50_000, seed=7))
+    b = BloomFilter.for_capacity(len(tokens), fpp=0.01)
+    b.update_batch(tokens)
+    assert b.contains(tokens).all()
+
+
+def test_bloom_fpp_bounded():
+    present = np.arange(0, 20_000, dtype=np.int64)
+    absent = np.arange(1_000_000, 1_040_000, dtype=np.int64)
+    b = BloomFilter.for_capacity(len(present), fpp=0.01)
+    b.update_batch(present)
+    fpp = b.contains(absent).mean()
+    assert fpp < 0.03
+
+
+def test_bloom_merge_is_union():
+    a = BloomFilter(m_bits=1 << 16, k=4).update_batch(np.arange(100))
+    b = BloomFilter(m_bits=1 << 16, k=4).update_batch(np.arange(100, 200))
+    merged = BloomFilter.from_bytes(a.to_bytes()).merge(b)
+    assert merged.contains(np.arange(200)).all()
+    whole = BloomFilter(m_bits=1 << 16, k=4).update_batch(np.arange(200))
+    assert np.array_equal(merged.bits, whole.bits)
+
+
+# ------------------------------------------------------------------- KLL
+
+def test_kll_rank_accuracy():
+    rng = np.random.default_rng(8)
+    data = rng.normal(0, 1, 100_000)
+    k = KLLSketch(k=256)
+    k.update_batch(data)
+    srt = np.sort(data)
+    for q in [0.01, 0.1, 0.5, 0.9, 0.99]:
+        est = k.quantile(q)
+        # rank error: position of est in sorted data vs q*n
+        rank = np.searchsorted(srt, est) / data.size
+        assert abs(rank - q) < 0.02, f"q={q} rank={rank}"
+
+
+def test_kll_merge_accuracy_and_n():
+    rng = np.random.default_rng(9)
+    a_d, b_d = rng.normal(0, 1, 40_000), rng.normal(5, 2, 40_000)
+    a = KLLSketch(k=256).update_batch(a_d)
+    b = KLLSketch(k=256).update_batch(b_d)
+    merged = KLLSketch.from_bytes(a.to_bytes()).merge(b)
+    assert merged.n == 80_000
+    data = np.sort(np.concatenate([a_d, b_d]))
+    for q in [0.1, 0.5, 0.9]:
+        rank = np.searchsorted(data, merged.quantile(q)) / data.size
+        assert abs(rank - q) < 0.03
+
+
+def test_kll_weight_preservation():
+    k = KLLSketch(k=64)
+    k.update_batch(np.arange(10_000, dtype=np.float64))
+    total_weight = sum(arr.size * (1 << lvl) for lvl, arr in enumerate(k.levels))
+    assert total_weight == 10_000 == k.n
+
+
+def test_kll_roundtrip():
+    k = KLLSketch(k=128).update_batch(np.random.default_rng(0).normal(0, 1, 5000))
+    assert KLLSketch.from_bytes(k.to_bytes()).n == k.n
+
+
+# -------------------------------------------------------------- t-digest
+
+def test_tdigest_quantile_accuracy():
+    rng = np.random.default_rng(10)
+    data = rng.normal(10, 3, 100_000)
+    t = TDigest(delta=200)
+    t.update_batch(data)
+    srt = np.sort(data)
+    for q in [0.001, 0.01, 0.5, 0.99, 0.999]:
+        est = t.quantile(q)
+        rank = np.searchsorted(srt, est) / data.size
+        assert abs(rank - q) < 0.005, f"q={q} rank={rank}"
+
+
+def test_tdigest_merge():
+    rng = np.random.default_rng(11)
+    a_d, b_d = rng.exponential(1, 50_000), rng.exponential(1, 50_000)
+    a = TDigest(delta=200).update_batch(a_d)
+    b = TDigest(delta=200).update_batch(b_d)
+    merged = TDigest.from_bytes(a.to_bytes()).merge(b)
+    assert merged.n == 100_000
+    data = np.sort(np.concatenate([a_d, b_d]))
+    for q in [0.1, 0.5, 0.9, 0.99]:
+        rank = np.searchsorted(data, merged.quantile(q)) / data.size
+        assert abs(rank - q) < 0.01
+
+
+def test_tdigest_bounded_size():
+    t = TDigest(delta=100)
+    t.update_batch(np.random.default_rng(1).normal(0, 1, 200_000))
+    assert t.means.size < 300  # ~delta centroids
+
+
+def test_tdigest_min_max_clamp():
+    t = TDigest(delta=100).update_batch(np.array([1.0, 2.0, 3.0]))
+    assert t.quantile(0.0) >= 1.0
+    assert t.quantile(1.0) <= 3.0
