@@ -1,0 +1,271 @@
+"""The sketch aggregation harness — the engine that replaces the
+reference's P2P gossip protocol (`/root/reference/main.cpp:475-658`)
+with Spark's exact shuffle-based partial-aggregation merge tree.
+
+Pipeline shape (the "two shuffle boundaries" of SURVEY.md §3.1):
+
+  stage 1  mapInArrow over the raw scan: one sketch per
+           (input partition × spec × group), built from whole Arrow
+           batches with numpy — zero per-row Python, zero shuffle of raw
+           data (this is what makes it work at 10^12 rows: only sketch
+           blobs ever cross the wire)
+  stage 2  groupBy(name, group, salt).applyInPandas(merge) — salted
+           partial merge; salt = partition_id % salt_buckets bounds any
+           single reducer's fan-in regardless of input partition count
+  stage 3  groupBy(name, group).applyInPandas(merge) — final merge of
+           ≤ salt_buckets blobs per key
+
+Merging is deterministic: blobs are sorted lexicographically before the
+fold, and DDSketch uses the order-invariant n-way merge (α-alignment
+collapses commute with summation). Compare the gossip loop this
+replaces: per-round pairwise averaging merges + push-sum weight
+normalization (`main.cpp:549-631`, `ddsketch.cc:613-615`) that only
+*converges stochastically* to the global sketch — the shuffle tree
+computes it exactly in two deterministic steps.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from p2pddsketch_spark.sketches.ddsketch import DDSketch
+from p2pddsketch_spark.sketches.hll import HyperLogLog
+from p2pddsketch_spark.sketches.cms import CountMinSketch
+from p2pddsketch_spark.sketches.bloom import BloomFilter
+from p2pddsketch_spark.sketches.kll import KLLSketch
+from p2pddsketch_spark.sketches.tdigest import TDigest
+
+__all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
+           "build_sketches", "collect_sketches", "merge_blobs", "SKETCH_TYPES"]
+
+# magic prefix (first 4 bytes of every canonical serialization) → class
+SKETCH_TYPES = {
+    b"DDS1": DDSketch,
+    b"HLL1": HyperLogLog,
+    b"CMS1": CountMinSketch,
+    b"BLM1": BloomFilter,
+    b"KLL1": KLLSketch,
+    b"TDG1": TDigest,
+}
+
+
+def sketch_from_bytes(blob: bytes):
+    cls = SKETCH_TYPES.get(bytes(blob[:4]))
+    if cls is None:
+        raise ValueError(f"unknown sketch magic {blob[:4]!r}")
+    return cls.from_bytes(bytes(blob))
+
+
+def merge_blobs(blobs: list[bytes]) -> bytes:
+    """Deterministic merge of serialized sketches of one type.
+
+    Sorting the blobs first makes the fold independent of shuffle arrival
+    order; DDSketch additionally uses the order-invariant n-way merge.
+    """
+    blobs = sorted(bytes(b) for b in blobs)
+    first = sketch_from_bytes(blobs[0])
+    if isinstance(first, DDSketch):
+        return DDSketch.merge_many([sketch_from_bytes(b) for b in blobs]).to_bytes()
+    acc = first
+    for b in blobs[1:]:
+        acc.merge(sketch_from_bytes(b))
+    return acc.to_bytes()
+
+
+# --------------------------------------------------------------- extractors
+
+def scalar_extractor(column: str) -> Callable[[pa.RecordBatch], np.ndarray]:
+    """Extract a numeric column from an Arrow batch as float64 (nulls
+    dropped — explicit NaN/null policy, cf. SURVEY.md §1 NaN note)."""
+    def extract(batch: pa.RecordBatch) -> np.ndarray:
+        col = batch.column(column)
+        if col.null_count:
+            col = col.drop_null()
+        return col.to_numpy(zero_copy_only=False).astype(np.float64)
+    extract.columns = [column]
+    return extract
+
+
+def array_extractor(column: str) -> Callable[[pa.RecordBatch], np.ndarray]:
+    """Flatten an array<int> column *inside* the Arrow batch
+    (`pa.ListArray.flatten()` → numpy int64) — the tokens arrays are never
+    exploded into per-row Python (north_rule)."""
+    def extract(batch: pa.RecordBatch) -> np.ndarray:
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        if flat.null_count:
+            flat = flat.drop_null()
+        return flat.to_numpy(zero_copy_only=False).astype(np.int64)
+    extract.columns = [column]
+    return extract
+
+
+@dataclass
+class SketchSpec:
+    """One sketch to build during the single pass over the data."""
+    name: str
+    factory: Callable[[], object]            # () -> zero sketch
+    extractor: Callable[[pa.RecordBatch], np.ndarray]
+    columns: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.columns:
+            self.columns = list(getattr(self.extractor, "columns", []))
+
+
+# ------------------------------------------------------------------ stage 1
+
+_FIXED_FIELDS = [
+    StructField("sketch_name", StringType(), False),
+    StructField("salt", IntegerType(), False),
+    StructField("partition_id", IntegerType(), False),
+    StructField("rows_seen", LongType(), False),
+    StructField("build_secs", DoubleType(), False),
+    StructField("sketch", BinaryType(), False),
+]
+
+
+def _partial_schema(df: DataFrame, group_cols: tuple[str, ...]) -> StructType:
+    fields = [df.schema[c] for c in group_cols]
+    return StructType(list(fields) + _FIXED_FIELDS)
+
+
+def _make_stage1(specs: list[SketchSpec], group_cols: tuple[str, ...],
+                 salt_buckets: int, out_schema: StructType):
+    arrow_schema = pa.schema([
+        pa.field(f.name, pa.from_numpy_dtype(np.dtype("int32")) if isinstance(f.dataType, IntegerType)
+                 else pa.from_numpy_dtype(np.dtype("int64")) if isinstance(f.dataType, LongType)
+                 else pa.float64() if isinstance(f.dataType, DoubleType)
+                 else pa.binary() if isinstance(f.dataType, BinaryType)
+                 else pa.string())
+        for f in out_schema.fields
+    ])
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        salt = pid % salt_buckets
+        t0 = time.monotonic()
+        rows = 0
+        # (spec_idx, group_key_tuple) -> sketch
+        states: dict[tuple, object] = {}
+        for batch in batches:
+            rows += batch.num_rows
+            if not group_cols:
+                for si, spec in enumerate(specs):
+                    st = states.get((si, ()))
+                    if st is None:
+                        st = states[(si, ())] = spec.factory()
+                    st.update_batch(spec.extractor(batch))
+            else:
+                gcols = [batch.column(c).to_numpy(zero_copy_only=False) for c in group_cols]
+                gkeys = gcols[0] if len(gcols) == 1 else list(zip(*gcols))
+                uniq, inv = np.unique(np.asarray(gkeys, dtype=object), return_inverse=True)
+                for gi, gval in enumerate(uniq):
+                    mask = inv == gi
+                    idx = np.flatnonzero(mask)
+                    sub = batch.take(pa.array(idx))
+                    key = (gval,) if len(gcols) == 1 else tuple(gval)
+                    for si, spec in enumerate(specs):
+                        st = states.get((si, key))
+                        if st is None:
+                            st = states[(si, key)] = spec.factory()
+                        st.update_batch(spec.extractor(sub))
+        secs = time.monotonic() - t0
+        if not states:
+            return
+        names, salts, pids, rws, secs_l, blobs = [], [], [], [], [], []
+        gvals: list[list] = [[] for _ in group_cols]
+        for (si, key), st in sorted(states.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))):
+            names.append(specs[si].name)
+            salts.append(salt)
+            pids.append(pid)
+            rws.append(rows)
+            secs_l.append(secs)
+            blobs.append(st.to_bytes())
+            for ci in range(len(group_cols)):
+                gvals[ci].append(key[ci])
+        arrays = [pa.array(gvals[ci], type=arrow_schema.field(c).type)
+                  for ci, c in enumerate(group_cols)]
+        arrays += [pa.array(names, pa.string()), pa.array(salts, pa.int32()),
+                   pa.array(pids, pa.int32()), pa.array(rws, pa.int64()),
+                   pa.array(secs_l, pa.float64()), pa.array(blobs, pa.binary())]
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return build
+
+
+def _merge_fn(out_schema: StructType, group_cols: tuple[str, ...], final: bool):
+    import pandas as pd
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        blob = merge_blobs(list(pdf["sketch"]))
+        row = {c: pdf[c].iloc[0] for c in group_cols}
+        row.update({
+            "sketch_name": pdf["sketch_name"].iloc[0],
+            "salt": -1 if final else int(pdf["salt"].iloc[0]),
+            "partition_id": -1,
+            "rows_seen": int(pdf["rows_seen"].sum()),
+            "build_secs": float(pdf["build_secs"].sum()),
+            "sketch": blob,
+        })
+        return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+
+    return merge
+
+
+# ----------------------------------------------------------------- pipeline
+
+def build_partials(df: DataFrame, specs: list[SketchSpec],
+                   group_cols: tuple[str, ...] = (),
+                   salt_buckets: int = 32) -> DataFrame:
+    """Stage 1 only: per-(partition, spec, group) sketch rows with lineage
+    metrics. Persist this to parquet for checkpoint/resume."""
+    needed = sorted({c for s in specs for c in s.columns} | set(group_cols))
+    out_schema = _partial_schema(df, group_cols)
+    pruned = df.select(*needed)
+    return pruned.mapInArrow(_make_stage1(specs, group_cols, salt_buckets, out_schema),
+                             schema=out_schema)
+
+
+def merge_partials(partials: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Stages 2+3: salted partial merge, then final merge per (name, group)."""
+    out_schema = partials.schema
+    g2 = list(group_cols) + ["sketch_name", "salt"]
+    stage2 = partials.groupBy(*g2).applyInPandas(
+        _merge_fn(out_schema, group_cols, final=False), schema=out_schema)
+    g3 = list(group_cols) + ["sketch_name"]
+    stage3 = stage2.groupBy(*g3).applyInPandas(
+        _merge_fn(out_schema, group_cols, final=True), schema=out_schema)
+    return stage3
+
+
+def build_sketches(df: DataFrame, specs: list[SketchSpec],
+                   group_cols: tuple[str, ...] = (),
+                   salt_buckets: int = 32) -> DataFrame:
+    """Full pipeline: returns one row per (group, sketch_name) with the
+    final merged sketch blob plus total rows/build-time lineage."""
+    return merge_partials(build_partials(df, specs, group_cols, salt_buckets),
+                          group_cols)
+
+
+def collect_sketches(sketch_df: DataFrame, group_cols: tuple[str, ...] = ()) -> dict:
+    """Driver-side: {(group..., name): sketch object}. The final sketch rows
+    are tiny (one per group×spec) — this is the only collect in the system."""
+    out = {}
+    for row in sketch_df.collect():
+        key = tuple(row[c] for c in group_cols) + (row["sketch_name"],)
+        out[key if len(key) > 1 else key[0]] = sketch_from_bytes(row["sketch"])
+    return out

@@ -1,0 +1,144 @@
+"""End-to-end Spark tests for the sketch aggregation harness (SURVEY.md
+§5.2 item 5): sequences table → single-pass multi-sketch build →
+two-level shuffle merge → queries vs exact oracles.
+"""
+
+import numpy as np
+import pytest
+
+from p2pddsketch_spark.operators.harness import (
+    SketchSpec, array_extractor, build_sketches, collect_sketches,
+    scalar_extractor,
+)
+from p2pddsketch_spark.sketches.bloom import BloomFilter
+from p2pddsketch_spark.sketches.cms import CountMinSketch
+from p2pddsketch_spark.sketches.ddsketch import DDSketch
+from p2pddsketch_spark.sketches.hll import HyperLogLog
+from p2pddsketch_spark.sources.sequences import regenerate_rows
+
+ALPHA = 0.001
+
+
+def _specs():
+    return [
+        SketchSpec("dds_ntok", lambda: DDSketch(alpha=ALPHA, bin_limit=1 << 22),
+                   scalar_extractor("n_tok")),
+        SketchSpec("hll_tokens", lambda: HyperLogLog(p=14),
+                   array_extractor("tokens")),
+        SketchSpec("cms_tokens", lambda: CountMinSketch(depth=5, width=1 << 15),
+                   array_extractor("tokens")),
+        SketchSpec("bloom_tokens", lambda: BloomFilter(m_bits=1 << 21, k=5),
+                   array_extractor("tokens")),
+    ]
+
+
+@pytest.fixture(scope="module")
+def built(spark, sequences_path):
+    df = spark.read.parquet(sequences_path)
+    out = build_sketches(df, _specs(), salt_buckets=8)
+    return collect_sketches(out)
+
+
+def _exact_tokens(sequences_pdf):
+    return np.concatenate(sequences_pdf["tokens"].to_numpy())
+
+
+def test_flagship_quantiles_within_alpha(built, sequences_pdf):
+    """p50/p95/p99/p999 of n_tok within α of the exact quantile — the
+    reference `testQuantile` contract (`main.cpp:1041-1082`) run through
+    the full distributed pipeline."""
+    s = built["dds_ntok"]
+    ntok = np.sort(sequences_pdf["n_tok"].to_numpy().astype(np.float64))
+    assert s.n == len(ntok)
+    assert s.sum_bins() == s.n
+    for q in [0.5, 0.95, 0.99, 0.999]:
+        exact = ntok[int(np.floor(1 + q * (len(ntok) - 1))) - 1]
+        est = s.quantile(q)
+        assert abs((est - exact) / exact) <= ALPHA * (1 + 1e-9), f"q={q}"
+
+
+def test_hll_vs_exact_and_builtin(built, sequences_pdf, spark, sequences_path):
+    from pyspark.sql import functions as F
+    exact = len(np.unique(_exact_tokens(sequences_pdf)))
+    est = built["hll_tokens"].cardinality()
+    assert abs(est - exact) / exact < 0.05
+    # cross-check Spark's built-in HLL++ agrees with the exact count too
+    builtin = (spark.read.parquet(sequences_path)
+               .select(F.explode("tokens").alias("t"))
+               .agg(F.approx_count_distinct("t", 0.02).alias("d")).collect()[0]["d"])
+    assert abs(builtin - exact) / exact < 0.1
+
+
+def test_cms_heavy_hitters(built, sequences_pdf):
+    tokens = _exact_tokens(sequences_pdf)
+    uniq, counts = np.unique(tokens, return_counts=True)
+    top = np.argsort(counts)[-20:]
+    est = built["cms_tokens"].estimate(uniq[top])
+    assert (est >= counts[top]).all()
+    assert (np.abs(est - counts[top]) / counts[top] < 0.02).all()
+
+
+def test_bloom_membership(built, sequences_pdf):
+    tokens = np.unique(_exact_tokens(sequences_pdf))
+    b = built["bloom_tokens"]
+    assert b.contains(tokens).all()  # no false negatives
+    absent = np.arange(10_000_000, 10_040_000, dtype=np.int64)
+    assert b.contains(absent).mean() < 0.05
+
+
+def test_grouped_by_source(spark, sequences_path, sequences_pdf):
+    df = spark.read.parquet(sequences_path)
+    out = build_sketches(
+        df, [SketchSpec("dds", lambda: DDSketch(alpha=ALPHA, bin_limit=1 << 22),
+                        scalar_extractor("n_tok"))],
+        group_cols=("source",), salt_buckets=8)
+    sketches = collect_sketches(out, group_cols=("source",))
+    for source, grp in sequences_pdf.groupby("source"):
+        s = sketches[(source, "dds")]
+        vals = np.sort(grp["n_tok"].to_numpy().astype(np.float64))
+        assert s.n == len(vals)
+        exact = vals[int(np.floor(1 + 0.95 * (len(vals) - 1))) - 1]
+        assert abs((s.quantile(0.95) - exact) / exact) <= ALPHA * (1 + 1e-9)
+
+
+def test_partition_layout_invariance(spark, sequences_path):
+    """north_rule merge-order invariance through the real pipeline: the
+    final DDSketch bytes are identical across partition layouts, including
+    the adversarial sorted-range layout (`main.cpp:285`)."""
+    df = spark.read.parquet(sequences_path)
+    spec = [SketchSpec("dds", lambda: DDSketch(alpha=ALPHA, bin_limit=1 << 22),
+                       scalar_extractor("n_tok"))]
+    blobs = set()
+    for layout in [df.coalesce(1),
+                   df.repartition(13),
+                   df.repartitionByRange(7, "n_tok"),  # adversarial sorted ranges
+                   df.repartition(32, "source")]:      # skewed
+        out = build_sketches(layout, spec, salt_buckets=4)
+        rows = out.collect()
+        assert len(rows) == 1
+        blobs.add(bytes(rows[0]["sketch"]))
+    assert len(blobs) == 1
+
+
+def test_lineage_metrics(spark, sequences_path):
+    from p2pddsketch_spark.operators.harness import build_partials
+    df = spark.read.parquet(sequences_path).repartition(6)
+    partials = build_partials(df, _specs(), salt_buckets=4).collect()
+    # one row per (partition × spec)
+    assert len(partials) == 6 * 4
+    assert all(r["rows_seen"] > 0 and r["build_secs"] >= 0 for r in partials)
+    assert {r["salt"] for r in partials} <= set(range(4))
+
+
+def test_token_array_equality_invariant(spark, sequences_path):
+    """Per-row invariant (input_hint): the persisted tokens arrays equal
+    the seeded regeneration, element-wise."""
+    rows = (spark.read.parquet(sequences_path)
+            .orderBy("doc_id").limit(50).collect())
+    ids = np.array([int(r["doc_id"].split("-")[1]) for r in rows])
+    regen = regenerate_rows(ids, seed=42, n_rows=20_000)
+    for r in rows:
+        i = int(r["doc_id"].split("-")[1])
+        assert r["n_tok"] == regen[i]["n_tok"]
+        assert r["source"] == regen[i]["source"]
+        assert np.array_equal(np.array(r["tokens"], dtype=np.int32), regen[i]["tokens"])
