@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: one pass over sf0.001 events builds six
+sketches (DDSketch, HLL, CMS, Bloom, KLL, t-digest) through the
+mapInArrow → salted shuffle-merge-tree harness and reports their
+estimates.
+
+`queries()` — one entry per implemented operator (SURVEY.md §2 +
+gap-fill pipeline operators); `oracle_sql()` — DuckDB twins. Entries
+without an oracle are hash/seed-dependent estimates (HLL/CMS/Bloom/KLL/
+t-digest values, SimHash, LSH bucket variants, rolling fingerprints);
+pytest verifies those against exact oracles within published bounds.
 """
 
 from __future__ import annotations
@@ -16,23 +21,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from p2pddsketch_spark.plans import queries as Q
+    return Q.q_sketch_estimates_events(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from p2pddsketch_spark.plans import queries as Q
+    return {
+        # DDSketch — full sketch pipeline (mapInArrow + shuffle merge tree)
+        "dds_quantiles_lineitem": Q.q_dds_lineitem,
+        "dds_price_by_flag": Q.q_dds_price_by_flag,
+        # DDSketch — pure Catalyst plan (whole-stage codegen, zero Python)
+        "dds_events_catalyst": Q.q_dds_events_sql,
+        "dds_doclen_by_lang": Q.q_dds_doclen_by_lang,
+        "dds_events_hourly": Q.q_dds_events_hourly,
+        # relational surface
+        "tpch_q1": Q.q_tpch_q1,
+        "join_revenue_by_nation": Q.q_join_topsuppliers,
+        # text analysis
+        "top_tokens_exact": Q.q_top_tokens,
+        "distinct_tokens_by_source": Q.q_distinct_tokens_by_source,
+        "doc_stats": Q.q_doc_stats,
+        "quality_score": Q.q_quality_score,
+        "language_id": Q.q_language_id,
+        "token_count_regex": Q.q_token_count_regex,
+        # dedup
+        "exact_dedup_stats": Q.q_exact_dedup_stats,
+        "ngram_jaccard_pairs": Q.q_ngram_jaccard,
+        "minhash_lsh_pairs": Q.q_minhash_lsh,
+        "simhash_neardup_pairs": Q.q_simhash_neardup,
+        "rolling_fingerprint": Q.q_rolling_fingerprint,
+        # similarity search
+        "ann_cosine_topk": Q.q_ann_cosine_topk,
+        "embedding_neardup": Q.q_embedding_neardup,
+        "ann_topk_lsh": Q.q_ann_topk_lsh,
+        # multi-sketch single-pass estimates (rows-only check)
+        "sketch_estimates_events": Q.q_sketch_estimates_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from p2pddsketch_spark.plans.oracles import ORACLES
+    return dict(ORACLES)

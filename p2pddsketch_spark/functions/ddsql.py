@@ -1,0 +1,127 @@
+"""DDSketch quantiles as a pure Catalyst plan — no Python on the hot path.
+
+The sketch's bucket algebra (`/root/reference/ddsketch.cc:84-127`,
+`:520-557`) is just: key = ceil(ln v / ln γ) (± sign/offset handling),
+counts per key, cumulative scan in key order, pick the first bucket whose
+cumulative count exceeds q·(n−1), estimate x̂ = 2γ^k/(γ+1). Every step is
+expressible with built-in `pyspark.sql.functions`, so for *batch* quantile
+queries the whole sketch runs inside whole-stage codegen:
+
+  scan (column-pruned, filter-pushed) → partial groupBy(key) count
+  (map-side combine: at most `bins` rows leave each executor) → tiny
+  window cumsum → broadcast-joined quantile probes.
+
+At 100 TB this shuffles only ~thousands of (key, count) rows per group —
+the same "only sketches cross the wire" property as the mapInArrow
+harness, with zero serialization overhead. The harness remains the path
+for incremental/streaming/checkpointed builds where a persistent sketch
+*object* is needed.
+
+`duckdb_quantile_sql` emits the equivalent ANSI SQL so the two stay in
+lockstep for oracle verification (estimates rounded to 6 decimals on
+both sides to absorb 1-ulp libm differences between engines).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["gamma_of_alpha", "ddsketch_key_col", "ddsketch_estimate_col",
+           "ddsketch_quantile_plan", "duckdb_quantile_sql"]
+
+
+def gamma_of_alpha(alpha: float) -> tuple[float, float]:
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    return gamma, math.log(gamma)
+
+
+def ddsketch_key_col(value: Column, alpha: float, offset: int = 1 << 30) -> Column:
+    """Signed bucket key (reference `DDS_GetKey`, `ddsketch.cc:84-104`)."""
+    _, lng = gamma_of_alpha(alpha)
+    pos = F.ceil(F.log(value) / F.lit(lng)).cast("long") + F.lit(offset)
+    neg = -(F.ceil(F.log(-value) / F.lit(lng)).cast("long") + F.lit(offset))
+    return F.when(value > 0, pos).when(value < 0, neg).otherwise(F.lit(0).cast("long"))
+
+
+def ddsketch_estimate_col(key: Column, alpha: float, offset: int = 1 << 30) -> Column:
+    """Rank estimator x̂ (reference `DDS_GetRank`, `ddsketch.cc:106-127`)."""
+    gamma, _ = gamma_of_alpha(alpha)
+    pos = F.lit(2.0) * F.pow(F.lit(gamma), (key - F.lit(offset)).cast("double")) / F.lit(gamma + 1.0)
+    neg = F.lit(-2.0) * F.pow(F.lit(gamma), (-key - F.lit(offset)).cast("double")) / F.lit(gamma + 1.0)
+    return F.when(key > 0, pos).when(key < 0, neg).otherwise(F.lit(0.0))
+
+
+def ddsketch_quantile_plan(df: DataFrame, value_col: str, quantiles: list[float],
+                           alpha: float, group_cols: tuple[str, ...] = (),
+                           offset: int = 1 << 30) -> DataFrame:
+    """Distributed DDSketch quantiles entirely in Catalyst.
+
+    Output: group_cols..., q (double), bucket_key (long, offset-stripped
+    unsigned index for positive buckets — matches the SQL oracle),
+    estimate (double, rounded 6), n (long).
+    """
+    spark = df.sparkSession
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    keyed = (df
+             .where(v.isNotNull() & ~F.isnan(v))
+             .select(*g, ddsketch_key_col(v, alpha, offset).alias("_key")))
+    counts = keyed.groupBy(*g, "_key").agg(F.count("*").alias("_cnt"))
+    w_cum = Window.partitionBy(*[F.col(c) for c in g]).orderBy("_key")
+    w_all = Window.partitionBy(*[F.col(c) for c in g])
+    cum = (counts
+           .withColumn("_cum", F.sum("_cnt").over(w_cum))
+           .withColumn("_n", F.sum("_cnt").over(w_all)))
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    picked = (cum.join(F.broadcast(qdf),
+                       F.col("_cum") > F.col("q") * (F.col("_n") - F.lit(1)).cast("double"))
+              .groupBy(*g, "q")
+              .agg(F.min("_key").alias("_key"), F.first("_n").alias("n")))
+    unsigned = (F.when(F.col("_key") > 0, F.col("_key") - F.lit(offset))
+                .when(F.col("_key") < 0, F.col("_key") + F.lit(offset))
+                .otherwise(F.lit(0)))
+    return (picked
+            .withColumn("estimate", F.round(ddsketch_estimate_col(F.col("_key"), alpha, offset), 6))
+            .withColumn("bucket_key", unsigned.cast("long"))
+            .select(*g, "q", "bucket_key", "estimate", F.col("n").cast("long").alias("n"))
+            .orderBy(*g, "q"))
+
+
+def duckdb_quantile_sql(table: str, value_col: str, quantiles: list[float],
+                        alpha: float, group_cols: tuple[str, ...] = (),
+                        where: str = "") -> str:
+    """ANSI-SQL twin of `ddsketch_quantile_plan` for DuckDB oracles.
+
+    Positive-value columns only (all oracle fixtures are positive), so
+    the signed-key branches reduce to the plain log-bucket index.
+    """
+    gamma, lng = gamma_of_alpha(alpha)
+    g = ", ".join(group_cols)
+    gc = g + ", " if g else ""
+    qvals = ", ".join(f"({float(q)!r})" for q in quantiles)
+    wc = f"WHERE {where}" if where else f"WHERE {value_col} IS NOT NULL"
+    return f"""
+WITH buckets AS (
+  SELECT {gc}CAST(ceil(ln(CAST({value_col} AS DOUBLE)) / {lng!r}) AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM {table} {wc}
+  GROUP BY {gc}bucket
+), cum AS (
+  SELECT {gc}bucket, cnt,
+         SUM(cnt) OVER ({('PARTITION BY ' + g) if g else ''} ORDER BY bucket) AS cum_cnt,
+         SUM(cnt) OVER ({('PARTITION BY ' + g) if g else ''}) AS n
+  FROM buckets
+), qs(q) AS (VALUES {qvals})
+SELECT {gc}q,
+       MIN(bucket) AS bucket_key,
+       ROUND(2 * power({gamma!r}, CAST(MIN(bucket) AS DOUBLE)) / ({gamma!r} + 1), 6) AS estimate,
+       CAST(MIN(n) AS BIGINT) AS n
+FROM cum CROSS JOIN qs
+WHERE cum_cnt > q * (n - 1)
+GROUP BY {gc}q
+ORDER BY {gc}q
+"""

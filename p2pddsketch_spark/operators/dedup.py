@@ -1,0 +1,242 @@
+"""Deduplication operators for training-data pipelines.
+
+* exact duplicate grouping (hash-groupBy; md5 fingerprints)
+* n-gram Jaccard near-dup pairs — exact, via a shingle-inverted-index
+  self-join (no cross join: at 100 TB the join key is the shingle, and
+  only docs sharing a shingle ever meet)
+* MinHash + LSH banding — the scale path: O(n) signatures, candidate
+  pairs only within equal (band, band-hash) buckets, then exact-Jaccard
+  verification of the (tiny) candidate set
+* SimHash — 64-bit near-dup fingerprints joined on rotated prefix
+  blocks, Hamming-verified
+
+All Python stages are Arrow-vectorized (numpy over flattened shingle
+arrays with `np.minimum.reduceat` segment mins); everything else is
+built-in functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from p2pddsketch_spark.operators.text import fingerprint_md5_col, words_col
+
+__all__ = ["exact_dedup_stats", "exact_dedup", "word_shingles_col",
+           "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs",
+           "simhash64", "simhash_neardup_pairs"]
+
+
+# ------------------------------------------------------------- exact dedup
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(n_docs, n_unique, n_dup_docs) by content fingerprint."""
+    fp = df.select(fingerprint_md5_col(text_col).alias("fp"))
+    return fp.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_dup_docs"),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical content (deterministic winner).
+    Hash-shuffle on the fingerprint — embarrassingly parallel."""
+    fp = df.withColumn("_fp", fingerprint_md5_col(text_col))
+    w = F.min(id_col).alias("_keep")
+    keep = fp.groupBy("_fp").agg(w)
+    return (fp.join(keep, (fp["_fp"] == keep["_fp"]) & (fp[id_col] == keep["_keep"]))
+            .select(df["*"]))
+
+
+# ------------------------------------------------------ n-gram Jaccard
+
+def word_shingles_col(text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles, built with JVM array functions."""
+    words = words_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via inverted index:
+    explode shingles → self-join on shingle → count shared shingles per
+    pair → jaccard = inter / (|A| + |B| − inter). Returns (id_a, id_b,
+    jaccard) with id_a < id_b, jaccard rounded to 6."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    word_shingles_col(text_col, n).alias("sh"))
+          .withColumn("sz", F.size("sh").cast("long")))
+    ex = sh.select("id", "sz", F.explode("sh").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+             .agg(F.count("*").alias("inter")))
+    jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+    return (inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------- MinHash + LSH
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _hash_shingles_uint64(flat: pd.Series) -> np.ndarray:
+    """Vectorized string → uint64 via pandas hashing (stable across runs)."""
+    from pandas.util import hash_array
+    return hash_array(flat.to_numpy(dtype=object), hash_key="p2pddsketch0000!")
+
+
+def minhash_signatures(df: DataFrame, num_perm: int = 128, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       seed: int = 7) -> DataFrame:
+    """(id, sig array<long>[num_perm]) — one Arrow-vectorized pass:
+    flatten all shingle lists in the batch, hash once, then per
+    permutation h' = (a·h + b) mod 2^61−1 and segment-min with
+    `np.minimum.reduceat`. No per-row Python."""
+    a_p, b_p = _perm_params(num_perm, seed)
+    id_type = df.schema[id_col].dataType
+    schema = StructType([StructField("id", id_type, True),
+                         StructField("sig", StringType(), False)])
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles_col(text_col, n).alias("sh"))
+
+    def sign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lists = pdf["sh"]
+            lens = lists.map(len).to_numpy()
+            flat = pd.Series(np.concatenate([np.asarray(x, dtype=object) for x in lists])
+                             if lens.sum() else np.empty(0, dtype=object))
+            h = _hash_shingles_uint64(flat)
+            offs = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            sig = np.empty((len(pdf), num_perm), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for p in range(num_perm):
+                    hp = (a_p[p] * (h % _MERSENNE) + b_p[p]) % _MERSENNE
+                    sig[:, p] = np.minimum.reduceat(hp, offs) if h.size else 0
+            empty = lens == 0
+            if empty.any():
+                sig[empty] = _MERSENNE
+            # serialize signature row-wise as hex (compact, deterministic)
+            blobs = [sig[i].tobytes().hex() for i in range(len(pdf))]
+            yield pd.DataFrame({"id": pdf["id"], "sig": blobs})
+
+    return sh.mapInPandas(sign, schema=schema)
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128,
+                      bands: int = 32, n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+    """Near-dup pairs: MinHash signatures → LSH band buckets → candidate
+    pairs (equi-join on (band, band_hash) — only bucket collisions meet)
+    → EXACT n-gram-Jaccard verification of candidates.
+
+    With 32 bands × 4 rows, a pair at J=0.5 is caught w.p. ~1−(1−0.5⁴)³²
+    ≈ 0.87 and at J=0.8 w.p. ≈ 1−5·10⁻⁸; verified output contains no
+    false positives. Output schema matches `ngram_jaccard_pairs`.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, n, text_col, id_col, seed)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = (sigs.select("id", F.explode(band_idx).alias("band"),
+                          F.col("sig"))
+              .withColumn("bh", F.substring("sig", F.col("band") * (rows * 16) + 1, rows * 16))
+              .select("id", "band", "bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.bh") == F.col("b.bh")) &
+                      (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles_col(text_col, n).alias("sh"))
+    ja = cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a") \
+             .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (ja.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
+# ----------------------------------------------------------------- SimHash
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              n: int = 3, seed: int = 11) -> DataFrame:
+    """64-bit SimHash over word n-gram shingles, vectorized: hash all
+    shingles in the batch, unpack to a bit matrix, segment-sum votes."""
+    id_type = df.schema[id_col].dataType
+    schema = StructType([StructField("id", id_type, True),
+                         StructField("simhash", LongType(), False)])
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles_col(text_col, n).alias("sh"))
+
+    def sim(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lists = pdf["sh"]
+            lens = lists.map(len).to_numpy()
+            total = int(lens.sum())
+            if total == 0:
+                yield pd.DataFrame({"id": pdf["id"], "simhash": np.zeros(len(pdf), np.int64)})
+                continue
+            flat = pd.Series(np.concatenate([np.asarray(x, dtype=object) for x in lists]))
+            h = _hash_shingles_uint64(flat)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = bits * 2 - 1  # ±1 per bit
+            offs = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            seg = np.add.reduceat(votes, offs, axis=0)
+            seg[lens == 0] = -1
+            fp = (seg > 0).astype(np.uint64)
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for bit in range(64):
+                    out |= fp[:, bit] << np.uint64(bit)
+            yield pd.DataFrame({"id": pdf["id"], "simhash": out.astype(np.int64)})
+
+    return sh.mapInPandas(sim, schema=schema)
+
+
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: join on each of 4 16-bit blocks (a pair
+    within Hamming ≤ 3 of 64 bits must agree on ≥ 1 block — pigeonhole),
+    then exact popcount verification. Returns (id_a, id_b, hamming)."""
+    s = simhash64(df, text_col, id_col, n)
+    blocks = F.sequence(F.lit(0), F.lit(3))
+    blocked = (s.select("id", "simhash", F.explode(blocks).alias("blk"))
+               .withColumn("bh", F.expr("shiftrightunsigned(simhash, blk * 16)")
+                           .bitwiseAND(F.lit(0xFFFF))))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
+                      (F.col("a.bh") == F.col("b.bh")) &
+                      (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .orderBy("id_a", "id_b"))

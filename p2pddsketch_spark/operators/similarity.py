@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: broadcast the query
+  set, fold dot products with built-in higher-order functions (JVM,
+  whole-stage codegen; float64 accumulation), window top-k
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures
+  (one numpy matmul per Arrow batch), candidates from equal buckets,
+  exact rerank of candidates only
+
+At 100 TB the brute-force path is a single broadcast-join scan (no
+shuffle of the corpus); the LSH path shuffles only (bucket, id) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, IntegerType, StructField, StructType
+from pyspark.sql.window import Window
+
+__all__ = ["cosine_sim_col", "cosine_topk", "cosine_neardup_pairs",
+           "hyperplane_buckets", "ann_topk_lsh"]
+
+
+def _dot(a, b):
+    """Float64 left-to-right fold of Σ aᵢ·bᵢ (cast BEFORE multiply — float32
+    products would lose the bits that make the result oracle-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_sim_col(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+    """Exact top-k neighbors per query by cosine. Queries are broadcast;
+    the corpus is scanned once; per-query top-k via window rank."""
+    j = corpus.crossJoin(F.broadcast(queries))
+    sim = F.round(cosine_sim_col(F.col(vec_col), F.col(qvec_col)), 6)
+    scored = j.select(F.col(qid_col), F.col(id_col).alias("neighbor_id"),
+                      sim.alias("cosine"))
+    scored = scored.where(F.col(qid_col) != F.col("neighbor_id"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, "rank", "neighbor_id", "cosine")
+            .orderBy(qid_col, "rank"))
+
+
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         use_lsh: bool = False, planes: int = 16,
+                         seed: int = 13) -> DataFrame:
+    """Embedding near-duplicate pairs with cosine ≥ threshold.
+
+    Exact mode self-joins on id< id (quadratic — fine for verification /
+    small dims tables); `use_lsh` routes through hyperplane buckets first
+    so only same-bucket pairs are scored (the 100 TB path).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if use_lsh:
+        b = hyperplane_buckets(df, planes=planes, seed=seed,
+                               id_col=id_col, vec_col=vec_col)
+        based = base.join(b, base["id"] == b["id"], "inner").drop(b["id"])
+        a_, b_ = based.alias("a"), based.alias("b")
+        cand = (a_.join(b_, (F.col("a.bucket") == F.col("b.bucket")) &
+                           (F.col("a.id") < F.col("b.id")))
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                        F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+                .distinct())
+    else:
+        a_, b_ = base.alias("a"), base.alias("b")
+        cand = (a_.join(b_, F.col("a.id") < F.col("b.id"))
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                        F.col("a.v").alias("va"), F.col("b.v").alias("vb")))
+    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6)
+    return (cand.select("id_a", "id_b", sim.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
+def hyperplane_buckets(df: DataFrame, planes: int = 16, seed: int = 13,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: sign pattern of `planes`
+    projections, computed as ONE numpy matmul per Arrow batch."""
+    id_type = df.schema[id_col].dataType
+    schema = StructType([StructField("id", id_type, True),
+                         StructField("bucket", LongType(), False)])
+
+    def bucketize(batches):
+        H = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if H is None:
+                rng = np.random.default_rng(seed)
+                H = rng.standard_normal((M.shape[1], planes))
+            signs = (M @ H) > 0
+            bucket = np.zeros(len(pdf), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for p in range(planes):
+                    bucket |= signs[:, p].astype(np.uint64) << np.uint64(p)
+            yield pd.DataFrame({"id": pdf[id_col], "bucket": bucket.astype(np.int64)})
+
+    return df.select(id_col, vec_col).mapInPandas(bucketize, schema=schema)
+
+
+def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 planes: int = 8, seed: int = 13,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket
+    (fewer planes → higher recall, more candidates), exact rerank after.
+    Same output schema as `cosine_topk`."""
+    cb = hyperplane_buckets(corpus, planes, seed, id_col, vec_col)
+    qb = hyperplane_buckets(queries, planes, seed, qid_col, qvec_col) \
+        .withColumnRenamed("id", "qid").withColumnRenamed("bucket", "qbucket")
+    corpus2 = corpus.join(cb, corpus[id_col] == cb["id"]).drop("id")
+    queries2 = queries.join(qb, queries[qid_col] == qb["qid"]).drop("qid")
+    j = corpus2.join(F.broadcast(queries2), F.col("bucket") == F.col("qbucket"))
+    sim = F.round(cosine_sim_col(F.col(vec_col), F.col(qvec_col)), 6)
+    scored = (j.select(F.col(qid_col), F.col(id_col).alias("neighbor_id"), sim.alias("cosine"))
+              .where(F.col(qid_col) != F.col("neighbor_id")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, "rank", "neighbor_id", "cosine")
+            .orderBy(qid_col, "rank"))

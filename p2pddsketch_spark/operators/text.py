@@ -1,0 +1,143 @@
+"""Text-analysis operators for training-data pipelines — all hot paths
+are built-in `pyspark.sql.functions` (whole-stage codegen); Python
+appears only in the vectorized rolling-hash fingerprint.
+
+Not in the reference (it has no string processing at all — SURVEY.md §2
+"what the reference does NOT implement"); mandated as first-class
+components of the graft brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["words_col", "doc_stats", "top_tokens", "distinct_tokens_by",
+           "language_id_col", "fingerprint_md5_col", "rolling_fingerprint",
+           "quality_score"]
+
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+# Deterministic language markers (language_id heuristic). The fixture
+# corpus is synthetic; the heuristic is the *operator* under test, and
+# its SQL twin makes it oracle-checkable.
+_DE = ("der", "die", "das", "und", "nicht")
+_FR = ("le", "la", "les", "et", "est")
+
+
+def words_col(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus → exact SQL parity)."""
+    return F.split(text, " ")
+
+
+def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: token count (whitespace), character
+    count, average word length, stopword ratio, distinct-token ratio."""
+    words = words_col(text_col)
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    distinct_words = F.size(F.array_distinct(words)).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_computed"),
+        F.round((n_chars - n_words + 1).cast("double") / n_words.cast("double"), 6).alias("avg_word_len"),
+        F.round(n_stop.cast("double") / n_words.cast("double"), 6).alias("stopword_ratio"),
+        F.round(distinct_words.cast("double") / n_words.cast("double"), 6).alias("distinct_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: favors mid-length docs with
+    healthy stopword presence and lexical diversity."""
+    s = doc_stats(df, text_col, id_col)
+    length_term = F.least(F.col("n_words").cast("double") / F.lit(64.0), F.lit(1.0))
+    stop_term = F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0))
+    div_term = F.col("distinct_ratio")
+    return s.select(
+        id_col, "n_words",
+        F.round((length_term + stop_term + div_term) / F.lit(3.0), 6).alias("quality"),
+    )
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Exact heavy hitters over whitespace tokens (the CMS oracle).
+
+    groupBy(token) has map-side partial aggregation: at 100 TB only
+    (token, partial-count) pairs shuffle, bounded by vocab size."""
+    return (df.select(F.explode(words_col(text_col)).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "token")
+            .limit(k))
+
+
+def distinct_tokens_by(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """Exact per-group distinct-token counts (the HLL oracle)."""
+    return (df.select(group_col, F.explode(words_col(text_col)).alias("token"))
+            .groupBy(group_col)
+            .agg(F.countDistinct("token").alias("n_distinct"))
+            .orderBy(group_col))
+
+
+def language_id_col(text_col: Column | str = "text") -> Column:
+    """n-gram/marker-word language-ID heuristic (deterministic, SQL-twin)."""
+    words = words_col(text_col)
+    de_arr = F.array(*[F.lit(w) for w in _DE])
+    fr_arr = F.array(*[F.lit(w) for w in _FR])
+    n_de = F.size(F.filter(words, lambda w: F.array_contains(de_arr, w)))
+    n_fr = F.size(F.filter(words, lambda w: F.array_contains(fr_arr, w)))
+    return (F.when((n_de > n_fr) & (n_de > 0), F.lit("de"))
+            .when(n_fr > 0, F.lit("fr"))
+            .otherwise(F.lit("en")))
+
+
+def fingerprint_md5_col(text_col: Column | str = "text") -> Column:
+    """Content fingerprint for exact dedup (md5 — SQL-portable)."""
+    return F.md5(text_col)
+
+
+_POLY_BASE = np.uint64(1000003)
+_ROLL_SEED = np.uint64(0xCBF29CE484222325)
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """64-bit polynomial rolling hash over UTF-8 bytes, vectorized per
+    Arrow batch (numpy Horner scheme over a padded byte matrix — no
+    per-row Python loops over characters).
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType, True),
+        StructField("fingerprint", LongType(), True),
+    ])
+
+    def fp(batches):
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").to_numpy(dtype=object)
+            if len(texts) == 0:
+                continue
+            enc = [t.encode("utf-8") for t in texts]
+            maxlen = max((len(b) for b in enc), default=0)
+            mat = np.zeros((len(enc), maxlen), dtype=np.uint64)
+            lens = np.array([len(b) for b in enc])
+            buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            offs = np.zeros(len(enc) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            for i in range(len(enc)):  # row fill; Horner itself is columnar
+                mat[i, :lens[i]] = buf[offs[i]:offs[i + 1]]
+            acc = np.full(len(enc), _ROLL_SEED, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(maxlen):
+                    live = j < lens
+                    acc = np.where(live, acc * _POLY_BASE + mat[:, j], acc)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "fingerprint": acc.astype(np.int64)})
+
+    return df.select(id_col, text_col).mapInPandas(fp, schema=schema)

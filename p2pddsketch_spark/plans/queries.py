@@ -1,0 +1,257 @@
+"""Named query builders — the library's public query surface, used by
+`__spark_entry__.py` (driver correctness gate), `bench.py`, and the
+test suite. Each returns a DataFrame with stable, aliased column names
+that match the DuckDB oracle SQL twins in `plans/oracles.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.functions.ddsql import ddsketch_quantile_plan, gamma_of_alpha
+from p2pddsketch_spark.operators.harness import (SketchSpec, array_extractor,
+                                                 build_sketches,
+                                                 collect_sketches,
+                                                 scalar_extractor)
+from p2pddsketch_spark.operators import dedup, similarity, text
+from p2pddsketch_spark.sketches.bloom import BloomFilter
+from p2pddsketch_spark.sketches.cms import CountMinSketch
+from p2pddsketch_spark.sketches.ddsketch import DDSketch
+from p2pddsketch_spark.sketches.hll import HyperLogLog
+from p2pddsketch_spark.sketches.kll import KLLSketch
+from p2pddsketch_spark.sketches.tdigest import TDigest
+
+QS = [0.5, 0.95, 0.99, 0.999]
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ------------------------------------------------- DDSketch via the harness
+
+def ddsketch_quantiles_via_harness(spark: SparkSession, df: DataFrame,
+                                   value_col: str, qs: list[float], alpha: float,
+                                   group_cols: tuple[str, ...] = (),
+                                   salt_buckets: int = 32,
+                                   bin_limit: int = 1 << 22) -> DataFrame:
+    """Full mapInArrow → shuffle-merge-tree pipeline, then driver-side
+    quantile extraction from the single final sketch row per group.
+    Output schema matches `ddsketch_quantile_plan` exactly."""
+    gamma, _ = gamma_of_alpha(alpha)
+    spec = [SketchSpec("dds", lambda: DDSketch(alpha=alpha, bin_limit=bin_limit),
+                       scalar_extractor(value_col))]
+    out = build_sketches(df, spec, group_cols=group_cols, salt_buckets=salt_buckets)
+    sketches = collect_sketches(out, group_cols=group_cols)
+    rows = []
+    for key, sk in sketches.items():
+        gvals = () if not group_cols else (key[:-1] if isinstance(key, tuple) else ())
+        for q in qs:
+            k_signed = sk.quantile_key(q)
+            k_unsigned = k_signed - sk.offset if k_signed > 0 else (
+                k_signed + sk.offset if k_signed < 0 else 0)
+            est = float(np.round(2.0 * np.power(gamma, float(k_unsigned)) / (gamma + 1.0), 6)) \
+                if k_signed > 0 else (0.0 if k_signed == 0 else
+                                      float(np.round(-2.0 * np.power(gamma, float(-k_signed - sk.offset)) / (gamma + 1.0), 6)))
+            rows.append(tuple(gvals) + (float(q), int(k_unsigned), est, int(sk.n)))
+    gddl = "".join(f"{c} string, " for c in group_cols)
+    schema = f"{gddl}q double, bucket_key long, estimate double, n long"
+    res = spark.createDataFrame(rows, schema)
+    return res.orderBy(*group_cols, "q")
+
+
+def q_dds_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99/p999 of l_quantity via the full sketch pipeline."""
+    return ddsketch_quantiles_via_harness(spark, load(spark, sf_dir, "lineitem"),
+                                          "l_quantity", QS, alpha=0.01)
+
+
+def q_dds_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sketches: per l_returnflag quantiles of l_extendedprice."""
+    return ddsketch_quantiles_via_harness(spark, load(spark, sf_dir, "lineitem"),
+                                          "l_extendedprice", QS, alpha=0.005,
+                                          group_cols=("l_returnflag",))
+
+
+# --------------------------------------------- DDSketch via pure Catalyst
+
+def q_dds_events_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sketch algebra as a whole-stage-codegen Catalyst plan."""
+    return ddsketch_quantile_plan(load(spark, sf_dir, "events"), "value", QS, alpha=0.01)
+
+
+def q_dds_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ddsketch_quantile_plan(load(spark, sf_dir, "documents"), "n_chars",
+                                  QS, alpha=0.01, group_cols=("lang",))
+
+
+def q_dds_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window p95 of event value per hour bucket — the batch twin
+    of the streaming windowed sketch (tz-safe epoch-hour bucketing)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "hour_bucket", F.floor(F.unix_timestamp("ts") / 3600).cast("long"))
+    out = ddsketch_quantile_plan(ev, "value", [0.95], alpha=0.01,
+                                 group_cols=("hour_bucket",))
+    return out.orderBy("hour_bucket", "q")
+
+
+# --------------------------------------------------------- relational layer
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the relational surface Spark SQL
+    gives the library for free (the reference has no relational ops)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_join_topsuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join showcase: revenue per nation via supplier→nation
+    (dims broadcast; no shuffle of lineitem beyond the aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    return (li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+            .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("n_name"))
+
+
+# ------------------------------------------------------------ text analysis
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.top_tokens(load(spark, sf_dir, "documents"), k=20)
+
+
+def q_distinct_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.distinct_tokens_by(load(spark, sf_dir, "documents"), "source")
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.language_id_col("text").alias("lang_pred")).orderBy("doc_id")
+
+
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + alpha-only tokens + vowel count
+    per source (BPE-ish regex classes, exact & SQL-portable)."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return (docs.groupBy("source")
+            .agg(F.sum(F.size(words)).cast("long").alias("n_ws_tokens"),
+                 F.sum(F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))).cast("long").alias("n_vowels"),
+                 F.count("*").alias("n_docs"))
+            .orderBy("source"))
+
+
+# ------------------------------------------------------------------- dedup
+
+def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_stats(load(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.12, n=2)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row bands (128 bands × 1 row): recall ≥ 1 − (1−J)^128 ≈ 1−10⁻⁷ at
+    J=0.12, so with exact-Jaccard verification the output equals the exact
+    pair set — the configuration under oracle test. Production near-dup
+    runs use wider rows-per-band for candidate sparsity."""
+    return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"),
+                                   threshold=0.12, num_perm=128, bands=128, n=2)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_neardup_pairs(load(spark, sf_dir, "documents"), max_hamming=8, n=2)
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.rolling_fingerprint(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# -------------------------------------------------------------- similarity
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(load(spark, sf_dir, "embeddings"),
+                                           threshold=0.8)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return similarity.ann_topk_lsh(emb, queries, k=5, planes=4)
+
+
+# ------------------------------------ estimate queries (weaker rows-only)
+
+def q_sketch_estimates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL/CMS/Bloom/KLL/t-digest estimates over events in ONE pass —
+    estimates are hash-dependent, so the driver records a rows-only check;
+    pytest verifies them against exact oracles within published bounds."""
+    ev = load(spark, sf_dir, "events")
+    specs = [
+        SketchSpec("hll_users", lambda: HyperLogLog(p=14), scalar_int_extractor("user_id")),
+        SketchSpec("cms_users", lambda: CountMinSketch(depth=5, width=1 << 15), scalar_int_extractor("user_id")),
+        SketchSpec("bloom_users", lambda: BloomFilter(m_bits=1 << 20, k=5), scalar_int_extractor("user_id")),
+        SketchSpec("kll_value", lambda: KLLSketch(k=256), scalar_extractor("value")),
+        SketchSpec("tdigest_value", lambda: TDigest(delta=200), scalar_extractor("value")),
+        SketchSpec("dds_value", lambda: DDSketch(alpha=0.01, bin_limit=1 << 22), scalar_extractor("value")),
+    ]
+    out = build_sketches(ev, specs, salt_buckets=16)
+    sk = collect_sketches(out)
+    rows = [
+        ("hll_users_cardinality", float(sk["hll_users"].cardinality())),
+        ("bloom_users_bits_set", float(int(np.unpackbits(sk["bloom_users"].bits.view(np.uint8)).sum()))),
+        ("cms_users_total", float(sk["cms_users"].total)),
+        ("kll_value_p50", float(sk["kll_value"].quantile(0.5))),
+        ("kll_value_p99", float(sk["kll_value"].quantile(0.99))),
+        ("tdigest_value_p50", float(sk["tdigest_value"].quantile(0.5))),
+        ("tdigest_value_p99", float(sk["tdigest_value"].quantile(0.99))),
+        ("dds_value_p99", float(sk["dds_value"].quantile(0.99))),
+        ("n_rows", float(sk["dds_value"].n)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double").orderBy("metric")
+
+
+def scalar_int_extractor(column: str):
+    import pyarrow as pa
+
+    def extract(batch: "pa.RecordBatch") -> np.ndarray:
+        col = batch.column(column)
+        if col.null_count:
+            col = col.drop_null()
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    extract.columns = [column]
+    return extract
