@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_stats": Q.q_exact_dedup_stats,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard,
         "minhash_lsh_pairs": Q.q_minhash_lsh,
+        "minhash_lsh_pairs_prod": Q.q_minhash_lsh_prod,
         "simhash_neardup_pairs": Q.q_simhash_neardup,
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         # similarity search

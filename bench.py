@@ -1,0 +1,146 @@
+"""Benchmark driver — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two workloads:
+1. headline query set over the testdata tables (timings per query);
+2. the BASELINE.json primary figure of merit — tokens/sec sketch-build
+   throughput: a single mapInArrow pass over a deterministic sequences
+   table (doc_id, tokens array<int32>, n_tok, source) building
+   DDSketch(n_tok) + HLL/CMS/Bloom(tokens) simultaneously, merged via
+   the salted shuffle tree. Reported as `tokens_per_sec`
+   (token-ids ingested / wall-clock). Env knobs:
+   SPARK_GRAFT_BENCH_ROWS (default 200_000 sequences ≈ 100M tokens),
+   SPARK_GRAFT_CPUS (parallelism — used by BENCH/scaling runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "dds_quantiles_lineitem",
+    "dds_price_by_flag",
+    "dds_events_catalyst",
+    "dds_doclen_by_lang",
+    "dds_events_hourly",
+    "sketch_estimates_events",
+    "tpch_q1",
+    "join_revenue_by_nation",
+    "top_tokens_exact",
+    "minhash_lsh_pairs_prod",
+    "ann_cosine_topk",
+]
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def ensure_sequences(spark, n_rows: int) -> tuple[str, int]:
+    """Generate (once) and cache the bench sequences table; returns
+    (path, total_tokens)."""
+    path = os.path.join(CACHE_DIR, f"sequences_{n_rows}.parquet")
+    meta = os.path.join(CACHE_DIR, f"sequences_{n_rows}.tokens")
+    if not (os.path.exists(path) and os.path.exists(meta)):
+        from p2pddsketch_spark.sources.sequences import generate_sequences
+        df = generate_sequences(spark, n_rows, seed=42)
+        df.write.mode("overwrite").parquet(path)
+        from pyspark.sql import functions as F
+        total = spark.read.parquet(path).agg(F.sum("n_tok")).collect()[0][0]
+        with open(meta, "w") as f:
+            f.write(str(int(total)))
+    with open(meta) as f:
+        total = int(f.read().strip())
+    return path, total
+
+
+def sketch_build_throughput(spark, path: str, total_tokens: int) -> dict:
+    from p2pddsketch_spark.operators.harness import (
+        SketchSpec, array_extractor, build_sketches_from_files, scalar_extractor)
+    from p2pddsketch_spark.sketches.bloom import BloomFilter
+    from p2pddsketch_spark.sketches.cms import CountMinSketch
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+    from p2pddsketch_spark.sketches.hll import HyperLogLog
+
+    specs = [
+        SketchSpec("dds_ntok", lambda: DDSketch(alpha=0.001, bin_limit=1 << 22),
+                   scalar_extractor("n_tok")),
+        SketchSpec("hll_tokens", lambda: HyperLogLog(p=14), array_extractor("tokens")),
+        SketchSpec("cms_tokens", lambda: CountMinSketch(depth=4, width=1 << 16),
+                   array_extractor("tokens")),
+        SketchSpec("bloom_tokens", lambda: BloomFilter(m_bits=1 << 21, k=5),
+                   array_extractor("tokens")),
+    ]
+    # warm the Python worker pool so we measure steady-state throughput,
+    # not interpreter/module-import startup
+    spark.range(int(spark.sparkContext.defaultParallelism)) \
+        .repartition(int(spark.sparkContext.defaultParallelism)) \
+        .mapInArrow(lambda it: it, schema="id long").count()
+    t0 = time.monotonic()
+    out = build_sketches_from_files(spark, path, specs, salt_buckets=32)
+    n_final = out.count()
+    secs = time.monotonic() - t0
+    return {
+        "sketch_build_secs": round(secs, 3),
+        "tokens_per_sec": round(total_tokens / secs, 1),
+        "total_tokens": total_tokens,
+        "n_final_sketches": n_final,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
+    skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "") == "1"
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder
+             .master(f"local[{cpus}]")
+             .appName("p2pddsketch-bench")
+             .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    if not skip_queries:
+        import __spark_entry__ as E
+        qs = E.queries()
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.monotonic() - t0, 3)
+            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    seq_path, total_tokens = ensure_sequences(spark, bench_rows)
+    tp = sketch_build_throughput(spark, seq_path, total_tokens)
+    print(f"# sketch build: {tp}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "bench_sequences": bench_rows,
+    }
+    out.update(tp)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,10 @@ from p2pddsketch_spark.sketches.kll import KLLSketch
 from p2pddsketch_spark.sketches.tdigest import TDigest
 
 __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
-           "build_sketches", "collect_sketches", "merge_blobs", "SKETCH_TYPES"]
+           "build_sketches", "build_partials", "merge_partials",
+           "build_sketches_from_files", "build_partials_from_files",
+           "parquet_file_list", "collect_sketches", "merge_blobs",
+           "sketch_from_bytes", "SKETCH_TYPES"]
 
 # magic prefix (first 4 bytes of every canonical serialization) → class
 SKETCH_TYPES = {
@@ -93,6 +96,7 @@ def scalar_extractor(column: str) -> Callable[[pa.RecordBatch], np.ndarray]:
             col = col.drop_null()
         return col.to_numpy(zero_copy_only=False).astype(np.float64)
     extract.columns = [column]
+    extract.key = f"scalar:{column}"
     return extract
 
 
@@ -107,9 +111,33 @@ def array_extractor(column: str) -> Callable[[pa.RecordBatch], np.ndarray]:
         flat = col.flatten()
         if flat.null_count:
             flat = flat.drop_null()
-        return flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep the native (int32) dtype — casting 10^8-element token arrays
+        # to int64 doubles memory traffic for nothing; sketches cast the
+        # (tiny) unique-value arrays instead
+        return flat.to_numpy(zero_copy_only=False)
     extract.columns = [column]
+    extract.key = f"array:{column}"
     return extract
+
+
+_BINCOUNT_MAX = 1 << 24
+
+
+def _unique_counts(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(uniques, counts) — np.bincount fast path for bounded non-negative
+    int ids (token vocabularies): O(n) sequential writes into an
+    L2-resident array instead of an O(n log n) sort. The sort path's
+    random-access traffic saturates memory bandwidth when 32 executor
+    threads run it concurrently; bincount keeps stage 1 compute-bound."""
+    if vals.size and np.issubdtype(vals.dtype, np.integer):
+        vmin = vals.min()
+        if vmin >= 0:
+            vmax = vals.max()
+            if vmax < _BINCOUNT_MAX and (vmax - vmin) < max(vals.size * 4, 1 << 16):
+                c = np.bincount(vals)
+                uv = np.flatnonzero(c)
+                return uv.astype(np.int64), c[uv].astype(np.int64)
+    return np.unique(vals, return_counts=True)
 
 
 @dataclass
@@ -153,36 +181,53 @@ def _make_stage1(specs: list[SketchSpec], group_cols: tuple[str, ...],
         for f in out_schema.fields
     ])
 
+    def _update_all(states, specs_idx, key, batch):
+        """Update every spec's sketch from one (sub-)batch. Extraction and
+        per-batch pre-aggregation (unique + counts) are shared across specs
+        reading the same column: HLL/Bloom are set-semantics and CMS/DDS/
+        t-digest are weight-exact, so feeding (uniques, counts) is
+        equivalent to raw values but ~vocab/batch_len cheaper."""
+        extracted: dict[str, np.ndarray] = {}
+        uniqued: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for si in specs_idx:
+            spec = specs[si]
+            ekey = getattr(spec.extractor, "key", None) or id(spec.extractor)
+            if ekey not in extracted:
+                extracted[ekey] = spec.extractor(batch)
+            vals = extracted[ekey]
+            st = states.get((si, key))
+            if st is None:
+                st = states[(si, key)] = spec.factory()
+            if getattr(st, "NEEDS_RAW", False):
+                st.update_batch(vals)
+            else:
+                if ekey not in uniqued:
+                    uniqued[ekey] = _unique_counts(vals)
+                uv, uc = uniqued[ekey]
+                st.update_batch(uv, uc.astype(np.int64))
+
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         salt = pid % salt_buckets
         t0 = time.monotonic()
         rows = 0
+        all_idx = list(range(len(specs)))
         # (spec_idx, group_key_tuple) -> sketch
         states: dict[tuple, object] = {}
         for batch in batches:
             rows += batch.num_rows
             if not group_cols:
-                for si, spec in enumerate(specs):
-                    st = states.get((si, ()))
-                    if st is None:
-                        st = states[(si, ())] = spec.factory()
-                    st.update_batch(spec.extractor(batch))
+                _update_all(states, all_idx, (), batch)
             else:
                 gcols = [batch.column(c).to_numpy(zero_copy_only=False) for c in group_cols]
                 gkeys = gcols[0] if len(gcols) == 1 else list(zip(*gcols))
                 uniq, inv = np.unique(np.asarray(gkeys, dtype=object), return_inverse=True)
                 for gi, gval in enumerate(uniq):
-                    mask = inv == gi
-                    idx = np.flatnonzero(mask)
+                    idx = np.flatnonzero(inv == gi)
                     sub = batch.take(pa.array(idx))
                     key = (gval,) if len(gcols) == 1 else tuple(gval)
-                    for si, spec in enumerate(specs):
-                        st = states.get((si, key))
-                        if st is None:
-                            st = states[(si, key)] = spec.factory()
-                        st.update_batch(spec.extractor(sub))
+                    _update_all(states, all_idx, key, sub)
         secs = time.monotonic() - t0
         if not states:
             return
@@ -228,6 +273,51 @@ def _merge_fn(out_schema: StructType, group_cols: tuple[str, ...], final: bool):
 
 # ----------------------------------------------------------------- pipeline
 
+def build_partials_from_files(spark: SparkSession, paths: list[str],
+                              specs: list[SketchSpec],
+                              group_cols: tuple[str, ...] = (),
+                              salt_buckets: int = 32,
+                              files_per_task: int = 1) -> DataFrame:
+    """Stage 1 fast path: parallelize the parquet FILE LIST and read each
+    file with pyarrow inside the Python task — no JVM scan, no JVM→Python
+    Arrow IPC. ~10× stage-1 throughput for Python-side consumers; column
+    pruning via `columns=` is preserved. The unit of parallelism (and of
+    checkpoint lineage) is the input file — exactly the granularity a
+    10^12-row Iceberg table exposes via its manifest."""
+    import pyarrow.parquet as pq
+
+    needed = sorted({c for s in specs for c in s.columns} | set(group_cols))
+    # schema of the pruned projection, for _partial_schema
+    probe = spark.read.parquet(paths[0]).select(*needed)
+    out_schema = _partial_schema(probe, group_cols)
+    build = _make_stage1(specs, group_cols, salt_buckets, out_schema)
+
+    chunks = [paths[i:i + files_per_task] for i in range(0, len(paths), files_per_task)]
+    # spark.range with numPartitions == len(chunks) puts EXACTLY one chunk
+    # id in each partition — no round-robin skew in file→task assignment
+    ids_df = spark.range(0, len(chunks), numPartitions=len(chunks))
+    chunks_bc = spark.sparkContext.broadcast(chunks)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def file_batches():
+            for b in batches:
+                for cid in b.column(0).to_pylist():
+                    for f in chunks_bc.value[cid]:
+                        yield from pq.ParquetFile(f).iter_batches(columns=needed)
+        yield from build(file_batches())
+
+    return ids_df.mapInArrow(run, schema=out_schema)
+
+
+def parquet_file_list(path: str) -> list[str]:
+    """All data files of a parquet directory (sorted, deterministic)."""
+    import glob
+    import os
+    if os.path.isfile(path):
+        return [path]
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
 def build_partials(df: DataFrame, specs: list[SketchSpec],
                    group_cols: tuple[str, ...] = (),
                    salt_buckets: int = 32) -> DataFrame:
@@ -259,6 +349,18 @@ def build_sketches(df: DataFrame, specs: list[SketchSpec],
     final merged sketch blob plus total rows/build-time lineage."""
     return merge_partials(build_partials(df, specs, group_cols, salt_buckets),
                           group_cols)
+
+
+def build_sketches_from_files(spark: SparkSession, path: str,
+                              specs: list[SketchSpec],
+                              group_cols: tuple[str, ...] = (),
+                              salt_buckets: int = 32,
+                              files_per_task: int = 1) -> DataFrame:
+    """Full pipeline over a parquet directory via the file-list fast path."""
+    paths = parquet_file_list(path)
+    partials = build_partials_from_files(spark, paths, specs, group_cols,
+                                         salt_buckets, files_per_task)
+    return merge_partials(partials, group_cols)
 
 
 def collect_sketches(sketch_df: DataFrame, group_cols: tuple[str, ...] = ()) -> dict:

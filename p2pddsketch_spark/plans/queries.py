@@ -183,6 +183,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    threshold=0.12, num_perm=128, bands=128, n=2)
 
 
+def q_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production banding (32 bands × 4 rows, threshold 0.5): sparse
+    candidates at scale; recall ~1 for true near-dups (J ≥ 0.8), rows-only
+    check (recall at the J≈0.5 boundary is probabilistic by design)."""
+    return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"),
+                                   threshold=0.5, num_perm=128, bands=32, n=2)
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(load(spark, sf_dir, "documents"), max_hamming=8, n=2)
 
@@ -254,4 +262,5 @@ def scalar_int_extractor(column: str):
             col = col.drop_null()
         return col.to_numpy(zero_copy_only=False).astype(np.int64)
     extract.columns = [column]
+    extract.key = f"scalar_int:{column}"
     return extract

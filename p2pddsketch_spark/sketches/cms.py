@@ -40,10 +40,12 @@ class CountMinSketch:
         v = np.asarray(values).astype(np.int64).ravel()
         if v.size == 0:
             return self
-        w = np.ones(v.size, dtype=np.int64) if weights is None else np.asarray(weights, dtype=np.int64).ravel()
+        w = np.ones(v.size, dtype=np.float64) if weights is None else np.asarray(weights, dtype=np.float64).ravel()
         cols = self._rows_cols(v)
         for d in range(self.depth):
-            np.add.at(self.table[d], cols[d], w)
+            # bincount is ~10× faster than np.add.at; float64 sums are exact
+            # for counts < 2^53
+            self.table[d] += np.bincount(cols[d], weights=w, minlength=self.width).astype(np.int64)
         self.total += int(w.sum())
         return self
 

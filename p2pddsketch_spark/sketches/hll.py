@@ -44,11 +44,23 @@ class HyperLogLog:
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         w = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
         rho = np.minimum(nlz64(w), 64 - self.p).astype(np.int64) + 1
-        np.maximum.at(self.registers, idx, rho.astype(np.uint8))
+        # scatter-max via sorted unique of (idx, rho) packed keys — orders of
+        # magnitude faster than np.maximum.at on large batches
+        packed = np.unique((idx.astype(np.uint64) << np.uint64(6)) | rho.astype(np.uint64))
+        u_idx = (packed >> np.uint64(6)).astype(np.int64)
+        u_rho = (packed & np.uint64(63)).astype(np.uint8)
+        # packed is sorted, so the last entry per idx holds its max rho
+        last = np.empty(u_idx.size, dtype=bool)
+        last[:-1] = u_idx[1:] != u_idx[:-1]
+        last[-1] = True
+        np.maximum.at(self.registers, u_idx[last], u_rho[last])
         return self
 
-    def update_batch(self, values: np.ndarray) -> "HyperLogLog":
-        """Insert a batch of int64 identifiers (e.g. token ids)."""
+    SET_SEMANTICS = True  # duplicates don't change state
+
+    def update_batch(self, values: np.ndarray, weights=None) -> "HyperLogLog":
+        """Insert a batch of int64 identifiers (e.g. token ids). Weights
+        are ignored — cardinality is a set property."""
         v = np.asarray(values).ravel()
         if v.size == 0:
             return self

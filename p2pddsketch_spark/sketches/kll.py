@@ -35,7 +35,14 @@ class KLLSketch:
         c = self.k * (2.0 / 3.0) ** (depth - 1 - level)
         return max(2, int(np.ceil(c)))
 
-    def update_batch(self, values: np.ndarray) -> "KLLSketch":
+    NEEDS_RAW = True  # rank guarantee needs individual items, not (value, weight)
+
+    def update_batch(self, values: np.ndarray, weights=None) -> "KLLSketch":
+        if weights is not None:
+            raise ValueError("KLL update is unweighted; pass raw values")
+        return self._update_raw(values)
+
+    def _update_raw(self, values: np.ndarray) -> "KLLSketch":
         v = np.asarray(values, dtype=np.float64).ravel()
         v = v[~np.isnan(v)]
         if v.size == 0:

@@ -31,15 +31,25 @@ class TDigest:
     def n(self) -> int:
         return int(self.weights.sum())
 
-    def update_batch(self, values: np.ndarray) -> "TDigest":
+    def update_batch(self, values: np.ndarray, weights: np.ndarray | None = None) -> "TDigest":
         v = np.asarray(values, dtype=np.float64).ravel()
-        v = v[~np.isnan(v)]
+        nan = np.isnan(v)
+        if nan.any():
+            v = v[~nan]
+            if weights is not None:
+                weights = np.asarray(weights)[~nan]
         if v.size == 0:
             return self
         self.min_val = min(self.min_val, float(v.min()))
         self.max_val = max(self.max_val, float(v.max()))
-        uv, uc = np.unique(v, return_counts=True)
-        self._absorb(uv, uc.astype(np.int64))
+        if weights is None:
+            uv, uc = np.unique(v, return_counts=True)
+            self._absorb(uv, uc.astype(np.int64))
+        else:
+            w = np.asarray(weights, dtype=np.int64).ravel()
+            uv, inv = np.unique(v, return_inverse=True)
+            uc = np.bincount(inv, weights=w.astype(np.float64)).astype(np.int64)
+            self._absorb(uv, uc)
         return self
 
     def merge(self, other: "TDigest") -> "TDigest":
