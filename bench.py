@@ -77,11 +77,12 @@ def sketch_build_throughput(spark, path: str, total_tokens: int) -> dict:
         SketchSpec("bloom_tokens", lambda: BloomFilter(m_bits=1 << 21, k=5),
                    array_extractor("tokens")),
     ]
-    # warm the Python worker pool so we measure steady-state throughput,
-    # not interpreter/module-import startup
-    spark.range(int(spark.sparkContext.defaultParallelism)) \
-        .repartition(int(spark.sparkContext.defaultParallelism)) \
-        .mapInArrow(lambda it: it, schema="id long").count()
+    # warm the Python worker pools (mapInArrow and applyInPandas use
+    # separate eval types) so we measure steady-state throughput, not
+    # interpreter/module-import startup
+    par = int(spark.sparkContext.defaultParallelism)
+    spark.range(par).repartition(par).mapInArrow(lambda it: it, schema="id long").count()
+    spark.range(par).groupBy("id").applyInPandas(lambda p: p, schema="id long").count()
     t0 = time.monotonic()
     out = build_sketches_from_files(spark, path, specs, salt_buckets=32)
     n_final = out.count()

@@ -62,6 +62,18 @@ SKETCH_TYPES = {
 }
 
 
+def _cap_worker_threads() -> None:
+    """One Spark task == one core: cap pyarrow's per-process thread pools,
+    which default to nproc. 32 Python workers × 32 Arrow threads each
+    destroys scaling (observed local[8] outrunning local[32] 4×)."""
+    try:
+        if pa.cpu_count() > 2:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
 def sketch_from_bytes(blob: bytes):
     cls = SKETCH_TYPES.get(bytes(blob[:4]))
     if cls is None:
@@ -111,10 +123,14 @@ def array_extractor(column: str) -> Callable[[pa.RecordBatch], np.ndarray]:
         flat = col.flatten()
         if flat.null_count:
             flat = flat.drop_null()
-        # keep the native (int32) dtype — casting 10^8-element token arrays
-        # to int64 doubles memory traffic for nothing; sketches cast the
-        # (tiny) unique-value arrays instead
-        return flat.to_numpy(zero_copy_only=False)
+        # Zero-copy first: the flatten->copy path's large short-lived
+        # allocations caused mmap/TLB churn that destroyed multi-core
+        # scaling (measured 74M -> 255M tokens/s at 8 procs). Native
+        # (int32) dtype kept — sketches cast only the tiny unique arrays.
+        try:
+            return flat.to_numpy(zero_copy_only=True)
+        except (pa.ArrowInvalid, ValueError):
+            return flat.to_numpy(zero_copy_only=False)
     extract.columns = [column]
     extract.key = f"array:{column}"
     return extract
@@ -208,6 +224,7 @@ def _make_stage1(specs: list[SketchSpec], group_cols: tuple[str, ...],
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
+        _cap_worker_threads()
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         salt = pid % salt_buckets
         t0 = time.monotonic()
@@ -277,7 +294,8 @@ def build_partials_from_files(spark: SparkSession, paths: list[str],
                               specs: list[SketchSpec],
                               group_cols: tuple[str, ...] = (),
                               salt_buckets: int = 32,
-                              files_per_task: int = 1) -> DataFrame:
+                              files_per_task: int = 1,
+                              batch_size: int = 2048) -> DataFrame:
     """Stage 1 fast path: parallelize the parquet FILE LIST and read each
     file with pyarrow inside the Python task — no JVM scan, no JVM→Python
     Arrow IPC. ~10× stage-1 throughput for Python-side consumers; column
@@ -303,7 +321,10 @@ def build_partials_from_files(spark: SparkSession, paths: list[str],
             for b in batches:
                 for cid in b.column(0).to_pylist():
                     for f in chunks_bc.value[cid]:
-                        yield from pq.ParquetFile(f).iter_batches(columns=needed)
+                        # modest batch_size keeps per-batch allocations a few
+                        # MB — large batches re-trigger the mmap-churn cliff
+                        yield from pq.ParquetFile(f).iter_batches(
+                            columns=needed, batch_size=batch_size)
         yield from build(file_batches())
 
     return ids_df.mapInArrow(run, schema=out_schema)
@@ -355,11 +376,12 @@ def build_sketches_from_files(spark: SparkSession, path: str,
                               specs: list[SketchSpec],
                               group_cols: tuple[str, ...] = (),
                               salt_buckets: int = 32,
-                              files_per_task: int = 1) -> DataFrame:
+                              files_per_task: int = 1,
+                              batch_size: int = 2048) -> DataFrame:
     """Full pipeline over a parquet directory via the file-list fast path."""
     paths = parquet_file_list(path)
     partials = build_partials_from_files(spark, paths, specs, group_cols,
-                                         salt_buckets, files_per_task)
+                                         salt_buckets, files_per_task, batch_size)
     return merge_partials(partials, group_cols)
 
 

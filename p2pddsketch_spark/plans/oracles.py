@@ -29,7 +29,8 @@ ORACLES["dds_doclen_by_lang"] = duckdb_quantile_sql(
     "documents", "n_chars", QS, alpha=0.01, group_cols=("lang",))
 
 ORACLES["dds_events_hourly"] = duckdb_quantile_sql(
-    "(SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket, value FROM events) t",
+    "(SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket, "
+    "value FROM events) t",
     "value", [0.95], alpha=0.01, group_cols=("hour_bucket",))
 
 ORACLES["tpch_q1"] = """

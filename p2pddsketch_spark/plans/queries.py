@@ -91,8 +91,11 @@ def q_dds_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dds_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window p95 of event value per hour bucket — the batch twin
     of the streaming windowed sketch (tz-safe epoch-hour bucketing)."""
+    # string bucketing on the NTZ timestamp — tz-free, so the result is
+    # independent of spark.sql.session.timeZone (oracle parity everywhere)
     ev = load(spark, sf_dir, "events").withColumn(
-        "hour_bucket", F.floor(F.unix_timestamp("ts") / 3600).cast("long"))
+        "hour_bucket", F.date_format(F.date_trunc("hour", F.col("ts")),
+                                     "yyyy-MM-dd HH:00:00"))
     out = ddsketch_quantile_plan(ev, "value", [0.95], alpha=0.01,
                                  group_cols=("hour_bucket",))
     return out.orderBy("hour_bucket", "q")

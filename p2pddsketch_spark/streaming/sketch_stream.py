@@ -1,0 +1,114 @@
+"""Structured Streaming sketch builds.
+
+Two modes, mirroring the batch engine:
+
+* `windowed_bucket_counts` — the Catalyst path: watermarked tumbling
+  windows over an event-time column, grouped DDSketch bucket counts as a
+  standard streaming aggregation (`groupBy(window, bucket).count()` is
+  incrementally maintained by Spark's state store; quantile extraction
+  happens at read time with `quantiles_from_bucket_counts`). No custom
+  state, exactly-once under checkpointing — this is the form that runs
+  on a 1000-executor streaming cluster unchanged.
+
+* `ForeachBatchSketchWriter` — the sketch-object path: every micro-batch
+  runs the same mapInArrow partial build as the batch engine and APPENDS
+  partial-sketch rows to a parquet state directory keyed by epoch
+  (exactly-once via epoch-id dedup on replay). The current global sketch
+  is the merge of all rows — O(epochs × salt) tiny blobs.
+
+The reference has no streaming at all (single-process simulator,
+`/root/reference/main.cpp`); this is Spark-native gap-fill mandated by
+the brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.functions.ddsql import ddsketch_key_col, gamma_of_alpha
+from p2pddsketch_spark.operators.harness import (SketchSpec, build_partials,
+                                                 merge_blobs, sketch_from_bytes)
+
+__all__ = ["windowed_bucket_counts", "quantiles_from_bucket_counts",
+           "ForeachBatchSketchWriter"]
+
+
+def windowed_bucket_counts(stream_df: DataFrame, value_col: str, ts_col: str,
+                           alpha: float, window: str = "1 hour",
+                           watermark: str = "2 hours",
+                           offset: int = 1 << 30) -> DataFrame:
+    """Streaming DDSketch state as a windowed aggregation: one row per
+    (window, bucket key) with its count. Append/update-mode compatible;
+    late data handled by the watermark."""
+    v = F.col(value_col).cast("double")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keyed = (stream_df
+             .withWatermark(ts_col, watermark)
+             .where(v.isNotNull() & ~F.isnan(v))
+             .select(F.col(ts_col), ddsketch_key_col(v, alpha, offset).alias("bucket")))
+    return (keyed.groupBy(F.window(ts_col, window).alias("win"), "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def quantiles_from_bucket_counts(bucket_df: DataFrame, quantiles: list[float],
+                                 alpha: float, group_cols: tuple[str, ...] = ("win",),
+                                 offset: int = 1 << 30) -> DataFrame:
+    """Batch-side quantile extraction from persisted (group, bucket, cnt)
+    state — identical algebra to `ddsketch_quantile_plan`'s tail."""
+    from pyspark.sql.window import Window
+    from p2pddsketch_spark.functions.ddsql import ddsketch_estimate_col
+    spark = bucket_df.sparkSession
+    g = list(group_cols)
+    w_cum = Window.partitionBy(*g).orderBy("bucket")
+    w_all = Window.partitionBy(*g)
+    cum = (bucket_df
+           .withColumn("_cum", F.sum("cnt").over(w_cum))
+           .withColumn("_n", F.sum("cnt").over(w_all)))
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    picked = (cum.join(F.broadcast(qdf),
+                       F.col("_cum") > F.col("q") * (F.col("_n") - F.lit(1)).cast("double"))
+              .groupBy(*g, "q")
+              .agg(F.min("bucket").alias("_key"), F.first("_n").alias("n")))
+    return (picked
+            .withColumn("estimate", F.round(ddsketch_estimate_col(F.col("_key"), alpha, offset), 6))
+            .select(*g, "q", "estimate", F.col("n").cast("long").alias("n"))
+            .orderBy(*g, "q"))
+
+
+class ForeachBatchSketchWriter:
+    """foreachBatch sink: per micro-batch partial-sketch build appended to
+    a parquet state dir; idempotent on epoch replay (exactly-once)."""
+
+    def __init__(self, specs: list[SketchSpec], state_dir: str,
+                 group_cols: tuple[str, ...] = (), salt_buckets: int = 8) -> None:
+        self.specs = specs
+        self.state_dir = state_dir
+        self.group_cols = group_cols
+        self.salt_buckets = salt_buckets
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        partials = build_partials(batch_df, self.specs, self.group_cols,
+                                  self.salt_buckets)
+        (partials.withColumn("epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .parquet(f"{self.state_dir}/epoch={epoch_id}"))
+
+    # ------------------------------------------------------------- queries
+
+    def current_sketches(self, spark: SparkSession) -> dict:
+        """Merge all persisted partials into the current global sketches."""
+        df = spark.read.option("basePath", self.state_dir).parquet(self.state_dir)
+        rows = df.select(*self.group_cols, "sketch_name", "sketch").collect()
+        grouped: dict = {}
+        for r in rows:
+            key = tuple(r[c] for c in self.group_cols) + (r["sketch_name"],)
+            grouped.setdefault(key, []).append(bytes(r["sketch"]))
+        out = {}
+        for key, blobs in grouped.items():
+            merged = merge_blobs(blobs)
+            out[key if len(key) > 1 else key[0]] = sketch_from_bytes(merged)
+        return out

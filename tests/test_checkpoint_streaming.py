@@ -1,0 +1,155 @@
+"""Checkpoint/resume, streaming, and multimodal plumbing tests
+(SURVEY.md §5.2 item 6 + gap-fill operators)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.operators.checkpoint import (
+    build_sketches_checkpointed, completed_chunks, lineage)
+from p2pddsketch_spark.operators.harness import (
+    SketchSpec, array_extractor, build_sketches_from_files, parquet_file_list,
+    scalar_extractor)
+from p2pddsketch_spark.sketches.ddsketch import DDSketch
+from p2pddsketch_spark.sketches.hll import HyperLogLog
+
+
+def _specs():
+    return [
+        SketchSpec("dds", lambda: DDSketch(alpha=0.001, bin_limit=1 << 22),
+                   scalar_extractor("n_tok")),
+        SketchSpec("hll", lambda: HyperLogLog(p=12), array_extractor("tokens")),
+    ]
+
+
+def test_checkpoint_resume_byte_identical(spark, sequences_path, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    files = parquet_file_list(sequences_path)
+    assert len(files) >= 4
+
+    # uninterrupted reference run
+    full = {r["sketch_name"]: bytes(r["sketch"])
+            for r in build_sketches_from_files(spark, sequences_path, _specs(),
+                                               salt_buckets=4).collect()}
+
+    # simulated kill: first run commits only half the chunks
+    n_half = len(files) // 2
+    build_sketches_checkpointed(
+        spark, sequences_path, _specs(), ckpt, salt_buckets=4,
+        chunks_per_commit=n_half)  # would need 2+ commits; kill after 1st
+    # emulate the kill by deleting later commits, keeping commit=0
+    for name in os.listdir(ckpt):
+        if name.startswith("commit=") and name != "commit=0":
+            shutil.rmtree(os.path.join(ckpt, name))
+    done_after_kill = completed_chunks(spark, ckpt)
+    assert 0 < len(done_after_kill) < len(files)
+
+    # resume
+    out = build_sketches_checkpointed(
+        spark, sequences_path, _specs(), ckpt, salt_buckets=4,
+        chunks_per_commit=n_half)
+    resumed = {r["sketch_name"]: bytes(r["sketch"]) for r in out.collect()}
+    assert resumed == full  # byte-identical (north_rule)
+
+    # lineage: every chunk sketched exactly once per spec
+    lin = lineage(spark, ckpt).toPandas()
+    per_chunk = lin.groupby(["chunk_id", "sketch_name"]).size()
+    assert (per_chunk == 1).all()
+    assert set(lin["chunk_id"]) == set(range(len(files)))
+    assert (lin["rows_seen"] > 0).all()
+
+
+def test_streaming_windowed_bucket_counts(spark, tmp_path):
+    """availableNow file-source stream → watermarked windowed DDSketch
+    bucket counts → quantile extraction matches the batch Catalyst plan."""
+    from p2pddsketch_spark.functions.ddsql import ddsketch_quantile_plan
+    from p2pddsketch_spark.streaming.sketch_stream import (
+        quantiles_from_bucket_counts, windowed_bucket_counts)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/events.parquet")
+    events = spark.read.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    counts = windowed_bucket_counts(stream, "value", "ts", alpha=0.01,
+                                    window="1 hour")
+    sink = str(tmp_path / "bucket_counts")
+    q = (counts.writeStream.outputMode("append")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start(sink))
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(sink).withColumn("win_start", F.col("win.start"))
+    got = quantiles_from_bucket_counts(state, [0.95], alpha=0.01,
+                                       group_cols=("win_start",)).toPandas()
+    batch = ddsketch_quantile_plan(
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("win_start", F.window("ts", "1 hour").start),
+        "value", [0.95], alpha=0.01, group_cols=("win_start",)).toPandas()
+    # append mode holds back windows newer than the watermark (the final
+    # ~2 hours) — every EMITTED window must match the batch plan exactly
+    merged = got.merge(batch, on=["win_start", "q"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got) > 0
+    assert len(got) >= len(batch) - 4
+    assert (merged["estimate_s"] == merged["estimate_b"]).all()
+    assert (merged["n_s"] == merged["n_b"]).all()
+
+
+def test_streaming_foreachbatch_sketch(spark, tmp_path):
+    from p2pddsketch_spark.streaming.sketch_stream import ForeachBatchSketchWriter
+
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/events.parquet")
+    events = spark.read.parquet(src)
+    schema = events.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    writer = ForeachBatchSketchWriter(
+        [SketchSpec("dds_value", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
+                    scalar_extractor("value"))],
+        state_dir=str(tmp_path / "state"), salt_buckets=2)
+    q = (stream.writeStream.foreachBatch(writer)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .start())
+    q.awaitTermination(120)
+
+    sk = writer.current_sketches(spark)["dds_value"]
+    vals = np.array([r["value"] for r in events.select("value").collect()])
+    assert sk.n == vals.size
+    exact = np.sort(vals)[int(np.floor(1 + 0.95 * (vals.size - 1))) - 1]
+    assert abs((sk.quantile(0.95) - exact) / exact) <= 0.01 * (1 + 1e-9)
+
+
+def test_multimodal_plumbing(spark):
+    from p2pddsketch_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = mm.attach_payload(docs, "doc_id", "text")
+    # nullability differs through select; names and types must match
+    assert [(f.name, f.dataType) for f in media.schema.fields] == \
+        [(f.name, f.dataType) for f in mm.MEDIA_SCHEMA.fields]
+
+    stats = mm.payload_stats(media).toPandas()
+    pdf = docs.select("doc_id", F.length("text").alias("n")).toPandas()
+    joined = stats.merge(pdf, left_on="media_id", right_on="doc_id")
+    assert (joined["n_bytes"] == joined["n"]).all()  # single-byte chars
+
+    feats = mm.decode_features(media).toPandas()
+    assert len(feats) == len(pdf)
+    assert all(len(f) == 8 for f in feats["features"])
+    # deterministic: re-run yields identical features
+    feats2 = mm.decode_features(media).toPandas().sort_values("media_id")
+    f1 = np.stack(feats.sort_values("media_id")["features"].to_numpy())
+    f2 = np.stack(feats2["features"].to_numpy())
+    assert np.array_equal(f1, f2)
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"xxx")
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(b"xxx")
