@@ -101,10 +101,13 @@ def main():
     bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
     skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "") == "1"
     from pyspark.sql import SparkSession
+    # shuffle partitions sized to the parallelism: the sketch merge stages
+    # move only ~hundreds of tiny blob rows, so extra partitions are pure
+    # task-scheduling overhead (visible at local[1] in the scaling runs)
     spark = (SparkSession.builder
              .master(f"local[{cpus}]")
              .appName("p2pddsketch-bench")
-             .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
+             .config("spark.sql.shuffle.partitions", str(int(cpus)))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
              .config("spark.ui.enabled", "false")

@@ -1,0 +1,147 @@
+"""End-to-end sketch pipeline job — the Spark twin of the reference
+simulator's `main` (`/root/reference/main.cpp:214-396`):
+
+  read table → per-partition sketch build (mapInArrow) → salted shuffle
+  merge tree → quantile / cardinality / frequency queries → accuracy
+  report + run manifest.
+
+Run via spark-submit (north_rule):
+
+  zip -r /tmp/sketchlib.zip p2pddsketch_spark
+  spark-submit --py-files /tmp/sketchlib.zip jobs/build_and_query.py \\
+      --input /root/testdata/sf0.01/lineitem.parquet \\
+      --value-col l_quantity --tokens-col '' \\
+      --alpha 0.001 --quantiles 0.5 0.95 0.99 0.999 \\
+      --checkpoint-dir /tmp/sketch_ckpt --verify
+
+Knobs mirror the reference CLI (`main.cpp:797-938`: alpha, bin_limit,
+quantile list, seed) plus the Spark-native ones the gossip simulator
+never needed: --salt-buckets, --shuffle-partitions, --checkpoint-dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="parquet file/dir to sketch")
+    p.add_argument("--value-col", default="n_tok")
+    p.add_argument("--tokens-col", default="tokens",
+                   help="array<int> column for HLL/CMS/Bloom ('' to skip)")
+    p.add_argument("--group-col", default="", help="optional grouping column")
+    p.add_argument("--alpha", type=float, default=0.001)
+    p.add_argument("--bin-limit", type=int, default=1 << 22)
+    p.add_argument("--strategy", default="first",
+                   choices=["first", "last", "uniform"])
+    p.add_argument("--quantiles", type=float, nargs="+",
+                   default=[0.01, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.99])
+    p.add_argument("--salt-buckets", type=int, default=32)
+    p.add_argument("--shuffle-partitions", type=int, default=64)
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--verify", action="store_true",
+                   help="compare against exact quantiles (extra pass)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder.appName("p2pddsketch-build-and-query")
+             .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+             .config("spark.sql.adaptive.enabled", "true")
+             .getOrCreate())
+
+    from p2pddsketch_spark.operators.harness import (
+        SketchSpec, array_extractor, build_sketches, collect_sketches,
+        scalar_extractor)
+    from p2pddsketch_spark.operators.checkpoint import build_sketches_checkpointed
+    from p2pddsketch_spark.sketches.bloom import BloomFilter
+    from p2pddsketch_spark.sketches.cms import CountMinSketch
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+    from p2pddsketch_spark.sketches.hll import HyperLogLog
+
+    specs = [SketchSpec(
+        "dds", lambda: DDSketch(alpha=args.alpha, bin_limit=args.bin_limit,
+                                strategy=args.strategy),
+        scalar_extractor(args.value_col))]
+    if args.tokens_col:
+        specs += [
+            SketchSpec("hll", lambda: HyperLogLog(p=14), array_extractor(args.tokens_col)),
+            SketchSpec("cms", lambda: CountMinSketch(depth=5, width=1 << 16),
+                       array_extractor(args.tokens_col)),
+            SketchSpec("bloom", lambda: BloomFilter(m_bits=1 << 21, k=5),
+                       array_extractor(args.tokens_col)),
+        ]
+    group_cols = (args.group_col,) if args.group_col else ()
+
+    t0 = time.monotonic()
+    if args.checkpoint_dir:
+        out = build_sketches_checkpointed(spark, args.input, specs,
+                                          args.checkpoint_dir, group_cols,
+                                          args.salt_buckets)
+    else:
+        df = spark.read.parquet(args.input)
+        out = build_sketches(df, specs, group_cols, args.salt_buckets)
+    sketches = collect_sketches(out, group_cols)
+    build_secs = time.monotonic() - t0
+
+    manifest = {
+        "input": args.input, "alpha": args.alpha, "bin_limit": args.bin_limit,
+        "strategy": args.strategy, "salt_buckets": args.salt_buckets,
+        "build_secs": round(build_secs, 3), "results": {},
+    }
+    for key, sk in sketches.items():
+        name = key if isinstance(key, str) else "/".join(map(str, key))
+        if isinstance(sk, DDSketch):
+            manifest["results"][name] = {
+                "n": sk.n, "bins": sk.size, "collapses": sk.num_collapses,
+                "quantiles": {str(q): sk.quantile(q) for q in args.quantiles},
+            }
+        elif isinstance(sk, HyperLogLog):
+            manifest["results"][name] = {"cardinality": sk.cardinality()}
+        else:
+            manifest["results"][name] = {"type": type(sk).__name__}
+
+    if args.verify:
+        # the reference's testQuantile contract (`main.cpp:1041-1082`):
+        # exact value at sorted index floor(1 + q·(n−1)) − 1. Implemented
+        # as a rank filter over a global sort — an explicit, verification-
+        # only extra pass (the production path never sorts).
+        from pyspark.sql.window import Window
+        df = spark.read.parquet(args.input)
+        n = df.count()
+        idxs = {q: int(__import__("math").floor(1 + q * (n - 1))) for q in args.quantiles}
+        ranked = (df.select(F.col(args.value_col).cast("double").alias("v"))
+                  .withColumn("rn", F.row_number().over(Window.orderBy("v")))
+                  .where(F.col("rn").isin(list(idxs.values()))))
+        by_rank = {r["rn"]: r["v"] for r in ranked.collect()}
+        key = "dds" if not group_cols else None
+        if key:
+            sk = sketches[key]
+            report = []
+            for q in args.quantiles:
+                est = sk.quantile(q)
+                ex = float(by_rank[idxs[q]])
+                rel = abs((est - ex) / ex) if ex else abs(est)
+                # worst case is exactly α (attained when a value sits on a
+                # bucket boundary, e.g. v = γ^0); allow float slack
+                report.append({"q": q, "estimate": est, "exact": ex,
+                               "rel_err": rel,
+                               "within_alpha": rel <= sk.alpha * (1 + 1e-9)})
+            manifest["verify"] = report
+            manifest["verify_pass"] = all(r["within_alpha"] for r in report)
+
+    print(json.dumps(manifest, indent=2))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
