@@ -50,6 +50,9 @@ import struct
 
 import numpy as np
 
+from p2pddsketch_spark.errors import (EmptySketchError, MergeAlphaMismatch,
+                                      QuantileRangeError, SketchError)
+
 __all__ = ["DDSketch", "DEFAULT_ALPHA", "DEFAULT_BIN_LIMIT", "DEFAULT_OFFSET"]
 
 # Reference defaults: `main.cpp:49-51`.
@@ -105,11 +108,11 @@ class DDSketch:
         num_collapses: int = 0,
     ) -> None:
         if not (0.0 < alpha < 1.0):
-            raise ValueError(f"alpha must be in (0,1), got {alpha}")
+            raise SketchError(f"alpha must be in (0,1), got {alpha}")
         if bin_limit < 2:
-            raise ValueError(f"bin_limit must be >= 2, got {bin_limit}")
+            raise SketchError(f"bin_limit must be >= 2, got {bin_limit}")
         if strategy not in _STRATEGIES:
-            raise ValueError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
+            raise SketchError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
         self.base_alpha = float(alpha)
         self.bin_limit = int(bin_limit)
         self.offset = int(offset)
@@ -324,7 +327,7 @@ class DDSketch:
         then bound-check. In-place on self; returns self.
         """
         if abs(self.base_alpha - other.base_alpha) > 1e-12 or self.offset != other.offset:
-            raise ValueError(
+            raise MergeAlphaMismatch(
                 f"merge alpha/offset mismatch: ({self.base_alpha},{self.offset}) "
                 f"vs ({other.base_alpha},{other.offset})"
             )
@@ -386,7 +389,7 @@ class DDSketch:
     def quantiles(self, qs) -> np.ndarray:
         qs = np.asarray(qs, dtype=np.float64)
         if ((qs < 0) | (qs > 1.01)).any():  # reference bound `ddsketch.cc:529`
-            raise ValueError(f"quantile out of range: {qs}")
+            raise QuantileRangeError(f"quantile out of range: {qs}")
         if self.n <= 0 or self.keys.size == 0:
             return np.full(qs.shape, np.nan)
         cum = np.cumsum(self.counts)
@@ -398,11 +401,39 @@ class DDSketch:
     def quantile_key(self, q: float) -> int:
         """Bucket key holding the q-quantile (integer, for exact oracles)."""
         if self.n <= 0 or self.keys.size == 0:
-            raise ValueError("empty sketch")
+            raise EmptySketchError("empty sketch")
         cum = np.cumsum(self.counts)
         idx = int(np.searchsorted(cum, q * float(self.n - 1), side="right"))
         idx = min(idx, self.keys.size - 1)
         return int(self.keys[idx])
+
+    def bucket_bounds(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(lower, upper) value bounds per bucket (reference `DDS_GetBounds`,
+        `ddsketch.cc:152-182`): upper = γ^i, lower = previous bucket's
+        upper (γ^(i−1)), sign-mirrored for negative keys."""
+        k = np.asarray(keys, dtype=np.int64)
+        upper = self.bucket_upper_bounds(k)
+        prev = np.where(k > 0, k - 1, np.where(k < 0, k + 1, 0))
+        lower = self.bucket_upper_bounds(prev)
+        lower = np.where(k == 0, 0.0, lower)
+        # for negative buckets the γ-power of the "previous" key is the
+        # larger-magnitude (more negative) bound — swap to (lo, hi) order
+        lo = np.minimum(lower, upper)
+        hi = np.maximum(lower, upper)
+        return lo, hi
+
+    def to_bins_table(self):
+        """Bins as a list of dict rows (key, count, lower, upper, estimate)
+        — the reference's CSV export (`DDS_PrintCSV`, `ddsketch.cc:913-954`)
+        as a DataFrame-friendly structure; write with
+        `spark.createDataFrame(sketch.to_bins_table())`."""
+        lo, hi = self.bucket_bounds(self.keys)
+        est = self.estimate_of_keys(self.keys)
+        return [
+            {"key": int(k), "count": int(c), "lower": float(l),
+             "upper": float(h), "estimate": float(e)}
+            for k, c, l, h, e in zip(self.keys, self.counts, lo, hi, est)
+        ]
 
     def sum_bins(self) -> int:
         """Σ counts (reference `DDS_SumBins`, `ddsketch.cc:956-970`);

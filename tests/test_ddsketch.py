@@ -240,6 +240,21 @@ def test_bytes_roundtrip():
     assert np.isclose(t.quantile(0.9), s.quantile(0.9))
 
 
+def test_bucket_bounds_and_bins_table():
+    """DDS_GetBounds / DDS_PrintCSV analogs: every inserted value lies in
+    its bucket's (lower, upper]; table counts sum to n."""
+    s = DDSketch(alpha=0.01, bin_limit=1 << 20)
+    rng = np.random.default_rng(41)
+    vals = np.concatenate([rng.lognormal(0, 2, 1000), -rng.lognormal(0, 2, 1000)])
+    s.update_batch(vals)
+    keys = s.keys_for_values(vals)
+    lo, hi = s.bucket_bounds(keys)
+    assert ((vals > lo) & (vals <= hi + 1e-12 * np.abs(hi))).all()
+    table = s.to_bins_table()
+    assert sum(r["count"] for r in table) == s.n
+    assert all(r["lower"] <= r["estimate"] <= r["upper"] for r in table)
+
+
 def test_negative_and_zero_quantiles():
     s = DDSketch(alpha=0.01, bin_limit=1 << 20)
     data = np.array([-100.0, -10.0, -1.0, 0.0, 1.0, 10.0, 100.0])
