@@ -240,9 +240,15 @@ def _make_stage1(specs: list[SketchSpec], group_cols: tuple[str, ...],
                 gcols = [batch.column(c).to_numpy(zero_copy_only=False) for c in group_cols]
                 gkeys = gcols[0] if len(gcols) == 1 else list(zip(*gcols))
                 uniq, inv = np.unique(np.asarray(gkeys, dtype=object), return_inverse=True)
+                # gather ONCE into group order, then hand out zero-copy
+                # slices — a per-group take() would copy the batch G times
+                order = np.argsort(inv, kind="stable")
+                sorted_batch = batch.take(pa.array(order))
+                counts = np.bincount(inv, minlength=len(uniq))
+                start = 0
                 for gi, gval in enumerate(uniq):
-                    idx = np.flatnonzero(inv == gi)
-                    sub = batch.take(pa.array(idx))
+                    sub = sorted_batch.slice(start, int(counts[gi]))
+                    start += int(counts[gi])
                     key = (gval,) if len(gcols) == 1 else tuple(gval)
                     _update_all(states, all_idx, key, sub)
         secs = time.monotonic() - t0
