@@ -116,6 +116,7 @@ ORDER BY doc_id
 ORACLES["token_count_regex"] = f"""
 SELECT source,
        CAST(SUM(len({_WORDS})) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^ a-z0-9]'))) AS BIGINT) AS n_bpeish_tokens,
        CAST(SUM(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS n_vowels,
        COUNT(*) AS n_docs
 FROM documents

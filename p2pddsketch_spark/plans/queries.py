@@ -160,8 +160,13 @@ def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source (BPE-ish regex classes, exact & SQL-portable)."""
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
+    # GPT-2-ish pre-tokenizer classes (letters / digits / other) — simple
+    # enough that Java regex and RE2 (DuckDB) agree exactly
+    bpeish = F.size(F.expr(
+        "regexp_extract_all(text, '[a-z]+|[0-9]+|[^ a-z0-9]', 0)"))
     return (docs.groupBy("source")
             .agg(F.sum(F.size(words)).cast("long").alias("n_ws_tokens"),
+                 F.sum(bpeish).cast("long").alias("n_bpeish_tokens"),
                  F.sum(F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))).cast("long").alias("n_vowels"),
                  F.count("*").alias("n_docs"))
             .orderBy("source"))
