@@ -85,12 +85,6 @@ def sketch_build_throughput(spark, path: str, total_tokens: int) -> dict:
         SketchSpec("bloom_tokens", lambda: BloomFilter(m_bits=1 << 21, k=5),
                    array_extractor("tokens")),
     ]
-    # warm the Python worker pools (mapInArrow and applyInPandas use
-    # separate eval types) so we measure steady-state throughput, not
-    # interpreter/module-import startup
-    par = int(spark.sparkContext.defaultParallelism)
-    spark.range(par).repartition(par).mapInArrow(lambda it: it, schema="id long").count()
-    spark.range(par).groupBy("id").applyInPandas(lambda p: p, schema="id long").count()
     group_cols = ("source",) if grouped else ()
     t0 = time.monotonic()
     out = build_sketches_from_files(spark, path, specs, group_cols=group_cols,
@@ -110,7 +104,7 @@ def sketch_build_throughput(spark, path: str, total_tokens: int) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
+    bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "800000"))
     skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "") == "1"
     from pyspark.sql import SparkSession
     # shuffle partitions sized to the parallelism: the sketch merge stages
@@ -125,6 +119,12 @@ def main():
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warm both Python worker pools (mapInArrow and applyInPandas use
+    # separate eval types) before timing anything
+    par = int(spark.sparkContext.defaultParallelism)
+    spark.range(par).repartition(par).mapInArrow(lambda it: it, schema="id long").count()
+    spark.range(par).groupBy("id").applyInPandas(lambda p: p, schema="id long").count()
 
     timings: dict[str, float] = {}
     if not skip_queries:
