@@ -41,7 +41,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_events_hourly": Q.q_dds_events_hourly,
         # relational surface
         "tpch_q1": Q.q_tpch_q1,
+        "tpch_q6": Q.q_tpch_q6,
+        "top_orders": Q.q_top_orders,
         "join_revenue_by_nation": Q.q_join_topsuppliers,
+        # window functions / sessionization
+        "window_running_value": Q.q_window_running_value,
+        "user_sessions": Q.q_user_sessions,
         # text analysis
         "top_tokens_exact": Q.q_top_tokens,
         "distinct_tokens_by_source": Q.q_distinct_tokens_by_source,

@@ -58,6 +58,53 @@ GROUP BY n_name
 ORDER BY n_name
 """
 
+ORACLES["tpch_q6"] = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 3) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["top_orders"] = """
+SELECT o_orderkey, c_mktsegment,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderkey, c_mktsegment
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+ORACLES["window_running_value"] = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS running_value,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS event_rank
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+ORACLES["user_sessions"] = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM marked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
 ORACLES["top_tokens_exact"] = f"""
 SELECT token, COUNT(*) AS cnt
 FROM (SELECT unnest({_WORDS}) AS token FROM documents)

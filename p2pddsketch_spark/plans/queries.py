@@ -132,6 +132,61 @@ def q_join_topsuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("n_name"))
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: tight filter + single agg — pure scan efficiency
+    (predicates push into the parquet reader)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1994-01-01")) &
+                     (F.col("l_shipdate") < F.lit("1995-01-01")) &
+                     (F.col("l_discount").between(0.05, 0.07)) &
+                     (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 3).alias("revenue"),
+                 F.count("*").alias("n_rows")))
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: customer ⋈ orders ⋈ lineitem, top revenue orders.
+    Dims broadcast; lineitem aggregates with map-side combine."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("o_orderkey", "c_mktsegment")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderkey")
+            .limit(10))
+
+
+def q_window_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (absent from the reference): per-user running sum
+    and event rank over time — first 200 events by id for a bounded result."""
+    from pyspark.sql.window import Window
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.row_number().over(w).alias("event_rank"))
+        .orderBy("event_id"))
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): a new session starts after a
+    > 30-minute silence; count sessions and events per user."""
+    from pyspark.sql.window import Window
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval comparison on the naive timestamps — tz-free on both engines
+    gap_over = (F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES")
+    marked = ev.withColumn(
+        "new_sess", F.when(F.lag("ts").over(w).isNull() | gap_over, 1).otherwise(0))
+    return (marked.groupBy("user_id")
+            .agg(F.sum("new_sess").cast("long").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
 # ------------------------------------------------------------ text analysis
 
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
