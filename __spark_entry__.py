@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "embedding_neardup": Q.q_embedding_neardup,
         "ann_topk_lsh": Q.q_ann_topk_lsh,
+        "ann_topk_ivf": Q.q_ann_topk_ivf,
         # multi-sketch single-pass estimates (rows-only check)
         "sketch_estimates_events": Q.q_sketch_estimates_events,
     }

@@ -113,6 +113,88 @@ def hyperplane_buckets(df: DataFrame, planes: int = 16, seed: int = 13,
     return df.select(id_col, vec_col).mapInPandas(bucketize, schema=schema)
 
 
+def _kmeans_fit(sample: np.ndarray, nlist: int, iters: int = 10,
+                seed: int = 17) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (the IVF
+    coarse quantizer). Centroids are L2-normalized; assignment maximizes
+    cosine. Empty clusters re-seed from the farthest points."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = x[rng.choice(len(x), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(nlist):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+            else:
+                cent[c] = x[sims.max(axis=1).argmin()]
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest IVF list (one matmul per batch)."""
+    id_type = df.schema[id_col].dataType
+    schema = StructType([StructField("id", id_type, True),
+                         StructField("list_id", IntegerType(), False)])
+    cent = centroids
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            lid = (M @ cent.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"id": pdf[id_col], "list_id": lid})
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 nlist: int = 16, nprobe: int = 4, sample_size: int = 10_000,
+                 seed: int = 17,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+    """IVF approximate top-k: a driver-fit coarse quantizer partitions the
+    corpus into `nlist` inverted lists; each query exactly reranks only
+    the `nprobe` nearest lists. At 100 TB the corpus would be WRITTEN
+    bucketed by list_id so a probe is a partition-pruned scan; here the
+    assignment join expresses the same plan. Same output schema as
+    `cosine_topk`."""
+    sample = np.stack([r[vec_col] for r in
+                       corpus.select(vec_col).limit(sample_size).collect()]
+                      ).astype(np.float64)
+    cent = _kmeans_fit(sample, nlist=nlist, seed=seed)
+    assigned = ivf_assign(corpus, cent, id_col, vec_col)
+    corpus2 = corpus.join(assigned, corpus[id_col] == assigned["id"]).drop("id")
+
+    # driver-side probe lists for the (broadcast-small) query set
+    qrows = queries.collect()
+    qv = np.stack([r[qvec_col] for r in qrows]).astype(np.float64)
+    qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qv @ cent.T), axis=1)[:, :nprobe]
+    spark = corpus.sparkSession
+    probe_rows = [(r[qid_col], list(r[qvec_col]), int(p))
+                  for r, ps in zip(qrows, probes) for p in ps]
+    probe_df = spark.createDataFrame(
+        probe_rows, f"{qid_col} long, {qvec_col} array<float>, probe int")
+
+    j = corpus2.join(F.broadcast(probe_df), F.col("list_id") == F.col("probe"))
+    sim = F.round(cosine_sim_col(F.col(vec_col), F.col(qvec_col)), 6)
+    scored = (j.select(F.col(qid_col), F.col(id_col).alias("neighbor_id"), sim.alias("cosine"))
+              .where(F.col(qid_col) != F.col("neighbor_id"))
+              .dropDuplicates([qid_col, "neighbor_id"]))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, "rank", "neighbor_id", "cosine")
+            .orderBy(qid_col, "rank"))
+
+
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  planes: int = 8, seed: int = 13,
                  id_col: str = "vec_id", vec_col: str = "embedding",

@@ -285,6 +285,14 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_lsh(emb, queries, k=5, planes=4)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return similarity.ann_topk_ivf(emb, queries, k=5, nlist=16, nprobe=4)
+
+
 # ------------------------------------ estimate queries (weaker rows-only)
 
 def q_sketch_estimates_events(spark: SparkSession, sf_dir: str) -> DataFrame:

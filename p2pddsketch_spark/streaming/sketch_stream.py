@@ -79,6 +79,44 @@ def quantiles_from_bucket_counts(bucket_df: DataFrame, quantiles: list[float],
             .orderBy(*g, "q"))
 
 
+def stateful_sketch_stream(stream_df: DataFrame, key_col: str, value_col: str,
+                           alpha: float = 0.01, bin_limit: int = 1 << 20,
+                           quantiles: tuple[float, ...] = (0.5, 0.95, 0.99)):
+    """Custom stateful streaming operator via `applyInPandasWithState`:
+    one DDSketch per key lives in the state store (canonical bytes), is
+    updated vectorized per micro-batch, and emits current quantile
+    estimates each trigger. This is the Spark-native form of the
+    reference's per-peer incremental sketch (`distributedAdd`,
+    `/root/reference/main.cpp:432-472`) — the state store replaces the
+    peer array, triggers replace gossip rounds.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+
+    out_schema = (f"{key_col} string, n long, " +
+                  ", ".join(f"p{str(q)[2:]} double" for q in quantiles))
+    state_schema = "sketch binary"
+
+    def update(key, pdfs, state):
+        if state.exists:
+            sk = DDSketch.from_bytes(bytes(state.get[0]))
+        else:
+            sk = DDSketch(alpha=alpha, bin_limit=bin_limit)
+        for pdf in pdfs:
+            sk.update_batch(pdf[value_col].to_numpy(dtype=np.float64))
+        state.update((sk.to_bytes(),))
+        row = {key_col: key[0], "n": sk.n}
+        for q in quantiles:
+            row[f"p{str(q)[2:]}"] = float(sk.quantile(q)) if sk.n else None
+        yield pd.DataFrame([row])
+
+    return (stream_df.groupBy(key_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 class ForeachBatchSketchWriter:
     """foreachBatch sink: per micro-batch partial-sketch build appended to
     a parquet state dir; idempotent on epoch replay (exactly-once)."""

@@ -126,6 +126,36 @@ def test_streaming_foreachbatch_sketch(spark, tmp_path):
     assert abs((sk.quantile(0.95) - exact) / exact) <= 0.01 * (1 + 1e-9)
 
 
+def test_stateful_sketch_stream(spark, tmp_path):
+    """applyInPandasWithState: per-key DDSketch in the state store; final
+    emitted estimates equal a batch-built sketch per key."""
+    from p2pddsketch_spark.streaming.sketch_stream import stateful_sketch_stream
+
+    src = str(tmp_path / "src3")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/events.parquet")
+    events = spark.read.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stateful_sketch_stream(stream, "event_type", "value", alpha=0.01)
+    sink = str(tmp_path / "state_out")
+    # parquet sink rejects update mode — relay through foreachBatch append
+    q = (out.writeStream.outputMode("update")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt3"))
+         .foreachBatch(lambda df, eid: df.write.mode("append").parquet(sink))
+         .start())
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(sink).toPandas()
+           .sort_values("n").groupby("event_type").last())
+    pdf = events.select("event_type", "value").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        sk = DDSketch(alpha=0.01, bin_limit=1 << 20).update_batch(
+            grp["value"].to_numpy())
+        assert got.loc[etype, "n"] == sk.n
+        assert abs(got.loc[etype, "p95"] - sk.quantile(0.95)) < 1e-9
+
+
 def test_multimodal_plumbing(spark):
     from p2pddsketch_spark.operators import multimodal as mm
 
