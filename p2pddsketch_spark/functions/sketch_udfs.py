@@ -1,0 +1,77 @@
+"""Query persisted sketch tables from DataFrames / SQL.
+
+`build_sketches` / the checkpoint writer persist sketch rows as parquet;
+these Arrow-batched pandas UDFs let downstream jobs query those rows
+without rebuilding anything — e.g.
+
+    spark.read.parquet(sketch_table).select(
+        "source", dds_quantile_udf()("sketch", F.lit(0.99)).alias("p99"))
+
+or, after `register_sketch_udfs(spark)`, from plain SQL:
+
+    SELECT source, dds_quantile(sketch, 0.99) AS p99 FROM sketches
+
+This is the distributed *grouped-sketch query* form promised in
+SURVEY.md §3.3 (the reference can only query its single in-memory
+sketch, `DDS_GetQuantile` `ddsketch.cc:520-557`). UDF construction is
+lazy (factory functions) because `pandas_udf` needs an active session.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["dds_quantile_udf", "sketch_count_udf", "sketch_cardinality_udf",
+           "register_sketch_udfs"]
+
+
+@lru_cache(maxsize=None)
+def dds_quantile_udf():
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.operators.harness import sketch_from_bytes
+
+    @pandas_udf("double")
+    def dds_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        out = np.empty(len(blobs), dtype=np.float64)
+        for i, (b, q) in enumerate(zip(blobs, qs)):
+            out[i] = np.nan if b is None else \
+                sketch_from_bytes(bytes(b)).quantile(float(q))
+        return pd.Series(out)
+
+    return dds_quantile
+
+
+@lru_cache(maxsize=None)
+def sketch_count_udf():
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.operators.harness import sketch_from_bytes
+
+    @pandas_udf("long")
+    def sketch_count(blobs: pd.Series) -> pd.Series:
+        return pd.Series([0 if b is None else sketch_from_bytes(bytes(b)).n
+                          for b in blobs], dtype="int64")
+
+    return sketch_count
+
+
+@lru_cache(maxsize=None)
+def sketch_cardinality_udf():
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.operators.harness import sketch_from_bytes
+
+    @pandas_udf("double")
+    def hll_cardinality(blobs: pd.Series) -> pd.Series:
+        return pd.Series([np.nan if b is None else
+                          sketch_from_bytes(bytes(b)).cardinality()
+                          for b in blobs])
+
+    return hll_cardinality
+
+
+def register_sketch_udfs(spark) -> None:
+    spark.udf.register("dds_quantile", dds_quantile_udf())
+    spark.udf.register("sketch_count", sketch_count_udf())
+    spark.udf.register("hll_cardinality", sketch_cardinality_udf())

@@ -37,14 +37,23 @@ def ddsketch_quantiles_via_harness(spark: SparkSession, df: DataFrame,
                                    value_col: str, qs: list[float], alpha: float,
                                    group_cols: tuple[str, ...] = (),
                                    salt_buckets: int = 32,
-                                   bin_limit: int = 1 << 22) -> DataFrame:
+                                   bin_limit: int = 1 << 22,
+                                   parquet_path: str | None = None) -> DataFrame:
     """Full mapInArrow → shuffle-merge-tree pipeline, then driver-side
     quantile extraction from the single final sketch row per group.
-    Output schema matches `ddsketch_quantile_plan` exactly."""
+    Output schema matches `ddsketch_quantile_plan` exactly. When
+    `parquet_path` is given, stage 1 uses the file-parallel fast path
+    (pyarrow in-task, no JVM→Python IPC)."""
+    from p2pddsketch_spark.operators.harness import build_sketches_from_files
     gamma, _ = gamma_of_alpha(alpha)
     spec = [SketchSpec("dds", lambda: DDSketch(alpha=alpha, bin_limit=bin_limit),
                        scalar_extractor(value_col))]
-    out = build_sketches(df, spec, group_cols=group_cols, salt_buckets=salt_buckets)
+    if parquet_path is not None:
+        out = build_sketches_from_files(spark, parquet_path, spec,
+                                        group_cols=group_cols,
+                                        salt_buckets=salt_buckets)
+    else:
+        out = build_sketches(df, spec, group_cols=group_cols, salt_buckets=salt_buckets)
     sketches = collect_sketches(out, group_cols=group_cols)
     rows = []
     for key, sk in sketches.items():
@@ -65,15 +74,17 @@ def ddsketch_quantiles_via_harness(spark: SparkSession, df: DataFrame,
 
 def q_dds_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p95/p99/p999 of l_quantity via the full sketch pipeline."""
-    return ddsketch_quantiles_via_harness(spark, load(spark, sf_dir, "lineitem"),
-                                          "l_quantity", QS, alpha=0.01)
+    return ddsketch_quantiles_via_harness(
+        spark, load(spark, sf_dir, "lineitem"), "l_quantity", QS, alpha=0.01,
+        parquet_path=f"{sf_dir}/lineitem.parquet")
 
 
 def q_dds_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped sketches: per l_returnflag quantiles of l_extendedprice."""
-    return ddsketch_quantiles_via_harness(spark, load(spark, sf_dir, "lineitem"),
-                                          "l_extendedprice", QS, alpha=0.005,
-                                          group_cols=("l_returnflag",))
+    return ddsketch_quantiles_via_harness(
+        spark, load(spark, sf_dir, "lineitem"), "l_extendedprice", QS,
+        alpha=0.005, group_cols=("l_returnflag",),
+        parquet_path=f"{sf_dir}/lineitem.parquet")
 
 
 # --------------------------------------------- DDSketch via pure Catalyst

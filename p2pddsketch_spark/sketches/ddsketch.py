@@ -208,6 +208,33 @@ class DDSketch:
         """Single-value insert (reference `DDS_AddCollapse`, `ddsketch.cc:213-257`)."""
         return self.update_batch(np.array([value], dtype=np.float64))
 
+    def delete_batch(self, values: np.ndarray) -> "DDSketch":
+        """Vectorized turnstile deletes (reference `DDS_DeleteCollapse*`
+        per item, `ddsketch.cc:343-518`): decrement each value's bucket,
+        clamp at zero, drop emptied buckets; keys inside a collapsed edge
+        range redirect to the edge bucket."""
+        v = np.asarray(values, dtype=np.float64).ravel()
+        v = v[~np.isnan(v)]
+        if v.size == 0 or self.keys.size == 0:
+            return self
+        keys = self.keys_for_values(v)
+        if self.strategy == "last" and self.tail_max_key is not None:
+            keys = np.minimum(keys, self.keys[-1])
+        if self.strategy == "first" and self.head_min_key is not None:
+            keys = np.maximum(keys, self.keys[0])
+        uk, uc = np.unique(keys, return_counts=True)
+        idx = np.searchsorted(self.keys, uk)
+        valid = (idx < self.keys.size) & (self.keys[np.minimum(idx, self.keys.size - 1)] == uk)
+        idx, uc = idx[valid], uc[valid]
+        removed = np.minimum(self.counts[idx], uc.astype(np.int64))
+        self.counts[idx] -= removed
+        self.n -= int(removed.sum())
+        keep = self.counts > 0
+        if not keep.all():
+            self.keys = self.keys[keep]
+            self.counts = self.counts[keep]
+        return self
+
     def delete(self, value: float) -> "DDSketch":
         """Remove one previously-inserted value (reference
         `DDS_DeleteCollapse*`, `ddsketch.cc:343-518`): decrement the value's

@@ -1,0 +1,54 @@
+"""Persisted-sketch-table query flow: build grouped sketches once, write
+them as parquet, query later from SQL via the registered UDFs — no
+rebuild."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.functions.sketch_udfs import (dds_quantile_udf,
+                                                     register_sketch_udfs)
+from p2pddsketch_spark.operators.harness import (SketchSpec, build_sketches,
+                                                 scalar_extractor)
+from p2pddsketch_spark.sketches.ddsketch import DDSketch
+
+
+def test_persisted_sketch_table_query(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = build_sketches(
+        ev, [SketchSpec("dds_value", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
+                        scalar_extractor("value"))],
+        group_cols=("event_type",), salt_buckets=4)
+    table = str(tmp_path / "sketches.parquet")
+    out.write.parquet(table)
+
+    # later session: query without rebuilding
+    register_sketch_udfs(spark)
+    spark.read.parquet(table).createOrReplaceTempView("sketches")
+    got = {r["event_type"]: (r["p95"], r["n"]) for r in spark.sql(
+        "SELECT event_type, dds_quantile(sketch, 0.95) AS p95, "
+        "sketch_count(sketch) AS n FROM sketches").collect()}
+
+    pdf = ev.select("event_type", "value").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        sk = DDSketch(alpha=0.01, bin_limit=1 << 20).update_batch(grp["value"].to_numpy())
+        assert got[etype][1] == sk.n
+        assert abs(got[etype][0] - sk.quantile(0.95)) < 1e-12
+
+
+def test_delete_batch_turnstile():
+    rng = np.random.default_rng(55)
+    keep = rng.lognormal(0, 1, 5000)
+    churn = rng.lognormal(0, 1, 2000)
+    s = DDSketch(alpha=0.005, bin_limit=1 << 22)
+    s.update_batch(np.concatenate([keep, churn]))
+    s.delete_batch(churn)
+    ref = DDSketch(alpha=0.005, bin_limit=1 << 22).update_batch(keep)
+    assert s.n == ref.n
+    # per-bucket counts equal the never-inserted reference
+    assert np.array_equal(s.keys, ref.keys)
+    assert np.array_equal(s.counts, ref.counts)
+    srt = np.sort(keep)
+    for q in [0.1, 0.5, 0.9, 0.99]:
+        exact = srt[int(np.floor(1 + q * (len(srt) - 1))) - 1]
+        assert abs((s.quantile(q) - exact) / exact) <= 0.005 * (1 + 1e-9)
