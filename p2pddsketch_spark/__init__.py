@@ -18,10 +18,11 @@ from p2pddsketch_spark.sketches.hll import HyperLogLog
 from p2pddsketch_spark.sketches.cms import CountMinSketch
 from p2pddsketch_spark.sketches.bloom import BloomFilter
 from p2pddsketch_spark.sketches.kll import KLLSketch
+from p2pddsketch_spark.sketches.kll_turnstile import TurnstileKLL
 from p2pddsketch_spark.sketches.tdigest import TDigest
 
 __all__ = [
     "DDSketch", "HyperLogLog", "CountMinSketch", "BloomFilter",
-    "KLLSketch", "TDigest",
+    "KLLSketch", "TurnstileKLL", "TDigest",
 ]
 __version__ = "0.1.0"

@@ -43,6 +43,7 @@ from p2pddsketch_spark.sketches.hll import HyperLogLog
 from p2pddsketch_spark.sketches.cms import CountMinSketch
 from p2pddsketch_spark.sketches.bloom import BloomFilter
 from p2pddsketch_spark.sketches.kll import KLLSketch
+from p2pddsketch_spark.sketches.kll_turnstile import TurnstileKLL
 from p2pddsketch_spark.sketches.tdigest import TDigest
 
 __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
@@ -58,6 +59,7 @@ SKETCH_TYPES = {
     b"CMS1": CountMinSketch,
     b"BLM1": BloomFilter,
     b"KLL1": KLLSketch,
+    b"KLT1": TurnstileKLL,
     b"TDG1": TDigest,
 }
 

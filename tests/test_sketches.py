@@ -188,3 +188,36 @@ def test_tdigest_min_max_clamp():
     t = TDigest(delta=100).update_batch(np.array([1.0, 2.0, 3.0]))
     assert t.quantile(0.0) >= 1.0
     assert t.quantile(1.0) <= 3.0
+
+
+# ---------------------------------------------------------------- KLL±
+
+def test_turnstile_kll_quantiles():
+    from p2pddsketch_spark.sketches.kll_turnstile import TurnstileKLL
+    rng = np.random.default_rng(12)
+    keep = rng.normal(0, 1, 60_000)
+    churn = rng.normal(3, 1, 20_000)
+    t = TurnstileKLL(k=256)
+    t.update_batch(np.concatenate([keep, churn]))
+    t.delete_batch(churn)
+    assert t.n == keep.size
+    srt = np.sort(keep)
+    for q in [0.1, 0.5, 0.9, 0.99]:
+        est = t.quantile(q)
+        rank = np.searchsorted(srt, est) / keep.size
+        assert abs(rank - q) < 0.04, f"q={q} rank={rank}"
+
+
+def test_turnstile_kll_merge_and_roundtrip():
+    from p2pddsketch_spark.sketches.kll_turnstile import TurnstileKLL
+    rng = np.random.default_rng(13)
+    a_keep, b_keep = rng.normal(0, 1, 20_000), rng.normal(5, 1, 20_000)
+    a = TurnstileKLL(k=256).update_batch(a_keep)
+    a.delete_batch(a_keep[:5_000])
+    b = TurnstileKLL(k=256).update_batch(b_keep)
+    merged = TurnstileKLL.from_bytes(a.to_bytes()).merge(b)
+    assert merged.n == 35_000
+    live = np.sort(np.concatenate([a_keep[5_000:], b_keep]))
+    for q in [0.25, 0.5, 0.75]:
+        rank = np.searchsorted(live, merged.quantile(q)) / live.size
+        assert abs(rank - q) < 0.05
