@@ -130,6 +130,29 @@ def test_lineage_metrics(spark, sequences_path):
     assert {r["salt"] for r in partials} <= set(range(4))
 
 
+def test_salting_bounds_fanin_under_source_skew(spark, sequences_path):
+    """north_rule skew mitigation: `source` is deliberately skewed (web
+    ≈ 80%), yet stage-2 fan-in per (group, salt) reducer stays bounded by
+    ⌈partitions / salt_buckets⌉ — a hot group never concentrates on one
+    reducer, because partials are per (partition × group) and the salt is
+    derived from the partition, not the data."""
+    from p2pddsketch_spark.operators.harness import build_partials
+    df = spark.read.parquet(sequences_path).repartition(24)
+    salt_buckets = 8
+    partials = build_partials(
+        df, [SketchSpec("dds", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
+                        scalar_extractor("n_tok"))],
+        group_cols=("source",), salt_buckets=salt_buckets).toPandas()
+    # source skew is real in the fixture (per-group n from the sketches)
+    from p2pddsketch_spark.operators.harness import sketch_from_bytes
+    partials["n"] = [sketch_from_bytes(bytes(b)).n for b in partials["sketch"]]
+    rows = partials.groupby("source")["n"].sum()
+    assert rows.max() / rows.sum() > 0.6
+    # but no (group, salt) reducer sees more than ceil(P/S) partials
+    fanin = partials.groupby(["source", "salt"]).size()
+    assert fanin.max() <= -(-24 // salt_buckets)
+
+
 def test_token_array_equality_invariant(spark, sequences_path):
     """Per-row invariant (input_hint): the persisted tokens arrays equal
     the seeded regeneration, element-wise."""
