@@ -155,6 +155,11 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128
     false positives. Output schema matches `ngram_jaccard_pairs`.
     """
     rows = num_perm // bands
+    # small-file inputs arrive as one partition — spread the vectorized
+    # signature stage across the cluster (cheap narrow shuffle of text)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     sigs = minhash_signatures(df, num_perm, n, text_col, id_col, seed)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = (sigs.select("id", F.explode(band_idx).alias("band"),
