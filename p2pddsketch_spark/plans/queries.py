@@ -310,12 +310,14 @@ def q_sketch_estimates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL/CMS/Bloom/KLL/t-digest estimates over events in ONE pass —
     estimates are hash-dependent, so the driver records a rows-only check;
     pytest verifies them against exact oracles within published bounds."""
+    from p2pddsketch_spark.sketches.kll_turnstile import TurnstileKLL
     ev = load(spark, sf_dir, "events")
     specs = [
         SketchSpec("hll_users", lambda: HyperLogLog(p=14), scalar_int_extractor("user_id")),
         SketchSpec("cms_users", lambda: CountMinSketch(depth=5, width=1 << 15), scalar_int_extractor("user_id")),
         SketchSpec("bloom_users", lambda: BloomFilter(m_bits=1 << 20, k=5), scalar_int_extractor("user_id")),
         SketchSpec("kll_value", lambda: KLLSketch(k=256), scalar_extractor("value")),
+        SketchSpec("kllpm_value", lambda: TurnstileKLL(k=256), scalar_extractor("value")),
         SketchSpec("tdigest_value", lambda: TDigest(delta=200), scalar_extractor("value")),
         SketchSpec("dds_value", lambda: DDSketch(alpha=0.01, bin_limit=1 << 22), scalar_extractor("value")),
     ]
@@ -327,6 +329,7 @@ def q_sketch_estimates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cms_users_total", float(sk["cms_users"].total)),
         ("kll_value_p50", float(sk["kll_value"].quantile(0.5))),
         ("kll_value_p99", float(sk["kll_value"].quantile(0.99))),
+        ("kllpm_value_p50", float(sk["kllpm_value"].quantile(0.5))),
         ("tdigest_value_p50", float(sk["tdigest_value"].quantile(0.5))),
         ("tdigest_value_p99", float(sk["tdigest_value"].quantile(0.99))),
         ("dds_value_p99", float(sk["dds_value"].quantile(0.99))),
