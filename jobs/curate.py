@@ -1,0 +1,101 @@
+"""Training-data curation pipeline — chains the library's operators the
+way a 100 TB pre-training corpus job would:
+
+  read → exact dedup (md5 fingerprint) → near-dup removal (MinHash+LSH,
+  keep the smallest doc_id of each near-dup cluster) → quality filter →
+  optional language filter → write curated table + one-pass sketch
+  summary (DDSketch over doc length, HLL/CMS over tokens) + manifest.
+
+  spark-submit --py-files sketchlib.zip jobs/curate.py \\
+      --input /root/testdata/sf0.01/documents.parquet \\
+      --output /tmp/curated --min-quality 0.5 --jaccard 0.8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--langs", nargs="*", default=[])
+    p.add_argument("--shuffle-partitions", type=int, default=64)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder.appName("p2pddsketch-curate")
+             .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+             .config("spark.sql.adaptive.enabled", "true")
+             .getOrCreate())
+
+    from p2pddsketch_spark.operators import dedup, text
+    from p2pddsketch_spark.operators.harness import (SketchSpec, build_sketches,
+                                                     collect_sketches,
+                                                     scalar_extractor)
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+
+    t0 = time.monotonic()
+    df = spark.read.parquet(args.input)
+    n0 = df.count()
+
+    # 1. exact dedup — deterministic winner per identical content
+    df = dedup.exact_dedup(df, args.text_col, args.id_col)
+    n1 = df.count()
+
+    # 2. near-dup removal: LSH candidate pairs, exact-Jaccard verified;
+    #    drop the larger id of each pair (connected via min-winner rule)
+    pairs = dedup.minhash_lsh_pairs(df, threshold=args.jaccard,
+                                    text_col=args.text_col, id_col=args.id_col)
+    losers = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
+    df = df.join(losers, args.id_col, "left_anti")
+    n2 = df.count()
+
+    # 3. quality filter
+    q = text.quality_score(df, args.text_col, args.id_col)
+    df = df.join(q.where(F.col("quality") >= args.min_quality)
+                 .select(args.id_col), args.id_col, "inner")
+    n3 = df.count()
+
+    # 4. language filter (heuristic language-ID)
+    if args.langs:
+        lang = df.select(args.id_col, text.language_id_col(args.text_col).alias("_lang"))
+        df = df.join(lang.where(F.col("_lang").isin(args.langs))
+                     .select(args.id_col), args.id_col, "inner")
+    n4 = df.count()
+
+    df.write.mode("overwrite").parquet(args.output)
+
+    # 5. one-pass sketch summary of the curated corpus
+    summary_specs = [SketchSpec(
+        "dds_len", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
+        scalar_extractor("n_chars"))] if "n_chars" in df.columns else []
+    quantiles = {}
+    if summary_specs:
+        sk = collect_sketches(build_sketches(df, summary_specs, salt_buckets=8))
+        quantiles = {f"len_p{int(q*100)}": sk["dds_len"].quantile(q)
+                     for q in (0.5, 0.95, 0.99)}
+
+    manifest = {
+        "input": args.input, "output": args.output,
+        "rows_in": n0, "after_exact_dedup": n1, "after_near_dedup": n2,
+        "after_quality": n3, "after_lang": n4,
+        "secs": round(time.monotonic() - t0, 2), **quantiles,
+    }
+    print(json.dumps(manifest, indent=2))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
