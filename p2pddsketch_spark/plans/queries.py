@@ -66,7 +66,7 @@ def ddsketch_quantiles_via_harness(spark: SparkSession, df: DataFrame,
                 if k_signed > 0 else (0.0 if k_signed == 0 else
                                       float(np.round(-2.0 * np.power(gamma, float(-k_signed - sk.offset)) / (gamma + 1.0), 6)))
             rows.append(tuple(gvals) + (float(q), int(k_unsigned), est, int(sk.n)))
-    gddl = "".join(f"{c} string, " for c in group_cols)
+    gddl = "".join(f"{c} {df.schema[c].dataType.simpleString()}, " for c in group_cols)
     schema = f"{gddl}q double, bucket_key long, estimate double, n long"
     res = spark.createDataFrame(rows, schema)
     return res.orderBy(*group_cols, "q")

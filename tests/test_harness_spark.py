@@ -130,6 +130,40 @@ def test_lineage_metrics(spark, sequences_path):
     assert {r["salt"] for r in partials} <= set(range(4))
 
 
+def test_grouped_by_numeric_key(spark):
+    """Harness grouping by a numeric column (user_id buckets)."""
+    from pyspark.sql import functions as F
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("bucket", (F.col("user_id") % 4).cast("long")))
+    out = build_sketches(
+        ev, [SketchSpec("dds", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
+                        scalar_extractor("value"))],
+        group_cols=("bucket",), salt_buckets=4)
+    sketches = collect_sketches(out, group_cols=("bucket",))
+    pdf = ev.select("bucket", "value").toPandas()
+    assert len(sketches) == pdf["bucket"].nunique()
+    for b, grp in pdf.groupby("bucket"):
+        assert sketches[(b, "dds")].n == len(grp)
+
+
+def test_catalyst_signed_values_match_sketch(spark):
+    """Signed key codec in the Catalyst plan: mixed negative/zero/positive
+    data produces the same bucket picks as the numpy sketch."""
+    import pandas as pd
+    from p2pddsketch_spark.functions.ddsql import ddsketch_quantile_plan
+    rng = np.random.default_rng(77)
+    vals = np.concatenate([rng.lognormal(0, 2, 3000),
+                           -rng.lognormal(0, 2, 3000), np.zeros(10)])
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    got = ddsketch_quantile_plan(df, "v", qs, alpha=0.01).toPandas()
+    sk = DDSketch(alpha=0.01, bin_limit=1 << 22).update_batch(vals)
+    for _, r in got.iterrows():
+        est = sk.quantile(r["q"])
+        assert abs(r["estimate"] - round(est, 6)) <= 1e-6, r["q"]
+        assert r["n"] == vals.size
+
+
 def test_salting_bounds_fanin_under_source_skew(spark, sequences_path):
     """north_rule skew mitigation: `source` is deliberately skewed (web
     ≈ 80%), yet stage-2 fan-in per (group, salt) reducer stays bounded by
