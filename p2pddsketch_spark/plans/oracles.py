@@ -35,9 +35,9 @@ ORACLES["dds_events_hourly"] = duckdb_quantile_sql(
 
 ORACLES["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 3) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
        ROUND(AVG(l_quantity), 6) AS avg_qty,
        ROUND(AVG(l_discount), 6) AS avg_disc,
        COUNT(*) AS count_order
@@ -49,7 +49,7 @@ ORDER BY l_returnflag, l_linestatus
 
 ORACLES["join_revenue_by_nation"] = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -59,7 +59,7 @@ ORDER BY n_name
 """
 
 ORACLES["tpch_q6"] = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 3) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -70,7 +70,7 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
 
 ORACLES["top_orders"] = """
 SELECT o_orderkey, c_mktsegment,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS revenue
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -118,11 +118,16 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary — the relational surface Spark SQL
     gives the library for free (the reference has no relational ops)."""
     li = load(spark, sf_dir, "lineitem")
+    # SUM over doubles is partition-order-sensitive (error ~ n·eps·Σ|x| can
+    # cross a rounding boundary at scale); summing DECIMAL(20,6) casts is
+    # exact and engine-independent — Catalyst keeps decimal aggregation
+    # JVM-side with map-side combine, so nothing is lost
+    dec = lambda c: c.cast("decimal(20,6)")
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("sum_disc_price"),
+            .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+                 F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+                 F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("sum_disc_price"),
                  F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
                  F.round(F.avg("l_discount"), 6).alias("avg_disc"),
                  F.count("*").alias("count_order"))
@@ -138,7 +143,8 @@ def q_join_topsuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
             .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
             .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("revenue"),
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(20,6)")).cast("double").alias("revenue"),
                  F.count("*").alias("n_items"))
             .orderBy("n_name"))
 
@@ -151,7 +157,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("l_shipdate") < F.lit("1995-01-01")) &
                      (F.col("l_discount").between(0.05, 0.07)) &
                      (F.col("l_quantity") < 24))
-            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 3).alias("revenue"),
+            .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                        .cast("decimal(20,6)")).cast("double").alias("revenue"),
                  F.count("*").alias("n_rows")))
 
 
@@ -164,7 +171,8 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
             .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
             .groupBy("o_orderkey", "c_mktsegment")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("revenue"))
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(20,6)")).cast("double").alias("revenue"))
             .orderBy(F.desc("revenue"), "o_orderkey")
             .limit(10))
 
