@@ -44,7 +44,9 @@ from p2pddsketch_spark.sketches.cms import CountMinSketch
 from p2pddsketch_spark.sketches.bloom import BloomFilter
 from p2pddsketch_spark.sketches.kll import KLLSketch
 from p2pddsketch_spark.sketches.kll_turnstile import TurnstileKLL
+from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
 from p2pddsketch_spark.sketches.tdigest import TDigest
+from p2pddsketch_spark.sketches.theta import ThetaSketch
 
 __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
            "build_sketches", "build_partials", "merge_partials",
@@ -61,6 +63,8 @@ SKETCH_TYPES = {
     b"KLL1": KLLSketch,
     b"KLT1": TurnstileKLL,
     b"TDG1": TDigest,
+    b"SSV1": SpaceSaving,
+    b"THT1": ThetaSketch,
 }
 
 

@@ -221,3 +221,65 @@ def test_turnstile_kll_merge_and_roundtrip():
     for q in [0.25, 0.5, 0.75]:
         rank = np.searchsorted(live, merged.quantile(q)) / live.size
         assert abs(rank - q) < 0.05
+
+
+# ---------------------------------------------------------- SpaceSaving
+
+def test_spacesaving_heavy_hitters():
+    from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
+    tokens = zipf_tokens(200_000, seed=20)
+    s = SpaceSaving(k=64)
+    # feed in chunks to exercise truncation
+    for chunk in np.array_split(tokens, 20):
+        s.update_batch(chunk)
+    uniq, counts = np.unique(tokens, return_counts=True)
+    exact = dict(zip(uniq.tolist(), counts.tolist()))
+    guarantee = s.n // s.k
+    # every item with f > N/k must be present
+    for item, f in exact.items():
+        if f > guarantee:
+            assert item in s.keys, item
+    # estimates never undercount by more than the tracked error, never
+    # overcount by more than N/k
+    for item, est, err in s.top():
+        f = exact.get(item, 0)
+        assert f <= est <= f + guarantee
+        assert est - f <= err or err == 0
+
+
+def test_spacesaving_merge():
+    from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
+    a_t, b_t = zipf_tokens(50_000, seed=21), zipf_tokens(50_000, seed=22)
+    a = SpaceSaving(k=64).update_batch(a_t)
+    b = SpaceSaving(k=64).update_batch(b_t)
+    merged = SpaceSaving.from_bytes(a.to_bytes()).merge(b)
+    assert merged.n == 100_000
+    both = np.concatenate([a_t, b_t])
+    uniq, counts = np.unique(both, return_counts=True)
+    top_true = set(uniq[np.argsort(-counts)[:10]].tolist())
+    top_est = {t for t, _, _ in merged.top(20)}
+    assert len(top_true & top_est) >= 9  # top-10 essentially recovered
+
+
+# ---------------------------------------------------------------- Theta
+
+def test_theta_cardinality_and_setops():
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+    a_ids = np.arange(0, 60_000, dtype=np.int64)
+    b_ids = np.arange(40_000, 120_000, dtype=np.int64)  # overlap 20k
+    a = ThetaSketch(k=4096).update_batch(a_ids)
+    b = ThetaSketch(k=4096).update_batch(b_ids)
+    assert abs(a.cardinality() - 60_000) / 60_000 < 0.05
+    assert abs(a.union_cardinality(b) - 120_000) / 120_000 < 0.05
+    assert abs(a.intersection_cardinality(b) - 20_000) / 20_000 < 0.12
+    assert abs(a.difference_cardinality(b) - 40_000) / 40_000 < 0.12
+
+
+def test_theta_exact_below_capacity_and_merge():
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+    a = ThetaSketch(k=4096).update_batch(np.arange(1000))
+    assert a.cardinality() == 1000.0  # exact
+    b = ThetaSketch(k=4096).update_batch(np.arange(500, 1500))
+    m = ThetaSketch.from_bytes(a.to_bytes()).merge(b)
+    assert m.cardinality() == 1500.0
+    assert a.intersection_cardinality(b) == 500.0
