@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": Q.q_ann_topk_ivf,
         # multi-sketch single-pass estimates (rows-only check)
         "sketch_estimates_events": Q.q_sketch_estimates_events,
+        "theta_token_overlap": Q.q_theta_token_overlap,
     }
 
 

@@ -312,6 +312,33 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf(emb, queries, k=5, nlist=16, nprobe=4)
 
 
+def q_theta_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token overlap between source pairs via theta sketches —
+    the set-operation query HLL cannot answer: build one theta sketch per
+    source over hashed tokens (one pass), then estimate |A∩B| / |A∪B| for
+    every source pair from the tiny summaries. Rows-only check (hash-
+    dependent); pytest verifies against exact overlaps within bound."""
+    from itertools import combinations
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+    docs = load(spark, sf_dir, "documents")
+    ids = (docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+           .select("source", F.xxhash64("tok").alias("tok_id")))
+    out = build_sketches(
+        ids, [SketchSpec("theta", lambda: ThetaSketch(k=4096),
+                         scalar_int_extractor("tok_id"))],
+        group_cols=("source",), salt_buckets=8)
+    sk = collect_sketches(out, group_cols=("source",))
+    thetas = {key[0]: s for key, s in sk.items()}
+    rows = []
+    for a, b in combinations(sorted(thetas), 2):
+        rows.append((a, b,
+                     float(np.round(thetas[a].intersection_cardinality(thetas[b]), 1)),
+                     float(np.round(thetas[a].union_cardinality(thetas[b]), 1))))
+    return spark.createDataFrame(
+        rows, "source_a string, source_b string, inter_est double, union_est double"
+    ).orderBy("source_a", "source_b")
+
+
 # ------------------------------------ estimate queries (weaker rows-only)
 
 def q_sketch_estimates_events(spark: SparkSession, sf_dir: str) -> DataFrame:

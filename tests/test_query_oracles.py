@@ -68,3 +68,21 @@ def test_entry_smoke(spark):
     df = __import__("__spark_entry__").entry(spark)
     rows = df.collect()
     assert len(rows) > 0
+
+
+def test_theta_token_overlap_vs_exact(spark, duck):
+    """Theta set-op estimates within bound of exact per-pair overlaps."""
+    got = E.queries()["theta_token_overlap"](spark, SF_DIR).toPandas()
+    exact = duck.sql("""
+        WITH toks AS (SELECT DISTINCT source, unnest(string_split(text,' ')) tok
+                      FROM documents)
+        SELECT a.source sa, b.source sb,
+               count(*) FILTER (WHERE a.tok = b.tok) inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2""").df()
+    ex = {(r["sa"], r["sb"]): r["inter"] for _, r in exact.iterrows()}
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        e = ex.get((r["source_a"], r["source_b"]), 0)
+        if e > 100:
+            assert abs(r["inter_est"] - e) / e < 0.15, (r["source_a"], r["source_b"])
