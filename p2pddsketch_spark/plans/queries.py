@@ -355,6 +355,7 @@ def q_sketch_estimates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SketchSpec("kllpm_value", lambda: TurnstileKLL(k=256), scalar_extractor("value")),
         SketchSpec("tdigest_value", lambda: TDigest(delta=200), scalar_extractor("value")),
         SketchSpec("dds_value", lambda: DDSketch(alpha=0.01, bin_limit=1 << 22), scalar_extractor("value")),
+        SketchSpec("ss_users", lambda: _spacesaving(64), scalar_int_extractor("user_id")),
     ]
     out = build_sketches(ev, specs, salt_buckets=16)
     sk = collect_sketches(out)
@@ -368,9 +369,15 @@ def q_sketch_estimates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("tdigest_value_p50", float(sk["tdigest_value"].quantile(0.5))),
         ("tdigest_value_p99", float(sk["tdigest_value"].quantile(0.99))),
         ("dds_value_p99", float(sk["dds_value"].quantile(0.99))),
+        ("ss_top_user_count", float(sk["ss_users"].top(1)[0][1])),
         ("n_rows", float(sk["dds_value"].n)),
     ]
     return spark.createDataFrame(rows, "metric string, value double").orderBy("metric")
+
+
+def _spacesaving(k: int):
+    from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
+    return SpaceSaving(k=k)
 
 
 def scalar_int_extractor(column: str):
