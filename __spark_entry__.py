@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DDSketch — full sketch pipeline (mapInArrow + shuffle merge tree)
         "dds_quantiles_lineitem": Q.q_dds_lineitem,
         "dds_price_by_flag": Q.q_dds_price_by_flag,
+        "dds_value_by_user_bucket": Q.q_dds_value_by_user_bucket,
         # DDSketch — pure Catalyst plan (whole-stage codegen, zero Python)
         "dds_events_catalyst": Q.q_dds_events_sql,
         "dds_doclen_by_lang": Q.q_dds_doclen_by_lang,

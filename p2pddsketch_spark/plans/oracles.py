@@ -22,6 +22,10 @@ ORACLES["dds_quantiles_lineitem"] = duckdb_quantile_sql(
 ORACLES["dds_price_by_flag"] = duckdb_quantile_sql(
     "lineitem", "l_extendedprice", QS, alpha=0.005, group_cols=("l_returnflag",))
 
+ORACLES["dds_value_by_user_bucket"] = duckdb_quantile_sql(
+    "(SELECT CAST(user_id % 4 AS BIGINT) AS user_bucket, value FROM events) t",
+    "value", [0.5, 0.99], alpha=0.01, group_cols=("user_bucket",))
+
 ORACLES["dds_events_catalyst"] = duckdb_quantile_sql(
     "events", "value", QS, alpha=0.01)
 

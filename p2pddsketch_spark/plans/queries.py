@@ -87,6 +87,15 @@ def q_dds_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         parquet_path=f"{sf_dir}/lineitem.parquet")
 
 
+def q_dds_value_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harness pipeline grouped by a NUMERIC key (user_id % 4)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("long"))
+    return ddsketch_quantiles_via_harness(
+        spark, ev, "value", [0.5, 0.99], alpha=0.01,
+        group_cols=("user_bucket",))
+
+
 # --------------------------------------------- DDSketch via pure Catalyst
 
 def q_dds_events_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
