@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_value_by_user_bucket": Q.q_dds_value_by_user_bucket,
         # DDSketch — pure Catalyst plan (whole-stage codegen, zero Python)
         "dds_events_catalyst": Q.q_dds_events_sql,
+        "dds_signed_catalyst": Q.q_dds_signed_catalyst,
         "dds_doclen_by_lang": Q.q_dds_doclen_by_lang,
         "dds_events_hourly": Q.q_dds_events_hourly,
         # relational surface

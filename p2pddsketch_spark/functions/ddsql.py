@@ -91,6 +91,45 @@ def ddsketch_quantile_plan(df: DataFrame, value_col: str, quantiles: list[float]
             .orderBy(*g, "q"))
 
 
+def duckdb_quantile_sql_signed(table: str, value_col: str, quantiles: list[float],
+                               alpha: float, offset: int = 1 << 30) -> str:
+    """Signed-codec twin of `ddsketch_quantile_plan` for mixed-sign data:
+    the full key encoding of `DDS_GetKey` (`ddsketch.cc:84-104`) and the
+    signed estimator of `DDS_GetRank` (`:106-127`) in ANSI SQL."""
+    gamma, lng = gamma_of_alpha(alpha)
+    qvals = ", ".join(f"({float(q)!r})" for q in quantiles)
+    return f"""
+WITH buckets AS (
+  SELECT CASE WHEN v > 0 THEN CAST(ceil(ln(v) / {lng!r}) AS BIGINT) + {offset}
+              WHEN v < 0 THEN -(CAST(ceil(ln(-v) / {lng!r}) AS BIGINT) + {offset})
+              ELSE 0 END AS bucket,
+         COUNT(*) AS cnt
+  FROM (SELECT CAST({value_col} AS DOUBLE) AS v FROM {table}
+        WHERE {value_col} IS NOT NULL)
+  GROUP BY bucket
+), cum AS (
+  SELECT bucket, cnt,
+         SUM(cnt) OVER (ORDER BY bucket) AS cum_cnt,
+         SUM(cnt) OVER () AS n
+  FROM buckets
+), qs(q) AS (VALUES {qvals}), picked AS (
+  SELECT q, MIN(bucket) AS k, CAST(MIN(n) AS BIGINT) AS n
+  FROM cum CROSS JOIN qs
+  WHERE cum_cnt > q * (n - 1)
+  GROUP BY q
+)
+SELECT q,
+       CASE WHEN k > 0 THEN k - {offset}
+            WHEN k < 0 THEN k + {offset} ELSE 0 END AS bucket_key,
+       CASE WHEN k > 0 THEN ROUND(2 * power({gamma!r}, CAST(k - {offset} AS DOUBLE)) / ({gamma!r} + 1), 6)
+            WHEN k < 0 THEN ROUND(-2 * power({gamma!r}, CAST(-k - {offset} AS DOUBLE)) / ({gamma!r} + 1), 6)
+            ELSE 0.0 END AS estimate,
+       n
+FROM picked
+ORDER BY q
+"""
+
+
 def duckdb_quantile_sql(table: str, value_col: str, quantiles: list[float],
                         alpha: float, group_cols: tuple[str, ...] = (),
                         where: str = "") -> str:

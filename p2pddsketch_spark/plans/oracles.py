@@ -6,7 +6,8 @@ rounded to 6 on both sides to absorb 1-ulp libm differences.
 
 from __future__ import annotations
 
-from p2pddsketch_spark.functions.ddsql import duckdb_quantile_sql
+from p2pddsketch_spark.functions.ddsql import (duckdb_quantile_sql,
+                                               duckdb_quantile_sql_signed)
 from p2pddsketch_spark.plans.queries import QS
 
 _WORDS = "string_split(text, ' ')"
@@ -28,6 +29,10 @@ ORACLES["dds_value_by_user_bucket"] = duckdb_quantile_sql(
 
 ORACLES["dds_events_catalyst"] = duckdb_quantile_sql(
     "events", "value", QS, alpha=0.01)
+
+ORACLES["dds_signed_catalyst"] = duckdb_quantile_sql_signed(
+    "(SELECT value - 250.0 AS centered FROM events) t", "centered",
+    [0.05, 0.5, 0.95], alpha=0.01)
 
 ORACLES["dds_doclen_by_lang"] = duckdb_quantile_sql(
     "documents", "n_chars", QS, alpha=0.01, group_cols=("lang",))

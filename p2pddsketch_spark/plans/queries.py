@@ -98,6 +98,14 @@ def q_dds_value_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- DDSketch via pure Catalyst
 
+def q_dds_signed_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-codec Catalyst plan over mixed-sign data (value − 250):
+    exercises the negative/zero/positive key branches end-to-end."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "centered", F.col("value") - F.lit(250.0))
+    return ddsketch_quantile_plan(ev, "centered", [0.05, 0.5, 0.95], alpha=0.01)
+
+
 def q_dds_events_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same sketch algebra as a whole-stage-codegen Catalyst plan."""
     return ddsketch_quantile_plan(load(spark, sf_dir, "events"), "value", QS, alpha=0.01)
