@@ -53,6 +53,7 @@ def main(argv=None):
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = (SparkSession.builder.appName("p2pddsketch-build-and-query")
              .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
              .config("spark.sql.adaptive.enabled", "true")
@@ -139,7 +140,8 @@ def main(argv=None):
             manifest["verify_pass"] = all(r["within_alpha"] for r in report)
 
     print(json.dumps(manifest, indent=2))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

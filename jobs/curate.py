@@ -34,6 +34,7 @@ def main(argv=None):
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = (SparkSession.builder.appName("p2pddsketch-curate")
              .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
              .config("spark.sql.adaptive.enabled", "true")
@@ -93,7 +94,8 @@ def main(argv=None):
         "secs": round(time.monotonic() - t0, 2), **quantiles,
     }
     print(json.dumps(manifest, indent=2))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
