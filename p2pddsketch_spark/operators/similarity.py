@@ -196,21 +196,37 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                 planes: int = 8, seed: int = 13,
+                 planes: int = 8, seed: int = 13, multiprobe: int = 0,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket
     (fewer planes → higher recall, more candidates), exact rerank after.
+    `multiprobe` > 0 additionally probes buckets within that Hamming
+    distance of the query's bucket (flipping sign bits) — the standard
+    multi-probe LSH recall/candidate tradeoff: probing all 1-bit
+    neighbors multiplies candidates by ≤ planes+1 but rescues true
+    neighbors that fall just across one hyperplane.
     Same output schema as `cosine_topk`."""
+    from itertools import combinations
     cb = hyperplane_buckets(corpus, planes, seed, id_col, vec_col)
     qb = hyperplane_buckets(queries, planes, seed, qid_col, qvec_col) \
         .withColumnRenamed("id", "qid").withColumnRenamed("bucket", "qbucket")
     corpus2 = corpus.join(cb, corpus[id_col] == cb["id"]).drop("id")
     queries2 = queries.join(qb, queries[qid_col] == qb["qid"]).drop("qid")
+    if multiprobe > 0:
+        flips = [0] + [sum(1 << b for b in combo)
+                       for d in range(1, multiprobe + 1)
+                       for combo in combinations(range(planes), d)]
+        probe_arr = F.array(*[F.lit(x) for x in flips])
+        queries2 = (queries2
+                    .withColumn("_flip", F.explode(probe_arr))
+                    .withColumn("qbucket", F.col("qbucket").bitwiseXOR(F.col("_flip")))
+                    .drop("_flip"))
     j = corpus2.join(F.broadcast(queries2), F.col("bucket") == F.col("qbucket"))
     sim = F.round(cosine_sim_col(F.col(vec_col), F.col(qvec_col)), 6)
     scored = (j.select(F.col(qid_col), F.col(id_col).alias("neighbor_id"), sim.alias("cosine"))
-              .where(F.col(qid_col) != F.col("neighbor_id")))
+              .where(F.col(qid_col) != F.col("neighbor_id"))
+              .dropDuplicates([qid_col, "neighbor_id"]))  # multi-probe overlap
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

@@ -78,6 +78,18 @@ def test_lsh_recall(emb, queries, brute):
     assert _recall(approx1, brute) >= _recall(approx, brute)
 
 
+def test_multiprobe_improves_recall(emb, queries, brute):
+    """Multi-probe LSH dominates single-bucket LSH: probing all 1-bit
+    Hamming neighbors strictly widens the candidate set."""
+    base = similarity.ann_topk_lsh(emb, queries, k=5, planes=8).toPandas()
+    mp = similarity.ann_topk_lsh(emb, queries, k=5, planes=8, multiprobe=2).toPandas()
+    r_base, r_mp = _recall(base, brute), _recall(mp, brute)
+    assert r_mp >= r_base
+    # near-isotropic data: neighbors differ in ~3 of 8 bits in expectation,
+    # so distance-2 probing recovers P(≤2 flips) ≈ 0.36 of true neighbors
+    assert r_mp >= 0.2
+
+
 def test_neardup_exact_vs_lsh(emb, spark):
     exact = similarity.cosine_neardup_pairs(emb, threshold=0.5).toPandas()
     lsh = similarity.cosine_neardup_pairs(emb, threshold=0.5, use_lsh=True,
