@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": Q.q_tpch_q6,
         "top_orders": Q.q_top_orders,
         "join_revenue_by_nation": Q.q_join_topsuppliers,
+        "order_priority_semi": Q.q_order_priority_semi,
+        "customers_without_orders": Q.q_customers_without_orders,
         # window functions / sessionization
         "window_running_value": Q.q_window_running_value,
         "user_sessions": Q.q_user_sessions,

@@ -88,6 +88,26 @@ ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """
 
+ORACLES["order_priority_semi"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1995-06-30')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["customers_without_orders"] = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
 ORACLES["window_running_value"] = """
 SELECT event_id, user_id,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS running_value,

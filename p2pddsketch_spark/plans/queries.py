@@ -194,6 +194,30 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style LEFT SEMI join: count orders having at least one
+    late lineitem — the semi-join never materializes the match side."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-06-30"))
+    return (orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no RECENT order (≥ 2001-01-01), per
+    segment — churn-style cohort without materializing the match side."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01"))
+    return (cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"))
+            .orderBy("c_mktsegment"))
+
+
 def q_window_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions (absent from the reference): per-user running sum
     and event rank over time — first 200 events by id for a bounded result."""
