@@ -142,6 +142,17 @@ def main():
     tp = sketch_build_throughput(spark, seq_path, total_tokens)
     print(f"# sketch build: {tp}", file=sys.stderr)
 
+    # fast-path figure: the same quantile question answered by the pure
+    # Catalyst plan (whole-stage codegen, zero Python)
+    from p2pddsketch_spark.functions.ddsql import ddsketch_quantile_plan
+    seq = spark.read.parquet(seq_path)
+    t0 = time.monotonic()
+    ddsketch_quantile_plan(seq, "n_tok", [0.5, 0.95, 0.99, 0.999],
+                           alpha=0.001, group_cols=("source",)).count()
+    tp["catalyst_quantile_secs"] = round(time.monotonic() - t0, 3)
+    tp["catalyst_rows_per_sec"] = round(bench_rows / tp["catalyst_quantile_secs"], 1)
+    print(f"# catalyst quantile: {tp['catalyst_quantile_secs']}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
