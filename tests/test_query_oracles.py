@@ -70,6 +70,25 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
 
 
+@pytest.mark.parametrize("name", [
+    "sketch_estimates_events",    # 7 sketches through the full pipeline
+    "minhash_lsh_pairs_prod",     # LSH banding
+    "simhash_neardup_pairs",      # simhash blocks
+    "ann_topk_lsh",               # hyperplane buckets
+    "ann_topk_ivf",               # k-means + probes
+    "rolling_fingerprint",        # rolling hash
+    "theta_token_overlap",        # theta set ops
+])
+def test_rows_only_queries_are_deterministic(spark, name):
+    """The queries WITHOUT SQL oracles are hash/seed-dependent — but every
+    hash and seed is fixed, so two runs must produce identical results
+    (the determinism contract that makes estimates debuggable at scale)."""
+    fn = E.queries()[name]
+    a = canon(fn(spark, SF_DIR).toPandas())
+    b = canon(fn(spark, SF_DIR).toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_theta_token_overlap_vs_exact(spark, duck):
     """Theta set-op estimates within bound of exact per-pair overlaps."""
     got = E.queries()["theta_token_overlap"](spark, SF_DIR).toPandas()
