@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DDSketch — pure Catalyst plan (whole-stage codegen, zero Python)
         "dds_events_catalyst": Q.q_dds_events_sql,
         "dds_signed_catalyst": Q.q_dds_signed_catalyst,
+        "dds_signed_harness": Q.q_dds_signed_harness,
         "dds_doclen_by_lang": Q.q_dds_doclen_by_lang,
         "dds_events_hourly": Q.q_dds_events_hourly,
         # relational surface

@@ -33,6 +33,8 @@ ORACLES["dds_events_catalyst"] = duckdb_quantile_sql(
 ORACLES["dds_signed_catalyst"] = duckdb_quantile_sql_signed(
     "(SELECT value - 250.0 AS centered FROM events) t", "centered",
     [0.05, 0.5, 0.95], alpha=0.01)
+# the harness pipeline computes the identical algebra
+ORACLES["dds_signed_harness"] = ORACLES["dds_signed_catalyst"]
 
 ORACLES["dds_doclen_by_lang"] = duckdb_quantile_sql(
     "documents", "n_chars", QS, alpha=0.01, group_cols=("lang",))

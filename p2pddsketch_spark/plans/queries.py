@@ -87,6 +87,15 @@ def q_dds_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         parquet_path=f"{sf_dir}/lineitem.parquet")
 
 
+def q_dds_signed_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed data through the sketch-object pipeline (mapInArrow +
+    shuffle merge): the same mixed-sign column as the Catalyst twin."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "centered", F.col("value") - F.lit(250.0))
+    return ddsketch_quantiles_via_harness(
+        spark, ev, "centered", [0.05, 0.5, 0.95], alpha=0.01)
+
+
 def q_dds_value_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harness pipeline grouped by a NUMERIC key (user_id % 4)."""
     ev = load(spark, sf_dir, "events").withColumn(
