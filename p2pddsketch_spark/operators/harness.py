@@ -397,6 +397,23 @@ def build_sketches_from_files(spark: SparkSession, path: str,
     return merge_partials(partials, group_cols)
 
 
+def collect_and_merge_partials(partials: DataFrame,
+                               group_cols: tuple[str, ...] = ()) -> dict:
+    """Driver-side final merge: collect the (tiny) stage-1 partial blobs
+    and fold them locally — {(group..., name): sketch}. The right call
+    when partials number in the thousands (interactive queries); the
+    shuffle merge tree (`merge_partials`) is for the 10^5+-partial runs
+    where even blob traffic should stay distributed."""
+    grouped: dict = {}
+    for row in partials.select(*group_cols, "sketch_name", "sketch").collect():
+        key = tuple(row[c] for c in group_cols) + (row["sketch_name"],)
+        grouped.setdefault(key, []).append(bytes(row["sketch"]))
+    out = {}
+    for key, blobs in grouped.items():
+        out[key if len(key) > 1 else key[0]] = sketch_from_bytes(merge_blobs(blobs))
+    return out
+
+
 def collect_sketches(sketch_df: DataFrame, group_cols: tuple[str, ...] = ()) -> dict:
     """Driver-side: {(group..., name): sketch object}. The final sketch rows
     are tiny (one per group×spec) — this is the only collect in the system."""

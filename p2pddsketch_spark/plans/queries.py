@@ -44,17 +44,22 @@ def ddsketch_quantiles_via_harness(spark: SparkSession, df: DataFrame,
     Output schema matches `ddsketch_quantile_plan` exactly. When
     `parquet_path` is given, stage 1 uses the file-parallel fast path
     (pyarrow in-task, no JVM→Python IPC)."""
-    from p2pddsketch_spark.operators.harness import build_sketches_from_files
+    from p2pddsketch_spark.operators.harness import (
+        build_partials, build_partials_from_files, collect_and_merge_partials,
+        parquet_file_list)
     gamma, _ = gamma_of_alpha(alpha)
     spec = [SketchSpec("dds", lambda: DDSketch(alpha=alpha, bin_limit=bin_limit),
                        scalar_extractor(value_col))]
+    # interactive query: partial count is small (partitions × groups), so
+    # the final merge runs driver-side — no shuffle stages at all
     if parquet_path is not None:
-        out = build_sketches_from_files(spark, parquet_path, spec,
-                                        group_cols=group_cols,
-                                        salt_buckets=salt_buckets)
+        partials = build_partials_from_files(spark, parquet_file_list(parquet_path),
+                                             spec, group_cols=group_cols,
+                                             salt_buckets=salt_buckets)
     else:
-        out = build_sketches(df, spec, group_cols=group_cols, salt_buckets=salt_buckets)
-    sketches = collect_sketches(out, group_cols=group_cols)
+        partials = build_partials(df, spec, group_cols=group_cols,
+                                  salt_buckets=salt_buckets)
+    sketches = collect_and_merge_partials(partials, group_cols=group_cols)
     rows = []
     for key, sk in sketches.items():
         gvals = () if not group_cols else (key[:-1] if isinstance(key, tuple) else ())
