@@ -128,11 +128,12 @@ def minhash_signatures(df: DataFrame, num_perm: int = 128, n: int = 3,
             h = _hash_shingles_uint64(flat)
             offs = np.zeros(len(pdf), dtype=np.int64)
             np.cumsum(lens[:-1], out=offs[1:])
-            sig = np.empty((len(pdf), num_perm), dtype=np.uint64)
             with np.errstate(over="ignore"):
-                for p in range(num_perm):
-                    hp = (a_p[p] * (h % _MERSENNE) + b_p[p]) % _MERSENNE
-                    sig[:, p] = np.minimum.reduceat(hp, offs) if h.size else 0
+                # all permutations in one matrix op: (num_perm, n_shingles)
+                hm = h % _MERSENNE
+                hp = (a_p[:, None] * hm[None, :] + b_p[:, None]) % _MERSENNE
+                sig = (np.minimum.reduceat(hp, offs, axis=1).T
+                       if h.size else np.zeros((len(pdf), num_perm), np.uint64))
             empty = lens == 0
             if empty.any():
                 sig[empty] = _MERSENNE
