@@ -91,6 +91,93 @@ def ddsketch_quantile_plan(df: DataFrame, value_col: str, quantiles: list[float]
             .orderBy(*g, "q"))
 
 
+def ddsketch_sliding_quantile_plan(df: DataFrame, value_col: str, ts_col: str,
+                                   quantiles: list[float], alpha: float,
+                                   window_hours: int = 6,
+                                   offset: int = 1 << 30) -> DataFrame:
+    """Sliding-window quantiles from mergeable bucket counts — rolling
+    p95-style monitoring the scale-correct way: hourly (bucket, count)
+    state is tiny and additive, so an N-hour sliding window is just a
+    re-aggregation of N hourly count sets, never a re-scan of raw data.
+
+    Plan: hour epoch → (hour, key) counts → each hour contributes to the
+    `window_hours` windows ending at hour..hour+w−1 (explode of a small
+    sequence — a broadcast-free range join) → per-window cumsum + probe.
+    Output: window_end (hour epoch, long), q, estimate, n — only windows
+    with full w-hour coverage of the data's hour span.
+    """
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    # tz-free hour index: boundary count from a naive anchor — identical on
+    # both engines regardless of spark.sql.session.timeZone
+    hour = F.expr(
+        f"timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    ).cast("long")
+    keyed = (df.where(v.isNotNull() & ~F.isnan(v))
+             .select(hour.alias("_hour"),
+                     ddsketch_key_col(v, alpha, offset).alias("_key")))
+    counts = keyed.groupBy("_hour", "_key").agg(F.count("*").alias("_cnt"))
+    contrib = (counts
+               .withColumn("_end", F.explode(F.sequence(
+                   F.col("_hour"), F.col("_hour") + F.lit(window_hours - 1))))
+               .groupBy("_end", "_key").agg(F.sum("_cnt").alias("_cnt")))
+    bounds = keyed.agg(F.min("_hour").alias("_lo"), F.max("_hour").alias("_hi"))
+    full = contrib.join(F.broadcast(bounds),
+                        (F.col("_end") >= F.col("_lo") + F.lit(window_hours - 1)) &
+                        (F.col("_end") <= F.col("_hi")))
+    from pyspark.sql.window import Window
+    w_cum = Window.partitionBy("_end").orderBy("_key")
+    w_all = Window.partitionBy("_end")
+    cum = (full.withColumn("_cum", F.sum("_cnt").over(w_cum))
+           .withColumn("_n", F.sum("_cnt").over(w_all)))
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    picked = (cum.join(F.broadcast(qdf),
+                       F.col("_cum") > F.col("q") * (F.col("_n") - F.lit(1)).cast("double"))
+              .groupBy("_end", "q")
+              .agg(F.min("_key").alias("_key"), F.first("_n").alias("n")))
+    return (picked
+            .withColumn("estimate", F.round(ddsketch_estimate_col(F.col("_key"), alpha, offset), 6))
+            .select(F.col("_end").alias("window_end"), "q", "estimate",
+                    F.col("n").cast("long").alias("n"))
+            .orderBy("window_end", "q"))
+
+
+def duckdb_sliding_quantile_sql(table: str, value_col: str, ts_col: str,
+                                quantiles: list[float], alpha: float,
+                                window_hours: int = 6) -> str:
+    """DuckDB twin of `ddsketch_sliding_quantile_plan` (positive values)."""
+    gamma, lng = gamma_of_alpha(alpha)
+    qvals = ", ".join(f"({float(q)!r})" for q in quantiles)
+    return f"""
+WITH keyed AS (
+  SELECT CAST(datediff('hour', TIMESTAMP '1970-01-01 00:00:00', {ts_col}) AS BIGINT) AS hour,
+         CAST(ceil(ln(CAST({value_col} AS DOUBLE)) / {lng!r}) AS BIGINT) AS key
+  FROM {table} WHERE {value_col} IS NOT NULL
+), counts AS (
+  SELECT hour, key, COUNT(*) AS cnt FROM keyed GROUP BY hour, key
+), contrib AS (
+  SELECT hour + off AS window_end, key, SUM(cnt) AS cnt
+  FROM counts, (SELECT unnest(range({window_hours})) AS off)
+  GROUP BY window_end, key
+), bounds AS (
+  SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM keyed
+), cum AS (
+  SELECT window_end, key, cnt,
+         SUM(cnt) OVER (PARTITION BY window_end ORDER BY key) AS cum_cnt,
+         SUM(cnt) OVER (PARTITION BY window_end) AS n
+  FROM contrib, bounds
+  WHERE window_end >= lo + {window_hours - 1} AND window_end <= hi
+), qs(q) AS (VALUES {qvals})
+SELECT window_end, q,
+       ROUND(2 * power({gamma!r}, CAST(MIN(key) AS DOUBLE)) / ({gamma!r} + 1), 6) AS estimate,
+       CAST(MIN(n) AS BIGINT) AS n
+FROM cum CROSS JOIN qs
+WHERE cum_cnt > q * (n - 1)
+GROUP BY window_end, q
+ORDER BY window_end, q
+"""
+
+
 def duckdb_quantile_sql_signed(table: str, value_col: str, quantiles: list[float],
                                alpha: float, offset: int = 1 << 30) -> str:
     """Signed-codec twin of `ddsketch_quantile_plan` for mixed-sign data:

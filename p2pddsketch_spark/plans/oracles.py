@@ -44,6 +44,11 @@ ORACLES["dds_events_hourly"] = duckdb_quantile_sql(
     "value FROM events) t",
     "value", [0.95], alpha=0.01, group_cols=("hour_bucket",))
 
+from p2pddsketch_spark.functions.ddsql import duckdb_sliding_quantile_sql
+
+ORACLES["dds_sliding_p95"] = duckdb_sliding_quantile_sql(
+    "events", "value", "ts", [0.5, 0.95], alpha=0.01, window_hours=6)
+
 ORACLES["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,

@@ -143,6 +143,15 @@ def q_dds_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("hour_bucket", "q")
 
 
+def q_dds_sliding_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour sliding-window p95 of event value — rolling quantiles from
+    mergeable hourly bucket counts, never re-scanning raw data."""
+    from p2pddsketch_spark.functions.ddsql import ddsketch_sliding_quantile_plan
+    return ddsketch_sliding_quantile_plan(load(spark, sf_dir, "events"),
+                                          "value", "ts", [0.5, 0.95],
+                                          alpha=0.01, window_hours=6)
+
+
 # --------------------------------------------------------- relational layer
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
