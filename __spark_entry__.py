@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-sketch single-pass estimates (rows-only check)
         "sketch_estimates_events": Q.q_sketch_estimates_events,
         "theta_token_overlap": Q.q_theta_token_overlap,
+        "stratified_sample": Q.q_stratified_sample,
     }
 
 

@@ -19,12 +19,13 @@ from p2pddsketch_spark.sketches.cms import CountMinSketch
 from p2pddsketch_spark.sketches.bloom import BloomFilter
 from p2pddsketch_spark.sketches.kll import KLLSketch
 from p2pddsketch_spark.sketches.kll_turnstile import TurnstileKLL
+from p2pddsketch_spark.sketches.bottomk import BottomKSample
 from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
 from p2pddsketch_spark.sketches.tdigest import TDigest
 from p2pddsketch_spark.sketches.theta import ThetaSketch
 
 __all__ = [
     "DDSketch", "HyperLogLog", "CountMinSketch", "BloomFilter",
-    "KLLSketch", "TurnstileKLL", "TDigest", "SpaceSaving", "ThetaSketch",
+    "KLLSketch", "TurnstileKLL", "TDigest", "SpaceSaving", "ThetaSketch", "BottomKSample",
 ]
 __version__ = "0.1.0"

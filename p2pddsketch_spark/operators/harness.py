@@ -44,6 +44,7 @@ from p2pddsketch_spark.sketches.cms import CountMinSketch
 from p2pddsketch_spark.sketches.bloom import BloomFilter
 from p2pddsketch_spark.sketches.kll import KLLSketch
 from p2pddsketch_spark.sketches.kll_turnstile import TurnstileKLL
+from p2pddsketch_spark.sketches.bottomk import BottomKSample
 from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
 from p2pddsketch_spark.sketches.tdigest import TDigest
 from p2pddsketch_spark.sketches.theta import ThetaSketch
@@ -64,6 +65,7 @@ SKETCH_TYPES = {
     b"KLT1": TurnstileKLL,
     b"TDG1": TDigest,
     b"SSV1": SpaceSaving,
+    b"BTK1": BottomKSample,
     b"THT1": ThetaSketch,
 }
 

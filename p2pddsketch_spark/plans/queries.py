@@ -376,6 +376,24 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf(emb, queries, k=5, nlist=16, nprobe=4)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 docs per source via mergeable
+    bottom-k sampling through the sketch harness — a reproducible
+    training-data subset with no raw-data shuffle and no second pass.
+    Rows-only check (tag hash not SQL-expressible); determinism and
+    exactness are pytest-verified."""
+    from p2pddsketch_spark.sketches.bottomk import BottomKSample
+    docs = load(spark, sf_dir, "documents")
+    out = build_sketches(
+        docs, [SketchSpec("sample", lambda: BottomKSample(k=20, seed=33),
+                          scalar_int_extractor("doc_id"))],
+        group_cols=("source",), salt_buckets=8)
+    sk = collect_sketches(out, group_cols=("source",))
+    rows = [(key[0], int(i)) for key, s in sk.items() for i in s.sample()]
+    return (spark.createDataFrame(rows, "source string, doc_id long")
+            .orderBy("source", "doc_id"))
+
+
 def q_theta_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-token overlap between source pairs via theta sketches —
     the set-operation query HLL cannot answer: build one theta sketch per

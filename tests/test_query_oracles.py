@@ -105,3 +105,22 @@ def test_theta_token_overlap_vs_exact(spark, duck):
         e = ex.get((r["source_a"], r["source_b"]), 0)
         if e > 100:
             assert abs(r["inter_est"] - e) / e < 0.15, (r["source_a"], r["source_b"])
+
+
+def test_stratified_sample_exact_and_partition_invariant(spark):
+    """The stratified sample equals the exact per-source bottom-k by tag
+    and is identical across partition layouts."""
+    import numpy as np
+    from p2pddsketch_spark.functions.hashing import splitmix64
+    got = E.queries()["stratified_sample"](spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("source", "doc_id").toPandas()
+    for source, grp in docs.groupby("source"):
+        ids = grp["doc_id"].to_numpy(dtype=np.int64)
+        tags = splitmix64(ids, seed=33)
+        expect = set(ids[np.argsort(tags)[:20]].tolist())
+        have = set(got[got["source"] == source]["doc_id"].tolist())
+        assert have == expect, source
+    # layout invariance
+    again = E.queries()["stratified_sample"](spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(again))

@@ -283,3 +283,28 @@ def test_theta_exact_below_capacity_and_merge():
     m = ThetaSketch.from_bytes(a.to_bytes()).merge(b)
     assert m.cardinality() == 1500.0
     assert a.intersection_cardinality(b) == 500.0
+
+
+# --------------------------------------------------------------- bottom-k
+
+def test_bottomk_deterministic_mergeable_uniform():
+    from p2pddsketch_spark.sketches.bottomk import BottomKSample
+    from p2pddsketch_spark.functions.hashing import splitmix64
+    ids = np.arange(100_000, dtype=np.int64)
+    whole = BottomKSample(k=500, seed=9).update_batch(ids)
+    # exact oracle: k smallest tags over all ids
+    tags = splitmix64(ids, seed=9)
+    expect = ids[np.argsort(tags)[:500]]
+    assert np.array_equal(np.sort(whole.sample()), np.sort(expect))
+    # merge of arbitrary splits is byte-identical to the whole
+    rng = np.random.default_rng(0)
+    parts = np.array_split(rng.permutation(ids), 7)
+    acc = BottomKSample(k=500, seed=9)
+    for p in parts:
+        acc.merge(BottomKSample(k=500, seed=9).update_batch(p))
+    assert acc.to_bytes() == whole.to_bytes()
+    # KMV cardinality from the sample
+    assert abs(whole.cardinality() - 100_000) / 100_000 < 0.1
+    # duplicates don't double-enter
+    dup = BottomKSample(k=500, seed=9).update_batch(np.concatenate([ids, ids]))
+    assert dup.to_bytes() == whole.to_bytes()
