@@ -187,6 +187,21 @@ def test_salting_bounds_fanin_under_source_skew(spark, sequences_path):
     assert fanin.max() <= -(-24 // salt_buckets)
 
 
+def test_empty_input_yields_empty_sketch_df(spark, sequences_path):
+    """Degenerate inputs: empty scan → empty sketch table, no crash; a
+    filter leaving one group → only that group's sketch."""
+    df = spark.read.parquet(sequences_path)
+    spec = [SketchSpec("dds", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
+                       scalar_extractor("n_tok"))]
+    empty = build_sketches(df.where("n_tok < 0"), spec, salt_buckets=4)
+    assert empty.count() == 0
+    assert collect_sketches(empty) == {}
+    one = build_sketches(df.where("source = 'wiki'"), spec,
+                         group_cols=("source",), salt_buckets=4)
+    sk = collect_sketches(one, group_cols=("source",))
+    assert set(sk) == {("wiki", "dds")}
+
+
 def test_token_array_equality_invariant(spark, sequences_path):
     """Per-row invariant (input_hint): the persisted tokens arrays equal
     the seeded regeneration, element-wise."""
