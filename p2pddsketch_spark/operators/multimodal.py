@@ -20,7 +20,7 @@ from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
 __all__ = ["MEDIA_SCHEMA", "attach_payload", "decode_features",
-           "payload_stats", "decode_image", "sample_frames"]
+           "payload_stats", "resize_image", "decode_image", "sample_frames"]
 
 # canonical multimodal row: opaque payload + typed metadata
 MEDIA_SCHEMA = StructType([
@@ -91,6 +91,19 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                                 "features": feats})
 
     return df.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
+    """Real image resize — unavailable in this container. The Spark-side
+    shape is `decode_features`' mapInPandas plumbing with a (payload,
+    width, height) → payload signature; drop PIL in here."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as ex:
+        raise NotImplementedError(
+            "image codec not installed; payload plumbing is exercised by "
+            "decode_features/payload_stats") from ex
+    raise NotImplementedError("wire PIL resize here in a full deployment")
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub

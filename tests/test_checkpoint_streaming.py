@@ -225,4 +225,6 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"xxx")
     with pytest.raises(NotImplementedError):
+        mm.resize_image(b"xxx", 64, 64)
+    with pytest.raises(NotImplementedError):
         mm.sample_frames(b"xxx")
