@@ -64,7 +64,7 @@ SKETCH_TYPES = {
     b"KLL1": KLLSketch,
     b"KLT1": TurnstileKLL,
     b"TDG1": TDigest,
-    b"SSV1": SpaceSaving,
+    b"SSV2": SpaceSaving,
     b"BTK1": BottomKSample,
     b"THT1": ThetaSketch,
 }

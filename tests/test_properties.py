@@ -70,3 +70,70 @@ def test_kll_weight_always_preserved(vals):
     k.update_batch(np.array(vals))
     total = sum(arr.size * (1 << lvl) for lvl, arr in enumerate(k.levels))
     assert total == len(vals) == k.n
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=400),
+       st.integers(min_value=0, max_value=10))
+def test_cms_never_undercounts_property(ids, seed):
+    from p2pddsketch_spark.sketches.cms import CountMinSketch
+    v = np.array(ids, dtype=np.int64)
+    c = CountMinSketch(depth=3, width=256, seed=seed).update_batch(v)
+    uniq, counts = np.unique(v, return_counts=True)
+    assert (c.estimate(uniq) >= counts).all()
+    assert c.total == v.size
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=300),
+       st.integers(min_value=0, max_value=10))
+def test_bloom_no_false_negatives_property(ids, seed):
+    from p2pddsketch_spark.sketches.bloom import BloomFilter
+    v = np.array(ids, dtype=np.int64)
+    b = BloomFilter(m_bits=1 << 12, k=3, seed=seed).update_batch(v)
+    assert b.contains(v).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=500))
+def test_theta_exact_below_capacity_property(ids):
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+    v = np.array(sorted(ids), dtype=np.int64)
+    t = ThetaSketch(k=1024).update_batch(v)
+    assert t.cardinality() == float(len(ids))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=10, max_size=800))
+def test_spacesaving_guarantee_property(ids):
+    from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
+    v = np.array(ids, dtype=np.int64)
+    s = SpaceSaving(k=8)
+    for chunk in np.array_split(v, 4):
+        if chunk.size:
+            s.update_batch(chunk)
+    uniq, counts = np.unique(v, return_counts=True)
+    exact = dict(zip(uniq.tolist(), counts.tolist()))
+    # floor is the worst-case miss; batch variant keeps it within ~2N/k
+    assert s.floor <= 2 * max(s.n, 1) // s.k + 1
+    # completeness: every item above the floor is tracked
+    for item, f in exact.items():
+        if f > s.floor:
+            assert item in s.keys
+    # soundness: per-item bounds hold by construction
+    for item, est, err in s.top():
+        f = exact.get(item, 0)
+        assert f <= est <= f + err + (0 if err else s.floor)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=400),
+       st.integers(min_value=2, max_value=5))
+def test_bottomk_merge_equals_whole_property(ids, k_parts):
+    from p2pddsketch_spark.sketches.bottomk import BottomKSample
+    v = np.array(sorted(ids), dtype=np.int64)
+    whole = BottomKSample(k=32, seed=3).update_batch(v)
+    acc = BottomKSample(k=32, seed=3)
+    for part in np.array_split(v, k_parts):
+        acc.merge(BottomKSample(k=32, seed=3).update_batch(part))
+    assert acc.to_bytes() == whole.to_bytes()
