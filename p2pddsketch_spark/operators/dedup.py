@@ -22,14 +22,15 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 from p2pddsketch_spark.operators.text import fingerprint_md5_col, words_col
 
 __all__ = ["exact_dedup_stats", "exact_dedup", "word_shingles_col",
-           "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs",
-           "simhash64", "simhash_neardup_pairs"]
+           "ngram_jaccard_pairs", "minhash_signatures", "minhash_band_hashes",
+           "minhash_lsh_pairs", "simhash64", "simhash_blocks",
+           "simhash_neardup_pairs"]
 
 
 # ------------------------------------------------------------- exact dedup
@@ -57,30 +58,56 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ------------------------------------------------------ n-gram Jaccard
 
 def word_shingles_col(text_col: str = "text", n: int = 3):
-    """Distinct word n-gram shingles, built with JVM array functions."""
+    """Distinct word n-gram shingles, built with JVM array functions.
+    Docs with fewer than n words have NO n-gram shingle — they get an
+    empty array (never a truncated gram), so short/empty docs cannot
+    pair with each other through a degenerate shared shingle."""
     words = words_col(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    return F.array_distinct(grams)
+    return F.when(F.size(words) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via inverted index:
-    explode shingles → self-join on shingle → count shared shingles per
-    pair → jaccard = inter / (|A| + |B| − inter). Returns (id_a, id_b,
-    jaccard) with id_a < id_b, jaccard rounded to 6."""
-    sh = (df.select(F.col(id_col).alias("id"),
-                    word_shingles_col(text_col, n).alias("sh"))
-          .withColumn("sz", F.size("sh").cast("long")))
-    ex = sh.select("id", "sz", F.explode("sh").alias("g"))
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_shingle_df: int | None = 100_000) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via inverted index: explode shingles
+    → self-join on shingle for CANDIDATE pairs → exact array-intersect
+    Jaccard verification of candidates (full shingle sets, recomputed
+    only for docs a candidate pair touches). Returns (id_a, id_b,
+    jaccard) with id_a < id_b, jaccard rounded to 6.
+
+    `max_shingle_df` caps the inverted index: a shingle occurring in more
+    than that many documents is dropped from CANDIDATE GENERATION (never
+    from verification), because a shingle shared by m docs emits m² join
+    rows — one stopword-ish shingle at corpus scale would make the
+    self-join quadratic. Verification stays exact, so the only effect on
+    output is a documented recall bound: a pair is missed only when
+    EVERY shingle it shares is hotter than the cap — at any meaningful
+    threshold such pairs share thousands of shingles and the chance all
+    are corpus-scale-hot is negligible. Set None to disable (exact
+    recall; only safe when the corpus is small or pre-deduped)."""
+    sh_full = df.select(F.col(id_col).alias("id"),
+                        word_shingles_col(text_col, n).alias("sh"))
+    ex = sh_full.select("id", F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        hot = (ex.groupBy("g").agg(F.count("*").alias("df_"))
+               .where(F.col("df_") > max_shingle_df).select("g"))
+        ex = ex.join(hot, "g", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
-    inter = (a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                      F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
-             .agg(F.count("*").alias("inter")))
-    jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-    return (inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    cand = (a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    cand_ids = (cand.select(F.col("id_a").alias("id"))
+                .union(cand.select(F.col("id_b").alias("id")))
+                .distinct())
+    sh = sh_full.join(cand_ids, "id", "left_semi")
+    ja = cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a") \
+             .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (ja.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
             .orderBy("id_a", "id_b"))
 
@@ -103,17 +130,26 @@ def _hash_shingles_uint64(flat: pd.Series) -> np.ndarray:
     return hash_array(flat.to_numpy(dtype=object), hash_key="p2pddsketch0000!")
 
 
-def minhash_signatures(df: DataFrame, num_perm: int = 128, n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id",
-                       seed: int = 7) -> DataFrame:
-    """(id, sig array<long>[num_perm]) — one Arrow-vectorized pass:
-    flatten all shingle lists in the batch, hash once, then per
-    permutation h' = (a·h + b) mod 2^61−1 and segment-min with
-    `np.minimum.reduceat`. No per-row Python."""
+def minhash_band_hashes(df: DataFrame, num_perm: int = 128, bands: int = 32,
+                        n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+    """(id, bh array<binary>[bands]) — one Arrow-vectorized pass: flatten
+    all shingle lists in the batch, hash once, per permutation
+    h' = (a·h + b) mod 2^61−1, segment-min with `np.minimum.reduceat`,
+    then digest each band's `rows` minima into ONE compact binary band
+    hash INSIDE the signature stage. The downstream band explode shuffles
+    8·rows bytes per (id, band) row instead of the full signature — at
+    128 perms × 32 bands this is a 64× shuffle-volume cut vs carrying a
+    hex-encoded signature to every band row. No per-row Python."""
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    if not 1 <= bands <= num_perm:
+        raise ValueError(f"bands must be in [1, num_perm={num_perm}]")
+    rows = num_perm // bands
     a_p, b_p = _perm_params(num_perm, seed)
     id_type = df.schema[id_col].dataType
     schema = StructType([StructField("id", id_type, True),
-                         StructField("sig", StringType(), False)])
+                         StructField("bh", ArrayType(BinaryType(), False), False)])
     sh = df.select(F.col(id_col).alias("id"),
                    word_shingles_col(text_col, n).alias("sh"))
 
@@ -137,44 +173,61 @@ def minhash_signatures(df: DataFrame, num_perm: int = 128, n: int = 3,
             empty = lens == 0
             if empty.any():
                 sig[empty] = _MERSENNE
-            # serialize signature row-wise as hex (compact, deterministic)
-            blobs = [sig[i].tobytes().hex() for i in range(len(pdf))]
-            yield pd.DataFrame({"id": pdf["id"], "sig": blobs})
+            # little-endian u64 row bytes, sliced per band: bh[i][b] is the
+            # 8·rows-byte digest of row i's band b
+            raw = np.ascontiguousarray(sig.astype("<u8")).tobytes()
+            stride, bw = num_perm * 8, rows * 8
+            bhs = [[raw[i * stride + b * bw: i * stride + (b + 1) * bw]
+                    for b in range(bands)] for i in range(len(pdf))]
+            yield pd.DataFrame({"id": pdf["id"], "bh": bhs})
 
     return sh.mapInPandas(sign, schema=schema)
+
+
+def minhash_signatures(df: DataFrame, num_perm: int = 128, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       seed: int = 7) -> DataFrame:
+    """(id, sig array<binary>[num_perm]) — each element the 8-byte
+    little-endian minimum of one permutation (a 1-row band of
+    `minhash_band_hashes`)."""
+    return minhash_band_hashes(df, num_perm=num_perm, bands=num_perm, n=n,
+                               text_col=text_col, id_col=id_col, seed=seed) \
+        .withColumnRenamed("bh", "sig")
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128,
                       bands: int = 32, n: int = 3, text_col: str = "text",
                       id_col: str = "doc_id", seed: int = 7) -> DataFrame:
-    """Near-dup pairs: MinHash signatures → LSH band buckets → candidate
-    pairs (equi-join on (band, band_hash) — only bucket collisions meet)
-    → EXACT n-gram-Jaccard verification of candidates.
+    """Near-dup pairs: MinHash band digests → LSH candidate pairs
+    (equi-join on (band, band_hash) — only bucket collisions meet) →
+    EXACT n-gram-Jaccard verification of the candidates only (shingles
+    are recomputed solely for docs that appear in a candidate pair —
+    a left-semi join keeps the verify stage proportional to the
+    candidate set, not the corpus).
 
     With 32 bands × 4 rows, a pair at J=0.5 is caught w.p. ~1−(1−0.5⁴)³²
     ≈ 0.87 and at J=0.8 w.p. ≈ 1−5·10⁻⁸; verified output contains no
     false positives. Output schema matches `ngram_jaccard_pairs`.
     """
-    rows = num_perm // bands
     # small-file inputs arrive as one partition — spread the vectorized
     # signature stage across the cluster (cheap narrow shuffle of text)
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    sigs = minhash_signatures(df, num_perm, n, text_col, id_col, seed)
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = (sigs.select("id", F.explode(band_idx).alias("band"),
-                          F.col("sig"))
-              .withColumn("bh", F.substring("sig", F.col("band") * (rows * 16) + 1, rows * 16))
-              .select("id", "band", "bh"))
+    digests = minhash_band_hashes(df, num_perm, bands, n, text_col, id_col, seed)
+    banded = digests.select("id", F.posexplode("bh").alias("band", "bh"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                       (F.col("a.bh") == F.col("b.bh")) &
                       (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
-    sh = df.select(F.col(id_col).alias("id"),
-                   word_shingles_col(text_col, n).alias("sh"))
+    cand_ids = (cand.select(F.col("id_a").alias("id"))
+                .union(cand.select(F.col("id_b").alias("id")))
+                .distinct())
+    sh = (df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
+          .select(F.col(id_col).alias("id"),
+                  word_shingles_col(text_col, n).alias("sh")))
     ja = cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a") \
              .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -224,17 +277,43 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sh.mapInPandas(sim, schema=schema)
 
 
+def simhash_blocks(max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) of the B = max_hamming + 1 blocks a 64-bit
+    SimHash is split into for candidate generation. Pigeonhole: two codes
+    within Hamming ≤ max_hamming differ in at most max_hamming blocks, so
+    they must AGREE on at least one of the B blocks — joining on every
+    block is therefore a COMPLETE candidate generator for the requested
+    radius (recall 1.0 before the exact popcount verify)."""
+    b = max_hamming + 1
+    if not 1 <= b <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    base, rem = divmod(64, b)
+    widths = [base + 1 if i < rem else base for i in range(b)]
+    starts = [sum(widths[:i]) for i in range(b)]
+    return list(zip(starts, widths))
+
+
 def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
                           text_col: str = "text", id_col: str = "doc_id",
                           n: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: join on each of 4 16-bit blocks (a pair
-    within Hamming ≤ 3 of 64 bits must agree on ≥ 1 block — pigeonhole),
-    then exact popcount verification. Returns (id_a, id_b, hamming)."""
+    """Near-dup pairs by SimHash: join on each of max_hamming+1 bit blocks
+    (a pair within the radius must agree on ≥ 1 block — pigeonhole, see
+    `simhash_blocks`), then exact popcount verification. Block count is
+    DERIVED from max_hamming so the candidate step is complete for any
+    requested radius. Returns (id_a, id_b, hamming)."""
     s = simhash64(df, text_col, id_col, n)
-    blocks = F.sequence(F.lit(0), F.lit(3))
-    blocked = (s.select("id", "simhash", F.explode(blocks).alias("blk"))
-               .withColumn("bh", F.expr("shiftrightunsigned(simhash, blk * 16)")
-                           .bitwiseAND(F.lit(0xFFFF))))
+    layout = simhash_blocks(max_hamming)
+    block_arr = F.array(*[
+        F.struct(F.lit(st).alias("st"), F.lit(wd).alias("wd"))
+        for st, wd in layout])
+    # mask = (1 << wd) − 1; at wd = 64 Java << wraps mod 64, so take −1
+    # (all ones) explicitly. Two's-complement wrap at wd = 63 is correct.
+    blocked = (s.select("id", "simhash",
+                        F.posexplode(block_arr).alias("blk", "sw"))
+               .withColumn("bh", F.expr(
+                   "shiftrightunsigned(simhash, sw.st) & "
+                   "(CASE WHEN sw.wd < 64 THEN shiftleft(1L, sw.wd) - 1L ELSE -1L END)"))
+               .select("id", "simhash", "blk", "bh"))
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
                       (F.col("a.bh") == F.col("b.bh")) &

@@ -214,8 +214,11 @@ SELECT COUNT(*) AS n_docs,
 FROM documents
 """
 
-_SHINGLES_2 = ("list_distinct(list_transform(range(1, greatest(len(w), 2)), "
-               "i -> w[i] || ' ' || w[i+1]))")
+# docs with < 2 words have NO 2-gram shingle (empty list, matching
+# word_shingles_col) — a truncated/NULL gram must never pair short docs
+_SHINGLES_2 = ("CASE WHEN len(w) >= 2 THEN "
+               "list_distinct(list_transform(range(1, len(w)), "
+               "i -> w[i] || ' ' || w[i+1])) ELSE [] END")
 
 _JACCARD_PAIRS = f"""
 WITH sh AS (
@@ -227,6 +230,7 @@ SELECT a.id AS id_a, b.id AS id_b,
              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
 FROM sh a, sh b
 WHERE a.id < b.id
+  AND len(a.s) > 0 AND len(b.s) > 0
   AND ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.12
 ORDER BY id_a, id_b

@@ -1,0 +1,139 @@
+"""Recall contracts of the near-dup candidate generators (round-2 fixes):
+
+* SimHash block layout is derived from max_hamming (pigeonhole-complete)
+  — planted-pair recall verified against exact all-pairs popcount
+* short docs (< n words) produce NO shingle, never a truncated one
+* MinHash banding parameters are validated; binary band digests equal
+  the old full-signature semantics
+* the n-gram inverted-index cap drops hot shingles from candidate
+  generation only — verification stays exact
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# --------------------------------------------------------------- simhash
+
+def _share_block(x: int, y: int, layout) -> bool:
+    for st, wd in layout:
+        mask = (1 << wd) - 1
+        if (x >> st) & mask == (y >> st) & mask:
+            return True
+    return False
+
+
+@pytest.mark.parametrize("max_hamming", [0, 3, 8, 15, 63])
+def test_simhash_blocks_pigeonhole_complete(max_hamming):
+    """Any pair of 64-bit codes within Hamming <= max_hamming agrees on
+    at least one block of the derived layout (candidate completeness)."""
+    layout = dedup.simhash_blocks(max_hamming)
+    assert sum(w for _, w in layout) == 64
+    assert len(layout) == max_hamming + 1
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        x = int(rng.integers(0, 1 << 63))
+        d = int(rng.integers(0, max_hamming + 1))
+        flip = rng.choice(64, size=d, replace=False)
+        y = x
+        for b in flip:
+            y ^= 1 << int(b)
+        assert _share_block(x, y, layout), (hex(x), hex(y), d)
+
+
+def test_simhash_blocks_rejects_bad_radius():
+    with pytest.raises(ValueError):
+        dedup.simhash_blocks(64)
+    with pytest.raises(ValueError):
+        dedup.simhash_blocks(-1)
+
+
+def test_simhash_neardup_recall_exact(spark, docs):
+    """End-to-end: the registered radius (max_hamming=8) returns EXACTLY
+    the all-pairs popcount ground truth — completeness (no pair at
+    Hamming <= 8 missed by blocking) and soundness (verify filter)."""
+    sh = dedup.simhash64(docs, n=2).toPandas().sort_values("id")
+    ids = sh["id"].to_numpy()
+    codes = sh["simhash"].to_numpy().astype(np.uint64)
+    x = codes[:, None] ^ codes[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    ia, ib = np.where(np.triu(ham <= 8, k=1))
+    expected = {(int(ids[a]), int(ids[b]), int(ham[a, b])) for a, b in zip(ia, ib)}
+    got = dedup.simhash_neardup_pairs(docs, max_hamming=8, n=2).toPandas()
+    got_set = {(int(r.id_a), int(r.id_b), int(r.hamming)) for r in got.itertuples()}
+    assert got_set == expected
+    assert len(expected) > 0  # the fixture actually exercises the radius
+
+
+# ------------------------------------------------------------- shingles
+
+def test_short_docs_have_no_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words"), (4, "three word doc")],
+        "doc_id long, text string")
+    sh = df.select("doc_id", dedup.word_shingles_col("text", 3).alias("s")) \
+           .toPandas().set_index("doc_id")["s"]
+    assert list(sh.loc[1]) == []
+    assert list(sh.loc[2]) == []
+    assert list(sh.loc[3]) == []
+    assert list(sh.loc[4]) == ["three word doc"]
+    # two shingle-less docs must NOT pair up (no degenerate "" shingle)
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.0, n=3).toPandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == set()
+
+
+# -------------------------------------------------------------- minhash
+
+def test_minhash_band_param_validation(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.minhash_band_hashes(docs, num_perm=128, bands=3)
+    with pytest.raises(ValueError):
+        dedup.minhash_band_hashes(docs, num_perm=16, bands=32)
+
+
+def test_minhash_band_digests_consistent(spark, docs):
+    """bh[b] of a 32-band digest equals the concatenation of the 4
+    corresponding 1-row signatures — banding is pure re-slicing."""
+    one = dedup.minhash_signatures(docs.limit(20), num_perm=16, n=2).toPandas()
+    banded = dedup.minhash_band_hashes(docs.limit(20), num_perm=16, bands=4,
+                                       n=2).toPandas()
+    one = one.set_index("id")["sig"]
+    for r in banded.itertuples():
+        sig = one.loc[r.id]
+        for b in range(4):
+            assert bytes(r.bh[b]) == b"".join(bytes(x) for x in sig[b * 4:(b + 1) * 4])
+
+
+def test_ngram_hot_shingle_cap_keeps_exact_verify(spark):
+    """Every doc shares the hot shingle 'x y'; pairs (1,2) additionally
+    share distinctive shingles. With the cap excluding 'x y' from the
+    index, (1,2) is still found and its jaccard is computed over the
+    FULL shingle sets (the hot shingle counts in the intersection)."""
+    df = spark.createDataFrame(
+        [(1, "x y alpha beta gamma"), (2, "x y alpha beta delta"),
+         (3, "x y zeta eta theta"), (4, "x y iota kappa mu")],
+        "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.3, n=2,
+                                       max_shingle_df=3).toPandas()
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.3, n=2,
+                                         max_shingle_df=None).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.itertuples()}
+    want = {(r.id_a, r.id_b): r.jaccard for r in uncapped.itertuples()}
+    assert (1, 2) in got
+    assert got == want  # (1,2) shares non-hot shingles -> no recall loss
+    # jaccard uses full sets: docs have 4 shingles each; (1,2) share
+    # 'x y','y alpha','alpha beta' -> 3/5
+    assert abs(got[(1, 2)] - 0.6) < 1e-9
