@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_quantiles_lineitem": Q.q_dds_lineitem,
         "dds_price_by_flag": Q.q_dds_price_by_flag,
         "dds_value_by_user_bucket": Q.q_dds_value_by_user_bucket,
+        "dds_turnstile_lineitem": Q.q_dds_turnstile,
         # DDSketch — pure Catalyst plan (whole-stage codegen, zero Python)
         "dds_events_catalyst": Q.q_dds_events_sql,
         "dds_signed_catalyst": Q.q_dds_signed_catalyst,

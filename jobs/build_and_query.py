@@ -33,7 +33,8 @@ def parse_args(argv):
     p.add_argument("--value-col", default="n_tok")
     p.add_argument("--tokens-col", default="tokens",
                    help="array<int> column for HLL/CMS/Bloom ('' to skip)")
-    p.add_argument("--group-col", default="", help="optional grouping column")
+    p.add_argument("--group-col", nargs="*", default=[],
+               help="optional grouping column(s) — multi-column groups factorize per column in stage 1")
     p.add_argument("--alpha", type=float, default=0.001)
     p.add_argument("--bin-limit", type=int, default=1 << 22)
     p.add_argument("--strategy", default="first",
@@ -80,7 +81,7 @@ def main(argv=None):
             SketchSpec("bloom", lambda: BloomFilter(m_bits=1 << 21, k=5),
                        array_extractor(args.tokens_col)),
         ]
-    group_cols = (args.group_col,) if args.group_col else ()
+    group_cols = tuple(args.group_col)
 
     t0 = time.monotonic()
     if args.checkpoint_dir:

@@ -53,6 +53,7 @@ __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
            "build_sketches", "build_partials", "merge_partials",
            "build_sketches_from_files", "build_partials_from_files",
            "parquet_file_list", "collect_sketches", "merge_blobs",
+           "final_sketches", "collect_and_merge_partials",
            "sketch_from_bytes", "SKETCH_TYPES"]
 
 # magic prefix (first 4 bytes of every canonical serialization) → class
@@ -236,28 +237,47 @@ def _make_stage1(specs: list[SketchSpec], group_cols: tuple[str, ...],
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         salt = pid % salt_buckets
         t0 = time.monotonic()
-        rows = 0
         all_idx = list(range(len(specs)))
         # (spec_idx, group_key_tuple) -> sketch
         states: dict[tuple, object] = {}
+        # group_key_tuple -> rows contributing to that group (lineage)
+        rows_by_key: dict[tuple, int] = {}
         for batch in batches:
-            rows += batch.num_rows
             if not group_cols:
+                rows_by_key[()] = rows_by_key.get((), 0) + batch.num_rows
                 _update_all(states, all_idx, (), batch)
             else:
-                gcols = [batch.column(c).to_numpy(zero_copy_only=False) for c in group_cols]
-                gkeys = gcols[0] if len(gcols) == 1 else list(zip(*gcols))
-                uniq, inv = np.unique(np.asarray(gkeys, dtype=object), return_inverse=True)
+                gcols = [batch.column(c).to_numpy(zero_copy_only=False)
+                         for c in group_cols]
+                # factorize each column separately, then combine codes —
+                # np.unique over a 2-D object array would flatten (and
+                # raises outright on mixed column types)
+                if len(gcols) == 1:
+                    uniq, inv = np.unique(gcols[0], return_inverse=True)
+                    keys = [(u,) for u in uniq.tolist()]
+                else:
+                    col_uniqs, col_codes = [], []
+                    for arr in gcols:
+                        u, c = np.unique(arr, return_inverse=True)
+                        col_uniqs.append(u.tolist())
+                        col_codes.append(c)
+                    dims = tuple(len(u) for u in col_uniqs)
+                    combo = np.ravel_multi_index(col_codes, dims)
+                    ucombo, inv = np.unique(combo, return_inverse=True)
+                    midx = np.unravel_index(ucombo, dims)
+                    keys = [tuple(col_uniqs[d][midx[d][j]]
+                                  for d in range(len(gcols)))
+                            for j in range(len(ucombo))]
                 # gather ONCE into group order, then hand out zero-copy
                 # slices — a per-group take() would copy the batch G times
                 order = np.argsort(inv, kind="stable")
                 sorted_batch = batch.take(pa.array(order))
-                counts = np.bincount(inv, minlength=len(uniq))
+                counts = np.bincount(inv, minlength=len(keys))
                 start = 0
-                for gi, gval in enumerate(uniq):
+                for gi, key in enumerate(keys):
                     sub = sorted_batch.slice(start, int(counts[gi]))
                     start += int(counts[gi])
-                    key = (gval,) if len(gcols) == 1 else tuple(gval)
+                    rows_by_key[key] = rows_by_key.get(key, 0) + int(counts[gi])
                     _update_all(states, all_idx, key, sub)
         secs = time.monotonic() - t0
         if not states:
@@ -268,7 +288,7 @@ def _make_stage1(specs: list[SketchSpec], group_cols: tuple[str, ...],
             names.append(specs[si].name)
             salts.append(salt)
             pids.append(pid)
-            rws.append(rows)
+            rws.append(rows_by_key[key])
             secs_l.append(secs)
             blobs.append(st.to_bytes())
             for ci in range(len(group_cols)):
@@ -397,6 +417,39 @@ def build_sketches_from_files(spark: SparkSession, path: str,
     partials = build_partials_from_files(spark, paths, specs, group_cols,
                                          salt_buckets, files_per_task, batch_size)
     return merge_partials(partials, group_cols)
+
+
+def final_sketches(partials: DataFrame, group_cols: tuple[str, ...] = (),
+                   driver_max_partials: int = 4096,
+                   driver_max_bytes: int = 64 << 20) -> dict:
+    """Final merge with an automatic driver/shuffle switch.
+
+    Caches the (tiny) stage-1 partial rows, measures how many there are
+    and how many serialized bytes they carry, then either
+    * folds them driver-side (`collect_and_merge_partials`) when the
+      traffic is interactive-small, or
+    * runs the salted shuffle merge tree (`merge_partials`) and collects
+      only the final one-row-per-(group, spec) results — the 10^5+-
+      partial regime where a driver fold would funnel every
+      (partition × group) blob through one process.
+
+    Replaces the unconditional driver fold the round-1 harness queries
+    shipped with; the threshold is partials-count AND bytes so a few
+    huge DDSketch blobs (bin_limit 2^22) also route through the tree.
+    Returns {(group..., name): sketch} either way.
+    """
+    from pyspark import StorageLevel
+    partials = partials.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stat = partials.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("sketch")).alias("nbytes")).collect()[0]
+        n, nbytes = int(stat["n"] or 0), int(stat["nbytes"] or 0)
+        if n <= driver_max_partials and nbytes <= driver_max_bytes:
+            return collect_and_merge_partials(partials, group_cols)
+        return collect_sketches(merge_partials(partials, group_cols), group_cols)
+    finally:
+        partials.unpersist()
 
 
 def collect_and_merge_partials(partials: DataFrame,

@@ -36,6 +36,13 @@ ORACLES["dds_signed_catalyst"] = duckdb_quantile_sql_signed(
 # the harness pipeline computes the identical algebra
 ORACLES["dds_signed_harness"] = ORACLES["dds_signed_catalyst"]
 
+# Turnstile inserts−deletes leave exactly the non-'R' rows' buckets
+# (no collapse at bin_limit 2^22), so the oracle is the plain DDSketch
+# twin over the surviving rows.
+ORACLES["dds_turnstile_lineitem"] = duckdb_quantile_sql(
+    "(SELECT l_quantity FROM lineitem WHERE l_returnflag <> 'R') t",
+    "l_quantity", [0.5, 0.95, 0.99], alpha=0.01)
+
 ORACLES["dds_doclen_by_lang"] = duckdb_quantile_sql(
     "documents", "n_chars", QS, alpha=0.01, group_cols=("lang",))
 

@@ -33,33 +33,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # ------------------------------------------------- DDSketch via the harness
 
-def ddsketch_quantiles_via_harness(spark: SparkSession, df: DataFrame,
-                                   value_col: str, qs: list[float], alpha: float,
-                                   group_cols: tuple[str, ...] = (),
-                                   salt_buckets: int = 32,
-                                   bin_limit: int = 1 << 22,
-                                   parquet_path: str | None = None) -> DataFrame:
-    """Full mapInArrow → shuffle-merge-tree pipeline, then driver-side
-    quantile extraction from the single final sketch row per group.
-    Output schema matches `ddsketch_quantile_plan` exactly. When
-    `parquet_path` is given, stage 1 uses the file-parallel fast path
-    (pyarrow in-task, no JVM→Python IPC)."""
-    from p2pddsketch_spark.operators.harness import (
-        build_partials, build_partials_from_files, collect_and_merge_partials,
-        parquet_file_list)
-    gamma, _ = gamma_of_alpha(alpha)
-    spec = [SketchSpec("dds", lambda: DDSketch(alpha=alpha, bin_limit=bin_limit),
-                       scalar_extractor(value_col))]
-    # interactive query: partial count is small (partitions × groups), so
-    # the final merge runs driver-side — no shuffle stages at all
-    if parquet_path is not None:
-        partials = build_partials_from_files(spark, parquet_file_list(parquet_path),
-                                             spec, group_cols=group_cols,
-                                             salt_buckets=salt_buckets)
-    else:
-        partials = build_partials(df, spec, group_cols=group_cols,
-                                  salt_buckets=salt_buckets)
-    sketches = collect_and_merge_partials(partials, group_cols=group_cols)
+def _ddsketch_quantile_rows(spark: SparkSession, df: DataFrame,
+                            sketches: dict, qs: list[float], gamma: float,
+                            group_cols: tuple[str, ...]) -> DataFrame:
+    """Driver-side quantile extraction from final merged DDSketches —
+    one output row per (group, q), schema identical to
+    `ddsketch_quantile_plan`."""
     rows = []
     for key, sk in sketches.items():
         gvals = () if not group_cols else (key[:-1] if isinstance(key, tuple) else ())
@@ -75,6 +54,36 @@ def ddsketch_quantiles_via_harness(spark: SparkSession, df: DataFrame,
     schema = f"{gddl}q double, bucket_key long, estimate double, n long"
     res = spark.createDataFrame(rows, schema)
     return res.orderBy(*group_cols, "q")
+
+
+def ddsketch_quantiles_via_harness(spark: SparkSession, df: DataFrame,
+                                   value_col: str, qs: list[float], alpha: float,
+                                   group_cols: tuple[str, ...] = (),
+                                   salt_buckets: int = 32,
+                                   bin_limit: int = 1 << 22,
+                                   parquet_path: str | None = None) -> DataFrame:
+    """Full mapInArrow → merge pipeline, then driver-side quantile
+    extraction from the single final sketch row per group. Output schema
+    matches `ddsketch_quantile_plan` exactly. When `parquet_path` is
+    given, stage 1 uses the file-parallel fast path (pyarrow in-task, no
+    JVM→Python IPC). The final merge auto-switches: driver-side fold
+    while the partial count/bytes are interactive-small, the salted
+    shuffle merge tree beyond (`harness.final_sketches`)."""
+    from p2pddsketch_spark.operators.harness import (
+        build_partials, build_partials_from_files, final_sketches,
+        parquet_file_list)
+    gamma, _ = gamma_of_alpha(alpha)
+    spec = [SketchSpec("dds", lambda: DDSketch(alpha=alpha, bin_limit=bin_limit),
+                       scalar_extractor(value_col))]
+    if parquet_path is not None:
+        partials = build_partials_from_files(spark, parquet_file_list(parquet_path),
+                                             spec, group_cols=group_cols,
+                                             salt_buckets=salt_buckets)
+    else:
+        partials = build_partials(df, spec, group_cols=group_cols,
+                                  salt_buckets=salt_buckets)
+    sketches = final_sketches(partials, group_cols=group_cols)
+    return _ddsketch_quantile_rows(spark, df, sketches, qs, gamma, group_cols)
 
 
 def q_dds_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,6 +117,31 @@ def q_dds_value_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_quantiles_via_harness(
         spark, ev, "value", [0.5, 0.99], alpha=0.01,
         group_cols=("user_bucket",))
+
+
+def q_dds_turnstile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turnstile (insert + delete) DDSketch end-to-end: insert every
+    lineitem l_quantity, then delete the deterministic 'R'-returnflag
+    subset; quantiles come from the subtracted sketch. Distributed shape:
+    BOTH streams run the normal mapInArrow → merge pipeline (the delete
+    side is just another sketch build), and `DDSketch.delete_sketch`
+    (reference `DDS_DeleteCollapse*`, `ddsketch.cc:343-518`) subtracts
+    bucket counts driver-side. With bin_limit 2^22 nothing collapses, so
+    bucket counts equal inserts − deletes exactly and the oracle is the
+    plain DDSketch SQL twin over the surviving rows."""
+    from p2pddsketch_spark.operators.harness import build_partials, final_sketches
+    alpha = 0.01
+    gamma, _ = gamma_of_alpha(alpha)
+    li = load(spark, sf_dir, "lineitem")
+    mk = lambda: DDSketch(alpha=alpha, bin_limit=1 << 22)
+    ins = final_sketches(build_partials(
+        li, [SketchSpec("dds", mk, scalar_extractor("l_quantity"))]))
+    dels = final_sketches(build_partials(
+        li.where(F.col("l_returnflag") == "R"),
+        [SketchSpec("dds", mk, scalar_extractor("l_quantity"))]))
+    sk = ins["dds"].delete_sketch(dels["dds"])
+    return _ddsketch_quantile_rows(spark, li, {"dds": sk},
+                                   [0.5, 0.95, 0.99], gamma, ())
 
 
 # --------------------------------------------- DDSketch via pure Catalyst

@@ -260,6 +260,46 @@ class DDSketch:
                 self.counts = np.delete(self.counts, idx)
         return self
 
+    def delete_sketch(self, other: "DDSketch") -> "DDSketch":
+        """Bucket-level turnstile subtraction — the batch form of
+        `DDS_DeleteCollapse*` (reference `ddsketch.cc:343-518`): remove
+        `other`'s entire (key, count) multiset from this sketch, clamped
+        at zero, dropping emptied buckets. Distributed delete streams
+        build the delete side as a normal (insert) sketch through the
+        harness, then subtract here; when neither side has collapsed
+        (the bin_limit 2^22 regime) the result's bin counts equal
+        inserts − deletes exactly."""
+        if self.num_collapses != other.num_collapses or \
+                abs(self.base_alpha - other.base_alpha) > 1e-15 or \
+                self.offset != other.offset:
+            raise SketchError("delete_sketch requires identical codec "
+                              "(alpha, offset, collapse state)")
+        uk = other.keys.astype(np.int64)
+        uc = other.counts.astype(np.int64)
+        if uk.size == 0 or self.keys.size == 0:
+            return self
+        # Collapsed-edge redirects, as in delete_batch.
+        if self.strategy == "last" and self.tail_max_key is not None:
+            uk = np.minimum(uk, self.keys[-1])
+        if self.strategy == "first" and self.head_min_key is not None:
+            uk = np.maximum(uk, self.keys[0])
+        if uk.size > 1 and (np.diff(uk) <= 0).any():
+            uk, inv = np.unique(uk, return_inverse=True)
+            uc = np.bincount(inv, weights=uc.astype(np.float64)).astype(np.int64)
+        idx = np.searchsorted(self.keys, uk)
+        valid = (idx < self.keys.size) & (self.keys[np.minimum(idx, self.keys.size - 1)] == uk)
+        idx, uc = idx[valid], uc[valid]
+        removed = np.minimum(self.counts[idx], uc)
+        self.counts[idx] -= removed
+        self.n -= int(removed.sum())
+        nan_removed = min(self.nan_count, other.nan_count)
+        self.nan_count -= nan_removed
+        keep = self.counts > 0
+        if not keep.all():
+            self.keys = self.keys[keep]
+            self.counts = self.counts[keep]
+        return self
+
     def _absorb_sorted(self, uk: np.ndarray, uc: np.ndarray) -> None:
         """Sum-by-key merge of a sorted (key,count) run into the bins."""
         if self.keys.size == 0:

@@ -214,3 +214,73 @@ def test_token_array_equality_invariant(spark, sequences_path):
         assert r["n_tok"] == regen[i]["n_tok"]
         assert r["source"] == regen[i]["source"]
         assert np.array_equal(np.array(r["tokens"], dtype=np.int32), regen[i]["tokens"])
+
+
+def test_grouped_by_two_mixed_type_keys(spark, sequences_path, sequences_pdf):
+    """Round-2 fix: multi-column group_cols with MIXED types (string
+    source × long parity) — per-column factorization + ravel_multi_index
+    in stage 1 (a 2-D object np.unique would flatten or raise)."""
+    from pyspark.sql import functions as F
+    df = (spark.read.parquet(sequences_path)
+          .withColumn("parity", (F.col("n_tok") % 2).cast("long")))
+    out = build_sketches(
+        df, [SketchSpec("dds", lambda: DDSketch(alpha=ALPHA, bin_limit=1 << 22),
+                        scalar_extractor("n_tok"))],
+        group_cols=("source", "parity"), salt_buckets=4)
+    sketches = collect_sketches(out, group_cols=("source", "parity"))
+    pdf = sequences_pdf.assign(parity=(sequences_pdf["n_tok"] % 2).astype("int64"))
+    groups = pdf.groupby(["source", "parity"])
+    assert len(sketches) == groups.ngroups
+    for (src, par), grp in groups:
+        s = sketches[(src, par, "dds")]
+        assert s.n == len(grp)
+        vals = np.sort(grp["n_tok"].to_numpy().astype(np.float64))
+        exact = vals[int(np.floor(1 + 0.5 * (len(vals) - 1))) - 1]
+        assert abs((s.quantile(0.5) - exact) / exact) <= ALPHA * (1 + 1e-9)
+
+
+def test_grouped_rows_seen_is_per_group(spark, sequences_path, sequences_pdf):
+    """Round-2 fix: lineage rows_seen counts the GROUP's rows, so summing
+    partials per spec recovers the table total exactly once (it used to
+    record the whole partition's row count for every group)."""
+    from p2pddsketch_spark.operators.harness import build_partials
+    df = spark.read.parquet(sequences_path).repartition(6)
+    partials = build_partials(
+        df, [SketchSpec("dds", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
+                        scalar_extractor("n_tok"))],
+        group_cols=("source",), salt_buckets=4).toPandas()
+    assert partials["rows_seen"].sum() == len(sequences_pdf)
+    per_group = partials.groupby("source")["rows_seen"].sum()
+    exact = sequences_pdf.groupby("source").size()
+    assert per_group.to_dict() == exact.to_dict()
+
+
+def test_final_sketches_auto_switch_branches(spark, sequences_path):
+    """Both final-merge branches (driver fold vs shuffle tree) produce
+    byte-identical sketches; the threshold selects the branch."""
+    from p2pddsketch_spark.operators.harness import build_partials, final_sketches
+    df = spark.read.parquet(sequences_path).repartition(5)
+    spec = [SketchSpec("dds", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
+                       scalar_extractor("n_tok"))]
+    driver = final_sketches(build_partials(df, spec, salt_buckets=4))
+    shuffled = final_sketches(build_partials(df, spec, salt_buckets=4),
+                              driver_max_partials=1)  # force the tree
+    assert driver["dds"].to_bytes() == shuffled["dds"].to_bytes()
+    tiny_bytes = final_sketches(build_partials(df, spec, salt_buckets=4),
+                                driver_max_bytes=1)   # byte-bound trips too
+    assert tiny_bytes["dds"].to_bytes() == driver["dds"].to_bytes()
+
+
+def test_turnstile_delete_sketch_exact(spark):
+    """DDSketch.delete_sketch == building only the surviving rows when
+    nothing collapses (bucket counts are inserts − deletes exactly)."""
+    rng = np.random.default_rng(9)
+    vals = rng.lognormal(1, 1.2, 20_000)
+    dead = vals[vals > np.median(vals)]
+    ins = DDSketch(alpha=0.01, bin_limit=1 << 22).update_batch(vals)
+    dels = DDSketch(alpha=0.01, bin_limit=1 << 22).update_batch(dead)
+    survivors = DDSketch(alpha=0.01, bin_limit=1 << 22).update_batch(
+        vals[vals <= np.median(vals)])
+    got = ins.delete_sketch(dels)
+    assert got.to_bytes() == survivors.to_bytes()
+    assert got.n == survivors.n
