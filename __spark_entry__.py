@@ -6,10 +6,11 @@ mapInArrow → salted shuffle-merge-tree harness and reports their
 estimates.
 
 `queries()` — one entry per implemented operator (SURVEY.md §2 +
-gap-fill pipeline operators); `oracle_sql()` — DuckDB twins. Entries
-without an oracle are hash/seed-dependent estimates (HLL/CMS/Bloom/KLL/
-t-digest values, SimHash, LSH bucket variants, rolling fingerprints);
-pytest verifies those against exact oracles within published bounds.
+gap-fill pipeline operators); `oracle_sql()` — DuckDB twins. The four
+entries without an oracle are hash/seed-dependent estimates by nature
+(HLL/CMS/Bloom/KLL/t-digest values, theta overlaps, SimHash codes,
+production LSH banding); pytest verifies each against exact oracles
+within published bounds.
 """
 
 from __future__ import annotations

