@@ -54,7 +54,14 @@ __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
            "build_sketches_from_files", "build_partials_from_files",
            "parquet_file_list", "collect_sketches", "merge_blobs",
            "final_sketches", "collect_and_merge_partials",
-           "sketch_from_bytes", "SKETCH_TYPES"]
+           "sketch_from_bytes", "SKETCH_TYPES", "EMPTY_MARKER"]
+
+# sketch_name of the zero-row marker a stage-1 task emits when its
+# partition contained no rows: the row carries lineage (partition_id →
+# chunk identity for checkpoint/resume) but no sketch, and every merge
+# path filters it out. Without it an empty input file would never enter
+# committed state and resume would rebuild it forever.
+EMPTY_MARKER = "__empty__"
 
 # magic prefix (first 4 bytes of every canonical serialization) → class
 SKETCH_TYPES = {
@@ -281,6 +288,15 @@ def _make_stage1(specs: list[SketchSpec], group_cols: tuple[str, ...],
                     _update_all(states, all_idx, key, sub)
         secs = time.monotonic() - t0
         if not states:
+            # zero-row partition: emit the lineage marker so checkpoint
+            # resume can mark this chunk done (merges filter it out)
+            arrays = [pa.array([None], type=arrow_schema.field(c).type)
+                      for c in group_cols]
+            arrays += [pa.array([EMPTY_MARKER], pa.string()),
+                       pa.array([salt], pa.int32()), pa.array([pid], pa.int32()),
+                       pa.array([0], pa.int64()), pa.array([secs], pa.float64()),
+                       pa.array([b""], pa.binary())]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
             return
         names, salts, pids, rws, secs_l, blobs = [], [], [], [], [], []
         gvals: list[list] = [[] for _ in group_cols]
@@ -387,6 +403,7 @@ def build_partials(df: DataFrame, specs: list[SketchSpec],
 
 def merge_partials(partials: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Stages 2+3: salted partial merge, then final merge per (name, group)."""
+    partials = partials.where(F.col("sketch_name") != EMPTY_MARKER)
     out_schema = partials.schema
     g2 = list(group_cols) + ["sketch_name", "salt"]
     stage2 = partials.groupBy(*g2).applyInPandas(
@@ -461,6 +478,8 @@ def collect_and_merge_partials(partials: DataFrame,
     where even blob traffic should stay distributed."""
     grouped: dict = {}
     for row in partials.select(*group_cols, "sketch_name", "sketch").collect():
+        if row["sketch_name"] == EMPTY_MARKER:
+            continue
         key = tuple(row[c] for c in group_cols) + (row["sketch_name"],)
         grouped.setdefault(key, []).append(bytes(row["sketch"]))
     out = {}

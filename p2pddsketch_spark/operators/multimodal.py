@@ -2,11 +2,15 @@
 payloads with typed metadata, processed by Arrow-batched Pandas UDFs.
 
 The Spark-side machinery — schemas, partitioning, UDF signatures, batch
-shapes — is real and tested; the codec step is STUBBED (this container
-ships no image/audio libraries): `decode_features` uses a deterministic
-byte-statistics extractor as the stand-in, and `decode_image` /
-`sample_frames` raise NotImplementedError behind an import-try so a real
-deployment drops in PIL/av without touching the pipeline.
+shapes — is real and tested. The image codec is REAL for the
+self-describing uncompressed formats a pure-numpy decoder can cover:
+binary PPM (P6), PGM (P5), and 24-bit BI_RGB BMP — `decode_image`
+returns an (h, w, 3) uint8 pixel array and `resize_image` re-encodes a
+nearest-neighbor resample as P6. Formats that need a compression
+library (JPEG/PNG/video) fall through to a PIL/av import-try and raise
+NotImplementedError in this container; `decode_features` extracts
+pixel statistics when the payload decodes and byte statistics
+otherwise, so the pipeline shape is identical either way.
 """
 
 from __future__ import annotations
@@ -20,7 +24,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
 __all__ = ["MEDIA_SCHEMA", "attach_payload", "decode_features",
-           "payload_stats", "resize_image", "decode_image", "sample_frames"]
+           "payload_stats", "encode_ppm", "decode_image", "resize_image",
+           "sample_frames"]
 
 # canonical multimodal row: opaque payload + typed metadata
 MEDIA_SCHEMA = StructType([
@@ -66,10 +71,12 @@ _FEATURE_DIM = 8
 def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas decode → fixed-dim float feature vector per payload.
 
-    STUB CODEC: features are deterministic byte statistics (length,
-    mean, std, quartiles of the byte distribution) — the real decoder
-    (PIL/torchvision/librosa) replaces `_featurize` only; schema,
-    batching, and partition behavior are production-shaped.
+    Payloads that `decode_image` can read (PPM/PGM/BMP) yield PIXEL
+    statistics (dims, per-channel means, luma std); anything else falls
+    back to deterministic byte statistics — same schema, so mixed-format
+    tables flow through one plan. A full deployment swaps `decode_image`
+    internals (PIL/torchvision/librosa); batching, schema, and partition
+    behavior do not change.
     """
     out_schema = StructType([
         StructField("media_id", LongType(), False),
@@ -77,6 +84,16 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     ])
 
     def _featurize(payload: bytes) -> np.ndarray:
+        try:
+            px = decode_image(payload)
+            f64 = px.astype(np.float64)
+            luma = f64 @ np.array([0.299, 0.587, 0.114])
+            return np.array([px.shape[1], px.shape[0],
+                             f64[:, :, 0].mean(), f64[:, :, 1].mean(),
+                             f64[:, :, 2].mean(), luma.std(),
+                             f64.min(), f64.max()], dtype=np.float32)
+        except (NotImplementedError, ValueError):
+            pass
         b = np.frombuffer(payload, dtype=np.uint8)
         if b.size == 0:
             return np.zeros(_FEATURE_DIM, dtype=np.float32)
@@ -93,28 +110,79 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, schema=out_schema)
 
 
-def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
-    """Real image resize — unavailable in this container. The Spark-side
-    shape is `decode_features`' mapInPandas plumbing with a (payload,
-    width, height) → payload signature; drop PIL in here."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as ex:
-        raise NotImplementedError(
-            "image codec not installed; payload plumbing is exercised by "
-            "decode_features/payload_stats") from ex
-    raise NotImplementedError("wire PIL resize here in a full deployment")
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6) bytes."""
+    px = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_ppm expects an (h, w, 3) array")
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real image decode — unavailable in this container."""
+def _pnm_header(data: bytes) -> tuple[int, int, int, int]:
+    """Parse (w, h, maxval, data_offset) of a P5/P6 header, honoring
+    '#' comments and arbitrary whitespace per the netpbm spec."""
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    return vals[0], vals[1], vals[2], pos + 1  # single ws after maxval
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
+
+    Pure-numpy paths: binary PPM (P6), binary PGM (P5, replicated to
+    RGB), 24-bit uncompressed BMP (BGR, bottom-up, 4-byte row padding).
+    Anything else needs a compression codec → PIL import-try, then
+    NotImplementedError (this container ships no PIL)."""
+    data = bytes(payload)
+    if data[:2] in (b"P6", b"P5"):
+        w, h, maxval, off = _pnm_header(data)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PNM not supported")
+        ch = 3 if data[:2] == b"P6" else 1
+        px = np.frombuffer(data, np.uint8, count=w * h * ch, offset=off)
+        px = px.reshape(h, w, ch)
+        return np.repeat(px, 3, axis=2) if ch == 1 else px.copy()
+    if data[:2] == b"BM":
+        off = int.from_bytes(data[10:14], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        comp = int.from_bytes(data[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"only 24-bit BI_RGB BMP (got {bpp}bpp/comp={comp})")
+        rowsz = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(data, np.uint8, count=rowsz * abs(h), offset=off)
+        px = rows.reshape(abs(h), rowsz)[:, :w * 3].reshape(abs(h), w, 3)[:, :, ::-1]
+        return px[::-1].copy() if h > 0 else px.copy()  # bottom-up unless h<0
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
+        import io
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     except ImportError as ex:
         raise NotImplementedError(
-            "image codec not installed; decode_features provides the "
-            "deterministic stand-in feature path") from ex
-    raise NotImplementedError("wire PIL decode here in a full deployment")
+            "payload is not PPM/PGM/BMP and no compression codec (PIL) "
+            "is installed") from ex
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a decodable payload, re-encoded as P6
+    PPM — pure numpy (index arithmetic, no per-pixel Python)."""
+    px = decode_image(payload)
+    h, w = px.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_ppm(px[yi[:, None], xi[None, :]])
 
 
 def sample_frames(payload: bytes, every_ms: int = 1000):  # pragma: no cover - stub

@@ -83,14 +83,15 @@ class TurnstileKLL:
             return np.full(qs.shape, np.nan)
         cum = np.cumsum(w)
         total = self.n
-        stops = qs * (total - 1)
+        stops = qs.ravel() * (total - 1)
         # first item whose signed cumulative weight exceeds the stop —
-        # mirrors the DDSketch/KLL scan rule on the live multiset
-        out = np.empty(qs.shape, dtype=np.float64)
-        for i, s in enumerate(stops.ravel()):
-            idx = np.flatnonzero(cum > s)
-            out.ravel()[i] = v[idx[0]] if idx.size else v[-1]
-        return out
+        # mirrors the DDSketch/KLL scan rule on the live multiset.
+        # (cum is NOT monotone under signed weights, so binary search is
+        # out; argmax finds the first True lane, the any() mask guards
+        # the all-False case where argmax would return 0.)
+        hit = cum[None, :] > stops[:, None]
+        idx = np.where(hit.any(axis=1), hit.argmax(axis=1), v.size - 1)
+        return v[idx].reshape(qs.shape)
 
     def to_bytes(self) -> bytes:
         bi = self.ins.to_bytes()

@@ -33,7 +33,7 @@ from p2pddsketch_spark.operators.harness import (SketchSpec, build_partials,
                                                  merge_blobs, sketch_from_bytes)
 
 __all__ = ["windowed_bucket_counts", "quantiles_from_bucket_counts",
-           "ForeachBatchSketchWriter"]
+           "ForeachBatchSketchWriter", "stateful_sketch_stream"]
 
 
 def windowed_bucket_counts(stream_df: DataFrame, value_col: str, ts_col: str,

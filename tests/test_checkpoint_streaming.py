@@ -228,3 +228,86 @@ def test_multimodal_plumbing(spark):
         mm.resize_image(b"xxx", 64, 64)
     with pytest.raises(NotImplementedError):
         mm.sample_frames(b"xxx")
+
+
+def test_empty_chunk_commits_and_resume_converges(spark, tmp_path):
+    """Round-2 fix: a chunk whose file is EMPTY still enters committed
+    state via the stage-1 zero-row marker, so a resume with nothing new
+    is a no-op (no commit dir added, no chunk rebuilt) and the final
+    sketch ignores the marker."""
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    docs.coalesce(2).write.parquet(src)
+    # drop an EMPTY parquet file (same schema) into the directory
+    empty_dir = str(tmp_path / "empty")
+    docs.where("event_id < 0").coalesce(1).write.parquet(empty_dir)
+    import glob
+    empty_part = glob.glob(f"{empty_dir}/*.parquet")[0]
+    shutil.copy(empty_part, os.path.join(src, "part-99999-empty.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    spec = [SketchSpec("dds", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
+                       scalar_extractor("value"))]
+    out1 = build_sketches_checkpointed(spark, src, spec, ckpt).collect()
+    n_files = len(parquet_file_list(src))
+    assert completed_chunks(spark, ckpt) == set(range(n_files))
+    commits_before = sorted(os.listdir(ckpt))
+
+    out2 = build_sketches_checkpointed(spark, src, spec, ckpt).collect()
+    assert sorted(os.listdir(ckpt)) == commits_before  # resume = no-op
+    assert bytes(out1[0]["sketch"]) == bytes(out2[0]["sketch"])
+    # marker rows never surface in merged output
+    assert len(out1) == 1 and out1[0]["sketch_name"] == "dds"
+    from p2pddsketch_spark.operators.harness import sketch_from_bytes
+    assert sketch_from_bytes(bytes(out1[0]["sketch"])).n == docs.count()
+
+
+def test_image_codec_roundtrip_and_resize(spark):
+    """Real pure-numpy codec: PPM round-trip identity, PGM replication,
+    hand-built 24-bit BMP (bottom-up, padded rows), nearest resize."""
+    from p2pddsketch_spark.operators import multimodal as mm
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_image(mm.encode_ppm(px)), px)
+    # PGM (P5) with a comment line in the header
+    gray = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    pgm = b"P5\n# a comment\n6 4\n255\n" + gray.tobytes()
+    got = mm.decode_image(pgm)
+    assert got.shape == (4, 6, 3) and np.array_equal(got[:, :, 0], gray)
+    # hand-built 3x2 24bpp BMP: bottom-up rows, BGR, 12-byte padded rows
+    import struct
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    bot = [(1, 2, 3), (4, 5, 6), (7, 8, 9)]
+    def row(ps):
+        return b"".join(bytes((b, g, r)) for r, g, b in ps) + b"\x00\x00\x00"
+    pixdata = row(bot) + row(top)  # bottom-up: last row first
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(pixdata), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(pixdata), 0, 0, 0, 0)
+    bmp = hdr + info + pixdata
+    got = mm.decode_image(bmp)
+    assert got.shape == (2, 3, 3)
+    assert [tuple(p) for p in got[0]] == top
+    assert [tuple(p) for p in got[1]] == bot
+    # nearest-neighbor resize: 2x upscale of a constant image is constant
+    const = np.full((4, 4, 3), 9, np.uint8)
+    out = mm.decode_image(mm.resize_image(mm.encode_ppm(const), 8, 8))
+    assert out.shape == (8, 8, 3) and (out == 9).all()
+
+
+def test_decode_features_pixel_path(spark):
+    """decode_features yields PIXEL statistics for decodable payloads
+    (PPM through the real Spark pipeline) and byte statistics otherwise."""
+    from p2pddsketch_spark.operators import multimodal as mm
+    px = np.zeros((3, 4, 3), np.uint8)
+    px[:, :, 0] = 200  # red-dominant constant image
+    rows = [(1, "image", bytearray(mm.encode_ppm(px)), "image/x-portable-pixmap",
+             4, 3, None),
+            (2, "image", bytearray(b"not an image at all"), "application/octet-stream",
+             None, None, None)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: list(r["features"])
+             for r in mm.decode_features(media).collect()}
+    assert feats[1][:2] == [4.0, 3.0]          # width, height from pixels
+    assert abs(feats[1][2] - 200.0) < 1e-5     # R mean
+    assert feats[1][3] == 0.0 and feats[1][4] == 0.0
+    assert feats[2][0] == 19.0                 # byte-stats fallback: length
