@@ -441,32 +441,54 @@ def final_sketches(partials: DataFrame, group_cols: tuple[str, ...] = (),
                    driver_max_bytes: int = 64 << 20) -> dict:
     """Final merge with an automatic driver/shuffle switch.
 
-    Caches the (tiny) stage-1 partial rows, measures how many there are
-    and how many serialized bytes they carry, then either
-    * folds them driver-side (`collect_and_merge_partials`) when the
-      traffic is interactive-small, or
-    * runs the salted shuffle merge tree (`merge_partials`) and collects
-      only the final one-row-per-(group, spec) results — the 10^5+-
-      partial regime where a driver fold would funnel every
-      (partition × group) blob through one process.
+    Probes the stage-1 output with `limit(max+1).collect()` — when the
+    partial count is interactive-small the probe already IS the complete
+    partial set (one job, no second pass, no cache), and the blobs fold
+    driver-side. If the probe hits the limit or carries too many bytes,
+    the salted shuffle merge tree (`merge_partials`) runs instead and
+    only the final one-row-per-(group, spec) results are collected — the
+    10^5+-partial regime where funnelling every (partition × group) blob
+    through the driver would bottleneck.
 
     Replaces the unconditional driver fold the round-1 harness queries
     shipped with; the threshold is partials-count AND bytes so a few
     huge DDSketch blobs (bin_limit 2^22) also route through the tree.
     Returns {(group..., name): sketch} either way.
     """
-    from pyspark import StorageLevel
-    partials = partials.persist(StorageLevel.MEMORY_AND_DISK)
+    # CollectLimit's default incremental scan (1 partition, then 4×
+    # more per wave) serializes the expensive stage-1 build into
+    # sequential low-parallelism waves; force ONE fully-parallel wave —
+    # each task still truncates its output to limit+1 rows, so driver
+    # memory stays bounded.
+    spark = partials.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(1 << 30))
     try:
-        stat = partials.agg(
-            F.count("*").alias("n"),
-            F.sum(F.length("sketch")).alias("nbytes")).collect()[0]
-        n, nbytes = int(stat["n"] or 0), int(stat["nbytes"] or 0)
-        if n <= driver_max_partials and nbytes <= driver_max_bytes:
-            return collect_and_merge_partials(partials, group_cols)
-        return collect_sketches(merge_partials(partials, group_cols), group_cols)
+        probe = (partials.select(*group_cols, "sketch_name", "sketch")
+                 .limit(driver_max_partials + 1).collect())
     finally:
-        partials.unpersist()
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    if len(probe) <= driver_max_partials and \
+            sum(len(r["sketch"]) for r in probe) <= driver_max_bytes:
+        return _merge_partial_rows(probe, group_cols)
+    return collect_sketches(merge_partials(partials, group_cols), group_cols)
+
+
+def _merge_partial_rows(rows, group_cols: tuple[str, ...]) -> dict:
+    grouped: dict = {}
+    for row in rows:
+        if row["sketch_name"] == EMPTY_MARKER:
+            continue
+        key = tuple(row[c] for c in group_cols) + (row["sketch_name"],)
+        grouped.setdefault(key, []).append(bytes(row["sketch"]))
+    out = {}
+    for key, blobs in grouped.items():
+        out[key if len(key) > 1 else key[0]] = sketch_from_bytes(merge_blobs(blobs))
+    return out
 
 
 def collect_and_merge_partials(partials: DataFrame,
@@ -476,16 +498,9 @@ def collect_and_merge_partials(partials: DataFrame,
     when partials number in the thousands (interactive queries); the
     shuffle merge tree (`merge_partials`) is for the 10^5+-partial runs
     where even blob traffic should stay distributed."""
-    grouped: dict = {}
-    for row in partials.select(*group_cols, "sketch_name", "sketch").collect():
-        if row["sketch_name"] == EMPTY_MARKER:
-            continue
-        key = tuple(row[c] for c in group_cols) + (row["sketch_name"],)
-        grouped.setdefault(key, []).append(bytes(row["sketch"]))
-    out = {}
-    for key, blobs in grouped.items():
-        out[key if len(key) > 1 else key[0]] = sketch_from_bytes(merge_blobs(blobs))
-    return out
+    return _merge_partial_rows(
+        partials.select(*group_cols, "sketch_name", "sketch").collect(),
+        group_cols)
 
 
 def collect_sketches(sketch_df: DataFrame, group_cols: tuple[str, ...] = ()) -> dict:
