@@ -51,7 +51,8 @@ import struct
 import numpy as np
 
 from p2pddsketch_spark.errors import (EmptySketchError, MergeAlphaMismatch,
-                                      QuantileRangeError, SketchError)
+                                      ParamError, QuantileRangeError,
+                                      SketchError, UnknownCollapseType)
 
 __all__ = ["DDSketch", "DEFAULT_ALPHA", "DEFAULT_BIN_LIMIT", "DEFAULT_OFFSET"]
 
@@ -108,11 +109,12 @@ class DDSketch:
         num_collapses: int = 0,
     ) -> None:
         if not (0.0 < alpha < 1.0):
-            raise SketchError(f"alpha must be in (0,1), got {alpha}")
+            raise ParamError(f"alpha must be in (0,1), got {alpha}")
         if bin_limit < 2:
-            raise SketchError(f"bin_limit must be >= 2, got {bin_limit}")
+            raise ParamError(f"bin_limit must be >= 2, got {bin_limit}")
         if strategy not in _STRATEGIES:
-            raise SketchError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
+            raise UnknownCollapseType(
+                f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
         self.base_alpha = float(alpha)
         self.bin_limit = int(bin_limit)
         self.offset = int(offset)

@@ -32,8 +32,9 @@ from p2pddsketch_spark.functions.ddsql import ddsketch_key_col, gamma_of_alpha
 from p2pddsketch_spark.operators.harness import (SketchSpec, build_partials,
                                                  merge_blobs, sketch_from_bytes)
 
-__all__ = ["windowed_bucket_counts", "quantiles_from_bucket_counts",
-           "ForeachBatchSketchWriter", "stateful_sketch_stream"]
+__all__ = ["windowed_bucket_counts", "session_bucket_counts",
+           "quantiles_from_bucket_counts", "ForeachBatchSketchWriter",
+           "stateful_sketch_stream"]
 
 
 def windowed_bucket_counts(stream_df: DataFrame, value_col: str, ts_col: str,
@@ -51,6 +52,31 @@ def windowed_bucket_counts(stream_df: DataFrame, value_col: str, ts_col: str,
              .where(v.isNotNull() & ~F.isnan(v))
              .select(F.col(ts_col), ddsketch_key_col(v, alpha, offset).alias("bucket")))
     return (keyed.groupBy(F.window(ts_col, window).alias("win"), "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def session_bucket_counts(stream_df: DataFrame, value_col: str, ts_col: str,
+                          key_col: str, alpha: float, gap: str = "30 minutes",
+                          watermark: str = "2 hours",
+                          offset: int = 1 << 30) -> DataFrame:
+    """Streaming DDSketch state per SESSION: `F.session_window` merges
+    events of one key separated by < `gap` into a dynamic window (Spark's
+    state store handles window merging), and the sketch state is again
+    plain (session, key, bucket) counts — the streaming twin of the batch
+    gaps-and-islands `user_sessions` query, with quantiles per session
+    extracted by `quantiles_from_bucket_counts(group_cols=("win", key))`
+    at read time. Works identically on a batch DataFrame (used by the
+    equivalence test)."""
+    v = F.col(value_col).cast("double")
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if stream_df.isStreaming:
+        stream_df = stream_df.withWatermark(ts_col, watermark)
+    keyed = (stream_df
+             .where(v.isNotNull() & ~F.isnan(v))
+             .select(F.col(ts_col), F.col(key_col),
+                     ddsketch_key_col(v, alpha, offset).alias("bucket")))
+    return (keyed.groupBy(F.session_window(F.col(ts_col), gap).alias("win"),
+                          key_col, "bucket")
             .agg(F.count("*").alias("cnt")))
 
 
@@ -139,10 +165,13 @@ class ForeachBatchSketchWriter:
 
     def current_sketches(self, spark: SparkSession) -> dict:
         """Merge all persisted partials into the current global sketches."""
+        from p2pddsketch_spark.operators.harness import EMPTY_MARKER
         df = spark.read.option("basePath", self.state_dir).parquet(self.state_dir)
         rows = df.select(*self.group_cols, "sketch_name", "sketch").collect()
         grouped: dict = {}
         for r in rows:
+            if r["sketch_name"] == EMPTY_MARKER:  # zero-row micro-batch partition
+                continue
             key = tuple(r[c] for c in self.group_cols) + (r["sketch_name"],)
             grouped.setdefault(key, []).append(bytes(r["sketch"]))
         out = {}

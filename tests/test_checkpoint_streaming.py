@@ -311,3 +311,45 @@ def test_decode_features_pixel_path(spark):
     assert abs(feats[1][2] - 200.0) < 1e-5     # R mean
     assert feats[1][3] == 0.0 and feats[1][4] == 0.0
     assert feats[2][0] == 19.0                 # byte-stats fallback: length
+
+
+def test_streaming_session_bucket_counts(spark, tmp_path):
+    """Session-window streaming sketch state (dynamic gap-merged windows
+    in the state store) equals the same operator run in batch mode —
+    per-(session, user) p95 identical for every emitted session."""
+    from p2pddsketch_spark.streaming.sketch_stream import (
+        quantiles_from_bucket_counts, session_bucket_counts)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/events.parquet")
+    events = spark.read.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    counts = session_bucket_counts(stream, "value", "ts", "user_id",
+                                   alpha=0.01, gap="30 minutes")
+    sink = str(tmp_path / "session_counts")
+    q = (counts.writeStream.outputMode("append")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+         .start(sink))
+    q.awaitTermination(120)
+
+    def extract(df):
+        state = df.withColumn("win_start", F.col("win.start"))
+        return quantiles_from_bucket_counts(
+            state, [0.95], alpha=0.01,
+            group_cols=("win_start", "user_id")).toPandas()
+
+    got = extract(spark.read.parquet(sink))
+    batch = extract(session_bucket_counts(events, "value", "ts", "user_id",
+                                          alpha=0.01, gap="30 minutes"))
+    merged = got.merge(batch, on=["win_start", "user_id", "q"],
+                       suffixes=("_s", "_b"))
+    # append mode withholds sessions newer than the watermark; everything
+    # emitted must match batch exactly
+    assert len(merged) == len(got) > 0
+    assert (merged["estimate_s"] == merged["estimate_b"]).all()
+    assert (merged["n_s"] == merged["n_b"]).all()
+    # sanity: sessionization produced MANY sessions per user
+    assert got.groupby("user_id").size().min() >= 1
+    assert len(got) > got["user_id"].nunique()

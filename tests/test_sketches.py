@@ -307,3 +307,25 @@ def test_bottomk_deterministic_mergeable_uniform():
     # duplicates don't double-enter
     dup = BottomKSample(k=500, seed=9).update_batch(np.concatenate([ids, ids]))
     assert dup.to_bytes() == whole.to_bytes()
+
+
+def test_error_code_table_parity():
+    """Every reference error code -1..-16 (error.h:10-26) is either a
+    typed exception with the matching REF_CODE or explicitly documented
+    as structurally impossible in the Spark design."""
+    import pytest
+    from p2pddsketch_spark import errors as E
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+    covered = set(E.REF_CODES) | set(E.NOT_APPLICABLE)
+    assert covered >= set(range(-16, 1))
+    for code, cls in E.REF_CODES.items():
+        assert cls.REF_CODE == code
+    with pytest.raises(E.ParamError):
+        DDSketch(alpha=2.0)
+    with pytest.raises(E.ParamError):
+        DDSketch(bin_limit=1)
+    with pytest.raises(E.UnknownCollapseType):
+        DDSketch(strategy="nope")
+    # the broad class still catches (backward compatibility)
+    with pytest.raises(E.SketchError):
+        DDSketch(alpha=-1.0)
