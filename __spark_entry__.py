@@ -68,7 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": Q.q_minhash_lsh,
         "minhash_lsh_pairs_prod": Q.q_minhash_lsh_prod,
         "simhash_neardup_pairs": Q.q_simhash_neardup,
+        "neardup_clusters": Q.q_neardup_clusters,
         "rolling_fingerprint": Q.q_rolling_fingerprint,
+        "bm25_topk": Q.q_bm25_topk,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "embedding_neardup": Q.q_embedding_neardup,

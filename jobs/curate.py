@@ -54,11 +54,15 @@ def main(argv=None):
     df = dedup.exact_dedup(df, args.text_col, args.id_col)
     n1 = df.count()
 
-    # 2. near-dup removal: LSH candidate pairs, exact-Jaccard verified;
-    #    drop the larger id of each pair (connected via min-winner rule)
+    # 2. near-dup removal: LSH candidate pairs, exact-Jaccard verified,
+    #    clustered by connected components (transitive near-dups — the
+    #    SlimPajama-style rule); keep each cluster's canonical (min-id)
+    #    doc, drop the rest
+    from p2pddsketch_spark.operators.clusters import neardup_clusters
     pairs = dedup.minhash_lsh_pairs(df, threshold=args.jaccard,
                                     text_col=args.text_col, id_col=args.id_col)
-    losers = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
+    losers = (neardup_clusters(pairs).where(~F.col("is_canonical"))
+              .select(F.col("doc_id").alias(args.id_col)))
     df = df.join(losers, args.id_col, "left_anti")
     n2 = df.count()
 

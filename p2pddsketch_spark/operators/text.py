@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["words_col", "doc_stats", "top_tokens", "distinct_tokens_by",
            "language_id_col", "fingerprint_md5_col", "rolling_fingerprint",
-           "quality_score"]
+           "quality_score", "bm25_topk"]
 
 STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
@@ -99,6 +99,44 @@ def language_id_col(text_col: Column | str = "text") -> Column:
 def fingerprint_md5_col(text_col: Column | str = "text") -> Column:
     """Content fingerprint for exact dedup (md5 — SQL-portable)."""
     return F.md5(text_col)
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones), all built-in
+    functions: term frequencies from one explode+filter of the corpus,
+    document frequencies as a broadcast per-term aggregate, the classic
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) and tf saturation with
+    length normalization. At scale the only corpus-wide shuffle is the
+    (doc, term) tf aggregation — df/N/avgdl are term-count-sized and
+    broadcast. Returns (doc_id, score, rank) of the top k, ties broken
+    by doc id. SQL-expressible end to end (DuckDB twin in
+    plans/oracles.py).
+    """
+    words = words_col(text_col)
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.size(words).cast("double").alias("dl"),
+                     F.filter(words, lambda w: F.array_contains(terms, w)).alias("hits"))
+    stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (base.where(F.size("hits") > 0)
+          .select("doc_id", "dl", F.explode("hits").alias("term"))
+          .groupBy("doc_id", "dl", "term").agg(F.count("*").cast("double").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df_"))
+    scored = (tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_") + F.lit(0.5)) /
+                (F.col("df_") + F.lit(0.5)))
+    tf_term = (F.col("tf") * (k1 + 1.0)) / \
+              (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    per_doc = (scored.withColumn("part", idf * tf_term)
+               .groupBy("doc_id").agg(F.round(F.sum("part"), 6).alias("score")))
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (per_doc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "score", "rank")
+            .orderBy("rank"))
 
 
 _POLY_BASE = np.uint64(1000003)

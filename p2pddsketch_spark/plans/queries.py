@@ -379,6 +379,24 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rolling_fingerprint(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the exact Jaccard pair list: connected
+    components by iterative min-label propagation (operators/clusters.py)
+    — (doc_id, cluster_id = min doc id of the component, is_canonical).
+    Exact DuckDB twin: transitive closure via recursive CTE."""
+    from p2pddsketch_spark.operators.clusters import neardup_clusters
+    pairs = dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                                      threshold=0.12, n=2)
+    return neardup_clusters(pairs)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query (hash, merge, dup —
+    df spread exercises the idf term), k1=1.2 b=0.75, top 10."""
+    return text.bm25_topk(load(spark, sf_dir, "documents"),
+                          ["hash", "merge", "dup"], k=10)
+
+
 # -------------------------------------------------------------- similarity
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

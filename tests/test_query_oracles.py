@@ -32,6 +32,8 @@ SUBSET = [
     "rolling_fingerprint",      # HUGEINT Horner twin
     "stratified_sample",        # splitmix64-in-SQL bottom-k twin
     "dds_turnstile_lineitem",   # turnstile insert+delete pipeline
+    "neardup_clusters",         # connected components vs recursive CTE
+    "bm25_topk",                # BM25 ranked retrieval
 ]
 
 
