@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_doclen_by_lang": Q.q_dds_doclen_by_lang,
         "dds_events_hourly": Q.q_dds_events_hourly,
         "dds_sliding_p95": Q.q_dds_sliding_p95,
+        "dds_rank_enrich": Q.q_dds_rank_enrich,
         # relational surface
         "tpch_q1": Q.q_tpch_q1,
         "tpch_q6": Q.q_tpch_q6,

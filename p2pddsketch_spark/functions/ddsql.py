@@ -91,6 +91,61 @@ def ddsketch_quantile_plan(df: DataFrame, value_col: str, quantiles: list[float]
             .orderBy(*g, "q"))
 
 
+def ddsketch_rank_plan(df: DataFrame, value_col: str, alpha: float,
+                       id_cols: tuple[str, ...] = ("event_id",),
+                       offset: int = 1 << 30) -> DataFrame:
+    """Percentile-rank ENRICHMENT: annotate every row with its estimated
+    percentile (fraction of rows in buckets with key ≤ its key) from the
+    global DDSketch over `value_col` — the inverse query of
+    `ddsketch_quantile_plan`, as one Catalyst plan.
+
+    Scale shape: the fact table is scanned once to key rows; the bucket
+    table (≤ a few thousand rows at any α) aggregates with map-side
+    combine, takes one single-partition window for the cumsum (tiny by
+    construction), and broadcast-joins back onto the fact rows — no
+    shuffle of the fact table at all beyond the bucket aggregation."""
+    v = F.col(value_col).cast("double")
+    keyed = (df.where(v.isNotNull() & ~F.isnan(v))
+             .select(*id_cols, ddsketch_key_col(v, alpha, offset).alias("_key")))
+    buckets = keyed.groupBy("_key").agg(F.count("*").alias("_cnt"))
+    w_cum = Window.orderBy("_key")
+    cum = (buckets.withColumn("_cum", F.sum("_cnt").over(w_cum))
+           .withColumn("_n", F.sum("_cnt").over(Window.partitionBy())))
+    return (keyed.join(F.broadcast(cum), "_key")
+            .select(*id_cols,
+                    F.round(F.col("_cum").cast("double") / F.col("_n").cast("double"), 6)
+                    .alias("pct_rank"))
+            .orderBy(*id_cols))
+
+
+def duckdb_rank_sql(table: str, value_col: str, alpha: float,
+                    id_cols: tuple[str, ...] = ("event_id",),
+                    where: str = "") -> str:
+    """ANSI-SQL twin of `ddsketch_rank_plan` (positive values, like
+    `duckdb_quantile_sql`). `where` filters the OUTPUT rows only — the
+    rank is always computed over the whole table."""
+    _, lng = gamma_of_alpha(alpha)
+    ids = ", ".join(id_cols)
+    wc = f"WHERE {where}" if where else ""
+    return f"""
+WITH keyed AS (
+  SELECT {ids},
+         CAST(ceil(ln(CAST({value_col} AS DOUBLE)) / {lng!r}) AS BIGINT) AS bucket
+  FROM {table} WHERE {value_col} IS NOT NULL
+), buckets AS (
+  SELECT bucket, COUNT(*) AS cnt FROM keyed GROUP BY bucket
+), cum AS (
+  SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum_cnt,
+         SUM(cnt) OVER () AS n
+  FROM buckets
+)
+SELECT {ids}, ROUND(CAST(cum_cnt AS DOUBLE) / n, 6) AS pct_rank
+FROM keyed JOIN cum USING (bucket)
+{wc}
+ORDER BY {ids}
+"""
+
+
 def ddsketch_sliding_quantile_plan(df: DataFrame, value_col: str, ts_col: str,
                                    quantiles: list[float], alpha: float,
                                    window_hours: int = 6,

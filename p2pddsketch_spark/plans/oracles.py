@@ -51,7 +51,12 @@ ORACLES["dds_events_hourly"] = duckdb_quantile_sql(
     "value FROM events) t",
     "value", [0.95], alpha=0.01, group_cols=("hour_bucket",))
 
-from p2pddsketch_spark.functions.ddsql import duckdb_sliding_quantile_sql
+from p2pddsketch_spark.functions.ddsql import (duckdb_rank_sql,
+                                               duckdb_sliding_quantile_sql)
+
+ORACLES["dds_rank_enrich"] = duckdb_rank_sql(
+    "events", "value", alpha=0.01, id_cols=("event_id",),
+    where="event_id < 2000")
 
 ORACLES["dds_sliding_p95"] = duckdb_sliding_quantile_sql(
     "events", "value", "ts", [0.5, 0.95], alpha=0.01, window_hours=6)

@@ -177,6 +177,17 @@ def q_dds_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("hour_bucket", "q")
 
 
+def q_dds_rank_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank enrichment: every event row annotated with its
+    estimated percentile of `value` from the global DDSketch bucket
+    table (broadcast join — the fact table never shuffles). Output
+    bounded to event_id < 2000; the rank is over ALL rows."""
+    from p2pddsketch_spark.functions.ddsql import ddsketch_rank_plan
+    ev = load(spark, sf_dir, "events")
+    out = ddsketch_rank_plan(ev, "value", alpha=0.01)
+    return out.where(F.col("event_id") < 2000).orderBy("event_id")
+
+
 def q_dds_sliding_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour sliding-window p95 of event value — rolling quantiles from
     mergeable hourly bucket counts, never re-scanning raw data."""

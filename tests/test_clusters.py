@@ -33,7 +33,8 @@ def test_cc_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(12)],
                                "id_a long, id_b long")
     with pytest.raises(RuntimeError):
-        connected_components(df, max_iter=1)
+        # driver_max_edges=1 forces the distributed branch
+        connected_components(df, max_iter=1, driver_max_edges=1)
 
 
 def test_neardup_clusters_canonical_flag(spark):
@@ -42,3 +43,14 @@ def test_neardup_clusters_canonical_flag(spark):
     assert list(got["doc_id"]) == [2, 5, 9]
     assert list(got["cluster_id"]) == [2, 2, 2]
     assert list(got["is_canonical"]) == [True, False, False]
+
+
+def test_cc_distributed_branch_equals_driver_branch(spark):
+    """Force the distributed min-label path (driver_max_edges=0-ish) and
+    check it equals the union-find fast path on the same graph."""
+    edges = [(2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted(map(tuple, connected_components(df).collect()))
+    dist = sorted(map(tuple, connected_components(
+        df, driver_max_edges=1).collect()))
+    assert fast == dist

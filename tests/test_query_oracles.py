@@ -34,6 +34,7 @@ SUBSET = [
     "dds_turnstile_lineitem",   # turnstile insert+delete pipeline
     "neardup_clusters",         # connected components vs recursive CTE
     "bm25_topk",                # BM25 ranked retrieval
+    "dds_rank_enrich",          # percentile-rank enrichment (inverse query)
 ]
 
 
