@@ -90,11 +90,28 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
     recall; only safe when the corpus is small or pre-deduped)."""
     sh_full = df.select(F.col(id_col).alias("id"),
                         word_shingles_col(text_col, n).alias("sh"))
+    if max_shingle_df is None:
+        # uncapped: ONE aggregation computes exact intersections directly
+        # (count shared shingles per pair from the inverted-index join) —
+        # fewer stages than candidate+verify; only safe when no shingle
+        # is corpus-scale hot
+        sz = sh_full.withColumn("sz", F.size("sh").cast("long"))
+        ex = sz.select("id", "sz", F.explode("sh").alias("g"))
+        a, b = ex.alias("a"), ex.alias("b")
+        inter_df = (a.join(b, (F.col("a.g") == F.col("b.g")) &
+                              (F.col("a.id") < F.col("b.id")))
+                    .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                             F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+                    .agg(F.count("*").alias("inter")))
+        jac = F.col("inter").cast("double") / \
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+        return (inter_df.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+                .where(F.col("jaccard") >= threshold)
+                .orderBy("id_a", "id_b"))
     ex = sh_full.select("id", F.explode("sh").alias("g"))
-    if max_shingle_df is not None:
-        hot = (ex.groupBy("g").agg(F.count("*").alias("df_"))
-               .where(F.col("df_") > max_shingle_df).select("g"))
-        ex = ex.join(hot, "g", "left_anti")
+    hot = (ex.groupBy("g").agg(F.count("*").alias("df_"))
+           .where(F.col("df_") > max_shingle_df).select("g"))
+    ex = ex.join(hot, "g", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     cand = (a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
