@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_events_hourly": Q.q_dds_events_hourly,
         "dds_sliding_p95": Q.q_dds_sliding_p95,
         "dds_rank_enrich": Q.q_dds_rank_enrich,
+        "dds_rank_by_user_bucket": Q.q_dds_rank_by_user_bucket,
         # relational surface
         "tpch_q1": Q.q_tpch_q1,
         "tpch_q6": Q.q_tpch_q6,
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": Q.q_embedding_neardup,
         "ann_topk_lsh": Q.q_ann_topk_lsh,
         "ann_topk_ivf": Q.q_ann_topk_ivf,
+        "fd_gram_exact": Q.q_fd_gram_exact,
         # multi-sketch single-pass estimates (rows-only check)
         "sketch_estimates_events": Q.q_sketch_estimates_events,
         "theta_token_overlap": Q.q_theta_token_overlap,

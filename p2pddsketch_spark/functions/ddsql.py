@@ -93,26 +93,31 @@ def ddsketch_quantile_plan(df: DataFrame, value_col: str, quantiles: list[float]
 
 def ddsketch_rank_plan(df: DataFrame, value_col: str, alpha: float,
                        id_cols: tuple[str, ...] = ("event_id",),
+                       group_cols: tuple[str, ...] = (),
                        offset: int = 1 << 30) -> DataFrame:
     """Percentile-rank ENRICHMENT: annotate every row with its estimated
     percentile (fraction of rows in buckets with key ≤ its key) from the
-    global DDSketch over `value_col` — the inverse query of
-    `ddsketch_quantile_plan`, as one Catalyst plan.
+    DDSketch over `value_col` — per `group_cols` cohort when given,
+    global otherwise. The inverse query of `ddsketch_quantile_plan`, as
+    one Catalyst plan.
 
     Scale shape: the fact table is scanned once to key rows; the bucket
-    table (≤ a few thousand rows at any α) aggregates with map-side
-    combine, takes one single-partition window for the cumsum (tiny by
-    construction), and broadcast-joins back onto the fact rows — no
+    table (groups × ≤ a few thousand buckets) aggregates with map-side
+    combine, takes one window for the cumsum (partitioned by group —
+    single-partition only in the global case, tiny by construction
+    either way), and broadcast-joins back onto the fact rows — no
     shuffle of the fact table at all beyond the bucket aggregation."""
+    g = list(group_cols)
     v = F.col(value_col).cast("double")
     keyed = (df.where(v.isNotNull() & ~F.isnan(v))
-             .select(*id_cols, ddsketch_key_col(v, alpha, offset).alias("_key")))
-    buckets = keyed.groupBy("_key").agg(F.count("*").alias("_cnt"))
-    w_cum = Window.orderBy("_key")
+             .select(*id_cols, *g, ddsketch_key_col(v, alpha, offset).alias("_key")))
+    buckets = keyed.groupBy(*g, "_key").agg(F.count("*").alias("_cnt"))
+    w_cum = Window.partitionBy(*[F.col(c) for c in g]).orderBy("_key")
+    w_all = Window.partitionBy(*[F.col(c) for c in g])
     cum = (buckets.withColumn("_cum", F.sum("_cnt").over(w_cum))
-           .withColumn("_n", F.sum("_cnt").over(Window.partitionBy())))
-    return (keyed.join(F.broadcast(cum), "_key")
-            .select(*id_cols,
+           .withColumn("_n", F.sum("_cnt").over(w_all)))
+    return (keyed.join(F.broadcast(cum), g + ["_key"])
+            .select(*id_cols, *g,
                     F.round(F.col("_cum").cast("double") / F.col("_n").cast("double"), 6)
                     .alias("pct_rank"))
             .orderBy(*id_cols))
@@ -120,27 +125,31 @@ def ddsketch_rank_plan(df: DataFrame, value_col: str, alpha: float,
 
 def duckdb_rank_sql(table: str, value_col: str, alpha: float,
                     id_cols: tuple[str, ...] = ("event_id",),
+                    group_cols: tuple[str, ...] = (),
                     where: str = "") -> str:
     """ANSI-SQL twin of `ddsketch_rank_plan` (positive values, like
     `duckdb_quantile_sql`). `where` filters the OUTPUT rows only — the
     rank is always computed over the whole table."""
     _, lng = gamma_of_alpha(alpha)
     ids = ", ".join(id_cols)
+    g = ", ".join(group_cols)
+    gc = g + ", " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
     wc = f"WHERE {where}" if where else ""
     return f"""
 WITH keyed AS (
-  SELECT {ids},
+  SELECT {ids}, {gc}
          CAST(ceil(ln(CAST({value_col} AS DOUBLE)) / {lng!r}) AS BIGINT) AS bucket
   FROM {table} WHERE {value_col} IS NOT NULL
 ), buckets AS (
-  SELECT bucket, COUNT(*) AS cnt FROM keyed GROUP BY bucket
+  SELECT {gc}bucket, COUNT(*) AS cnt FROM keyed GROUP BY {gc}bucket
 ), cum AS (
-  SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum_cnt,
-         SUM(cnt) OVER () AS n
+  SELECT {gc}bucket, SUM(cnt) OVER ({part}ORDER BY bucket) AS cum_cnt,
+         SUM(cnt) OVER ({part.rstrip() if g else ''}) AS n
   FROM buckets
 )
-SELECT {ids}, ROUND(CAST(cum_cnt AS DOUBLE) / n, 6) AS pct_rank
-FROM keyed JOIN cum USING (bucket)
+SELECT {ids}, {gc}ROUND(CAST(cum_cnt AS DOUBLE) / n, 6) AS pct_rank
+FROM keyed JOIN cum USING ({gc.rstrip(', ') + ', ' if g else ''}bucket)
 {wc}
 ORDER BY {ids}
 """

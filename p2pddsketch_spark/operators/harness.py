@@ -48,6 +48,7 @@ from p2pddsketch_spark.sketches.bottomk import BottomKSample
 from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
 from p2pddsketch_spark.sketches.tdigest import TDigest
 from p2pddsketch_spark.sketches.theta import ThetaSketch
+from p2pddsketch_spark.sketches.fd import FrequentDirections
 
 __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
            "build_sketches", "build_partials", "merge_partials",
@@ -75,6 +76,7 @@ SKETCH_TYPES = {
     b"SSV2": SpaceSaving,
     b"BTK1": BottomKSample,
     b"THT1": ThetaSketch,
+    b"FRD1": FrequentDirections,
 }
 
 

@@ -58,6 +58,12 @@ ORACLES["dds_rank_enrich"] = duckdb_rank_sql(
     "events", "value", alpha=0.01, id_cols=("event_id",),
     where="event_id < 2000")
 
+ORACLES["dds_rank_by_user_bucket"] = duckdb_rank_sql(
+    "(SELECT event_id, CAST(user_id % 4 AS BIGINT) AS user_bucket, value "
+    "FROM events) t",
+    "value", alpha=0.01, id_cols=("event_id",),
+    group_cols=("user_bucket",), where="event_id < 2000")
+
 ORACLES["dds_sliding_p95"] = duckdb_sliding_quantile_sql(
     "events", "value", "ts", [0.5, 0.95], alpha=0.01, window_hours=6)
 
@@ -373,6 +379,23 @@ WITH s0 AS (
 )
 SELECT source, doc_id FROM ranked WHERE rn <= 20
 ORDER BY source, doc_id
+"""
+
+# Frequent Directions in lossless mode (ell = d >= rank): the sketch's
+# gram matrix equals A'A exactly, so the twin is plain sums of element
+# products (float32 inputs cast to double on both sides).
+ORACLES["fd_gram_exact"] = """
+WITH pairs AS (
+  SELECT i.range AS i, j.range AS j
+  FROM range(8) i, range(8) j
+  WHERE i.range <= j.range
+)
+SELECT i, j,
+       ROUND(SUM(embedding[CAST(i AS INT) + 1]::DOUBLE *
+                 embedding[CAST(j AS INT) + 1]::DOUBLE), 6) AS gram
+FROM embeddings, pairs
+GROUP BY i, j
+ORDER BY i, j
 """
 
 ORACLES["ann_cosine_topk"] = """

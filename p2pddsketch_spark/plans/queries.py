@@ -188,6 +188,18 @@ def q_dds_rank_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("event_id") < 2000).orderBy("event_id")
 
 
+def q_dds_rank_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort percentile-rank enrichment: each event's value ranked
+    against its OWN user-bucket cohort's sketch (group_cols form of
+    `ddsketch_rank_plan`). Output bounded to event_id < 2000."""
+    from p2pddsketch_spark.functions.ddsql import ddsketch_rank_plan
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("long"))
+    out = ddsketch_rank_plan(ev, "value", alpha=0.01,
+                             group_cols=("user_bucket",))
+    return out.where(F.col("event_id") < 2000).orderBy("event_id")
+
+
 def q_dds_sliding_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour sliding-window p95 of event value — rolling quantiles from
     mergeable hourly bucket counts, never re-scanning raw data."""
@@ -457,6 +469,29 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     return similarity.ann_topk_ivf(emb, queries, k=5, nlist=16, nprobe=16)
+
+
+def q_fd_gram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions covariance sketch over the embeddings table,
+    in LOSSLESS mode (ℓ = d ≥ rank): every compaction's shrinkage is 0,
+    so the merged sketch's gram matrix equals AᵀA EXACTLY and the DuckDB
+    twin recomputes it as plain sums of element products — a hard oracle
+    on the FD pipeline (flatten extractor, SVD compaction, shuffle-tree
+    merge). The compressive ℓ < d mode is property-tested against the
+    2‖A‖F²/ℓ spectral bound in tests/test_sketches.py. Output: the
+    upper triangle of the first 8×8 block."""
+    from p2pddsketch_spark.sketches.fd import FrequentDirections
+    out = build_sketches(
+        load(spark, sf_dir, "embeddings"),
+        [SketchSpec("fd", lambda: FrequentDirections(ell=64, d=64),
+                    array_extractor("embedding"))],
+        salt_buckets=8)
+    sk = collect_sketches(out)["fd"]
+    g = sk.gram()
+    rows = [(int(i), int(j), float(np.round(g[i, j], 6)))
+            for i in range(8) for j in range(i, 8)]
+    return (spark.createDataFrame(rows, "i long, j long, gram double")
+            .orderBy("i", "j"))
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,6 +35,8 @@ SUBSET = [
     "neardup_clusters",         # connected components vs recursive CTE
     "bm25_topk",                # BM25 ranked retrieval
     "dds_rank_enrich",          # percentile-rank enrichment (inverse query)
+    "dds_rank_by_user_bucket",  # cohort percentile ranks
+    "fd_gram_exact",            # Frequent Directions lossless gram
 ]
 
 

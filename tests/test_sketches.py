@@ -329,3 +329,65 @@ def test_error_code_table_parity():
     # the broad class still catches (backward compatibility)
     with pytest.raises(E.SketchError):
         DDSketch(alpha=-1.0)
+
+
+def test_fd_spectral_bound_and_psd():
+    """Frequent Directions deterministic guarantee on random and low-rank
+    data: 0 <= A'A - B'B (PSD) and ||A'A - B'B||_2 <= 2||A||_F^2 / ell."""
+    import numpy as np
+    from p2pddsketch_spark.sketches.fd import FrequentDirections
+    rng = np.random.default_rng(8)
+    for mk in [lambda: rng.standard_normal((3000, 32)),
+               lambda: rng.standard_normal((3000, 4)) @ rng.standard_normal((4, 32))
+               + 0.01 * rng.standard_normal((3000, 32))]:
+        a = mk()
+        fd = FrequentDirections(ell=8, d=32)
+        for lo in range(0, len(a), 500):
+            fd.update_batch(a[lo:lo + 500])
+        diff = a.T @ a - fd.gram()
+        eig = np.linalg.eigvalsh(diff)
+        fro2 = float((a * a).sum())
+        assert eig.min() >= -1e-6 * fro2            # PSD up to num. noise
+        assert eig.max() <= 2.0 * fro2 / 8 + 1e-9   # spectral bound
+        assert abs(fd.error_bound() - 2.0 * fro2 / 8) < 1e-6 * fro2
+
+
+def test_fd_merge_preserves_bound_and_lossless_mode():
+    import numpy as np
+    from p2pddsketch_spark.sketches.fd import FrequentDirections
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal((2000, 16))
+    halves = [FrequentDirections(ell=6, d=16).update_batch(h)
+              for h in (a[:1000], a[1000:])]
+    merged = halves[0].merge(halves[1])
+    diff = a.T @ a - merged.gram()
+    eig = np.linalg.eigvalsh(diff)
+    fro2 = float((a * a).sum())
+    assert eig.min() >= -1e-6 * fro2
+    assert eig.max() <= 2.0 * fro2 / 6 + 1e-9
+    assert merged.n == 2000
+    # lossless mode: ell >= rank -> exact gram even through merges
+    lossless = [FrequentDirections(ell=16, d=16).update_batch(h)
+                for h in (a[:1000], a[1000:])]
+    exact = lossless[0].merge(lossless[1]).gram()
+    assert np.allclose(exact, a.T @ a, rtol=1e-9, atol=1e-7)
+
+
+def test_fd_top_direction_recovery_and_roundtrip():
+    import numpy as np
+    from p2pddsketch_spark.sketches.fd import FrequentDirections
+    rng = np.random.default_rng(10)
+    u = rng.standard_normal(24); u /= np.linalg.norm(u)
+    a = np.outer(rng.standard_normal(4000) * 10, u) \
+        + 0.05 * rng.standard_normal((4000, 24))
+    fd = FrequentDirections(ell=6, d=24).update_batch(a)
+    top = fd.top_directions(1)[0]
+    assert abs(float(top @ u)) > 0.99
+    # serialization roundtrip preserves gram and metadata
+    from p2pddsketch_spark.sketches.fd import FrequentDirections as FD
+    back = FD.from_bytes(fd.to_bytes())
+    assert np.allclose(back.gram(), fd.gram())
+    assert back.n == fd.n and abs(back.sum_sq - fd.sum_sq) < 1e-9
+    # flat (harness extractor) input equals matrix input
+    flat = FD(ell=6, d=24).update_batch(a.ravel())
+    assert np.allclose(flat.gram(), fd.gram(), rtol=1e-8, atol=1e-8)
