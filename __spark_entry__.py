@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": Q.q_ann_topk_lsh,
         "ann_topk_ivf": Q.q_ann_topk_ivf,
         "fd_gram_exact": Q.q_fd_gram_exact,
+        "heavy_users_spacesaving": Q.q_heavy_users_spacesaving,
         # multi-sketch single-pass estimates (rows-only check)
         "sketch_estimates_events": Q.q_sketch_estimates_events,
         "theta_token_overlap": Q.q_theta_token_overlap,

@@ -381,6 +381,38 @@ SELECT source, doc_id FROM ranked WHERE rn <= 20
 ORDER BY source, doc_id
 """
 
+# Theta/KMV with k >= the distinct-hash count keeps EVERY hash (theta
+# stays 1), so intersection/union cardinalities are exact counts — the
+# fixture vocabulary (~31 tokens/source) is far under k=4096, making the
+# per-pair set-op SQL a hard oracle on the theta build/merge/set-op
+# machinery. Saturated-k accuracy is pytest-bound-tested.
+ORACLES["theta_token_overlap"] = f"""
+WITH t AS (
+  SELECT DISTINCT source, unnest({_WORDS}) AS token FROM documents
+), c AS (
+  SELECT source, COUNT(*) AS n FROM t GROUP BY source
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+  FROM t a JOIN t b ON a.token = b.token AND a.source < b.source
+  GROUP BY sa, sb
+)
+SELECT ca.source AS source_a, cb.source AS source_b,
+       ROUND(COALESCE(i, 0)::DOUBLE, 1) AS inter_est,
+       ROUND((ca.n + cb.n - COALESCE(i, 0))::DOUBLE, 1) AS union_est
+FROM c ca JOIN c cb ON ca.source < cb.source
+LEFT JOIN inter ON inter.sa = ca.source AND inter.sb = cb.source
+ORDER BY source_a, source_b
+"""
+
+# SpaceSaving with k >= distinct keys never evicts -> exact counts.
+ORACLES["heavy_users_spacesaving"] = """
+SELECT user_id, COUNT(*) AS cnt
+FROM events
+GROUP BY user_id
+ORDER BY cnt DESC, user_id
+LIMIT 10
+"""
+
 # Frequent Directions in lossless mode (ell = d >= rank): the sketch's
 # gram matrix equals A'A exactly, so the twin is plain sums of element
 # products (float32 inputs cast to double on both sides).

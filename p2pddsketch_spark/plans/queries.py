@@ -471,6 +471,26 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf(emb, queries, k=5, nlist=16, nprobe=16)
 
 
+def q_heavy_users_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpaceSaving heavy hitters through the distributed pipeline, in its
+    EXACTNESS configuration: k = 256 exceeds the distinct-user count, so
+    no eviction ever fires, counts are exact, and the plain GROUP BY
+    count is a hard oracle on the build/merge machinery (same trick as
+    the full-probe ANN queries). Eviction semantics (floors, error
+    bounds) are hypothesis-tested in tests/test_properties.py."""
+    from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
+    out = build_sketches(
+        load(spark, sf_dir, "events"),
+        [SketchSpec("ss", lambda: SpaceSaving(k=256),
+                    scalar_int_extractor("user_id"))],
+        salt_buckets=8)
+    sk = collect_sketches(out)["ss"]
+    rows = sorted(((int(item), int(cnt)) for item, cnt, _ in sk.top()),
+                  key=lambda r: (-r[1], r[0]))[:10]
+    return (spark.createDataFrame(rows, "user_id long, cnt long")
+            .orderBy(F.desc("cnt"), "user_id"))
+
+
 def q_fd_gram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent Directions covariance sketch over the embeddings table,
     in LOSSLESS mode (ℓ = d ≥ rank): every compaction's shrinkage is 0,
@@ -517,8 +537,9 @@ def q_theta_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-token overlap between source pairs via theta sketches —
     the set-operation query HLL cannot answer: build one theta sketch per
     source over hashed tokens (one pass), then estimate |A∩B| / |A∪B| for
-    every source pair from the tiny summaries. Rows-only check (hash-
-    dependent); pytest verifies against exact overlaps within bound."""
+    every source pair from the tiny summaries. HARD oracle: the fixture
+    vocabulary is far below k, so theta stays 1 and every estimate is the
+    exact count (the saturated regime is pytest-bound-tested)."""
     from itertools import combinations
     from p2pddsketch_spark.sketches.theta import ThetaSketch
     docs = load(spark, sf_dir, "documents")

@@ -37,6 +37,8 @@ SUBSET = [
     "dds_rank_enrich",          # percentile-rank enrichment (inverse query)
     "dds_rank_by_user_bucket",  # cohort percentile ranks
     "fd_gram_exact",            # Frequent Directions lossless gram
+    "heavy_users_spacesaving",  # SpaceSaving exact-k == GROUP BY count
+    "theta_token_overlap",      # theta under-k == exact set ops
 ]
 
 
@@ -84,7 +86,6 @@ def test_entry_smoke(spark):
     "sketch_estimates_events",    # 8 sketches through the full pipeline
     "minhash_lsh_pairs_prod",     # production LSH banding
     "simhash_neardup_pairs",      # simhash codes are hash-dependent
-    "theta_token_overlap",        # theta set ops
 ])
 def test_rows_only_queries_are_deterministic(spark, name):
     """The queries WITHOUT SQL oracles are hash/seed-dependent — but every
