@@ -155,6 +155,89 @@ ORDER BY {ids}
 """
 
 
+def ddsketch_decayed_quantile_plan(df: DataFrame, value_col: str, ts_col: str,
+                                   quantiles: list[float], alpha: float,
+                                   half_life_hours: float = 24.0,
+                                   t0: str = "2024-01-01 00:00:00",
+                                   offset: int = 1 << 30) -> DataFrame:
+    """Exponentially TIME-DECAYED quantiles as one Catalyst plan: each
+    row carries absolute weight 2^((t − t0)/half_life) — newer rows
+    weigh more; relative weights between two rows depend only on their
+    timestamp gap, so the choice of epoch t0 cancels. Absolute weights
+    make the aggregation a plain weighted sum (fully order-invariant, no
+    decay-at-merge bookkeeping), and the quantile scan runs on weighted
+    cumulative bucket mass: the decayed p95 answers "p95 of the recent
+    regime" while old data fades smoothly instead of falling off a
+    window cliff.
+
+    Numerics: exponents are bounded by the data's time span / half-life
+    (the fixture spans 30 days → 2^0..2^30 at 24 h), well inside float64;
+    pick half_life so span/half_life stays small when w_total parity
+    matters. Assumes a fixed-offset session timezone (the UTC default) —
+    the NTZ→timestamp casts shift both operands equally then.
+    Output: (q, bucket_key, estimate, w_total rounded) per quantile."""
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    # tz-free: NTZ timestamp difference in seconds against a literal epoch.
+    # cast-to-double keeps MICROSECONDS (unix_timestamp truncates to whole
+    # seconds and would diverge from DuckDB's fractional epoch())
+    dt_hours = (F.col(ts_col).cast("timestamp").cast("double") -
+                F.lit(t0).cast("timestamp").cast("double")) / F.lit(3600.0)
+    weight = F.pow(F.lit(2.0), dt_hours / F.lit(half_life_hours))
+    keyed = (df.where(v.isNotNull() & ~F.isnan(v))
+             .select(ddsketch_key_col(v, alpha, offset).alias("_key"),
+                     weight.alias("_w")))
+    counts = keyed.groupBy("_key").agg(F.sum("_w").alias("_cnt"))
+    w_cum = Window.orderBy("_key")
+    cum = (counts.withColumn("_cum", F.sum("_cnt").over(w_cum))
+           .withColumn("_n", F.sum("_cnt").over(Window.partitionBy())))
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    picked = (cum.join(F.broadcast(qdf), F.col("_cum") > F.col("q") * F.col("_n"))
+              .groupBy("q")
+              .agg(F.min("_key").alias("_key"), F.first("_n").alias("_n")))
+    unsigned = (F.when(F.col("_key") > 0, F.col("_key") - F.lit(offset))
+                .when(F.col("_key") < 0, F.col("_key") + F.lit(offset))
+                .otherwise(F.lit(0)))
+    return (picked
+            .withColumn("estimate", F.round(ddsketch_estimate_col(F.col("_key"), alpha, offset), 6))
+            .withColumn("bucket_key", unsigned.cast("long"))
+            .select("q", "bucket_key", "estimate",
+                    F.round(F.col("_n"), 3).alias("w_total"))
+            .orderBy("q"))
+
+
+def duckdb_decayed_quantile_sql(table: str, value_col: str, ts_col: str,
+                                quantiles: list[float], alpha: float,
+                                half_life_hours: float = 24.0,
+                                t0: str = "2024-01-01 00:00:00") -> str:
+    """ANSI-SQL twin of `ddsketch_decayed_quantile_plan` (positive
+    values)."""
+    gamma, lng = gamma_of_alpha(alpha)
+    qvals = ", ".join(f"({float(q)!r})" for q in quantiles)
+    return f"""
+WITH keyed AS (
+  SELECT CAST(ceil(ln(CAST({value_col} AS DOUBLE)) / {lng!r}) AS BIGINT) AS bucket,
+         power(2.0, (epoch({ts_col}) - epoch(TIMESTAMP '{t0}')) / 3600.0
+                     / {float(half_life_hours)!r}) AS w
+  FROM {table} WHERE {value_col} IS NOT NULL
+), buckets AS (
+  SELECT bucket, SUM(w) AS cnt FROM keyed GROUP BY bucket
+), cum AS (
+  SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum_cnt,
+         SUM(cnt) OVER () AS n
+  FROM buckets
+), qs(q) AS (VALUES {qvals})
+SELECT q,
+       MIN(bucket) AS bucket_key,
+       ROUND(2 * power({gamma!r}, CAST(MIN(bucket) AS DOUBLE)) / ({gamma!r} + 1), 6) AS estimate,
+       ROUND(MIN(n), 3) AS w_total
+FROM cum CROSS JOIN qs
+WHERE cum_cnt > q * n
+GROUP BY q
+ORDER BY q
+"""
+
+
 def ddsketch_sliding_quantile_plan(df: DataFrame, value_col: str, ts_col: str,
                                    quantiles: list[float], alpha: float,
                                    window_hours: int = 6,

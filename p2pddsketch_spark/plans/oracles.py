@@ -54,6 +54,12 @@ ORACLES["dds_events_hourly"] = duckdb_quantile_sql(
 from p2pddsketch_spark.functions.ddsql import (duckdb_rank_sql,
                                                duckdb_sliding_quantile_sql)
 
+from p2pddsketch_spark.functions.ddsql import duckdb_decayed_quantile_sql
+
+ORACLES["dds_decayed_quantiles"] = duckdb_decayed_quantile_sql(
+    "events", "value", "ts", [0.5, 0.95, 0.99], alpha=0.01,
+    half_life_hours=168.0)
+
 ORACLES["dds_rank_enrich"] = duckdb_rank_sql(
     "events", "value", alpha=0.01, id_cols=("event_id",),
     where="event_id < 2000")

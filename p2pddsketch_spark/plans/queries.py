@@ -177,6 +177,17 @@ def q_dds_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("hour_bucket", "q")
 
 
+def q_dds_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed quantiles (half-life 7 days over the
+    30-day fixture → weight span ~20, well-conditioned float64 sums):
+    recent events dominate the percentile smoothly instead of a window
+    cliff. Exact DuckDB twin."""
+    from p2pddsketch_spark.functions.ddsql import ddsketch_decayed_quantile_plan
+    return ddsketch_decayed_quantile_plan(
+        load(spark, sf_dir, "events"), "value", "ts",
+        [0.5, 0.95, 0.99], alpha=0.01, half_life_hours=168.0)
+
+
 def q_dds_rank_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-rank enrichment: every event row annotated with its
     estimated percentile of `value` from the global DDSketch bucket

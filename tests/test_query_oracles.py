@@ -39,6 +39,7 @@ SUBSET = [
     "fd_gram_exact",            # Frequent Directions lossless gram
     "heavy_users_spacesaving",  # SpaceSaving exact-k == GROUP BY count
     "theta_token_overlap",      # theta under-k == exact set ops
+    "dds_decayed_quantiles",    # exponentially time-decayed quantiles
 ]
 
 
