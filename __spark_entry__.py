@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": Q.q_customers_without_orders,
         # window functions / sessionization
         "window_running_value": Q.q_window_running_value,
+        "events_asof_orders": Q.q_events_asof_orders,
         "user_sessions": Q.q_user_sessions,
         # text analysis
         "top_tokens_exact": Q.q_top_tokens,

@@ -139,6 +139,20 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
 
+# DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
+# as-of implementation (ties deterministic: right side deduped).
+ORACLES["events_asof_orders"] = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, r.last_orderkey, r.o_orderdate AS asof_date
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000) e
+ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+ORDER BY event_id
+"""
+
 ORACLES["window_running_value"] = """
 SELECT event_id, user_id,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS running_value,

@@ -338,6 +338,28 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (operators/asof.py): each event picks the customer's
+    most recent order with o_orderdate <= event ts — union+window plan,
+    ONE key shuffle, no range join. Right side deduped to one row per
+    (custkey, date) so ties are deterministic. Oracle: DuckDB's NATIVE
+    ASOF LEFT JOIN. Output bounded to event_id < 2000."""
+    from p2pddsketch_spark.operators.asof import asof_join
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 2000) \
+        .select("event_id", "user_id", "ts")
+    orders = (load(spark, sf_dir, "orders")
+              .groupBy("o_custkey", "o_orderdate")
+              .agg(F.max("o_orderkey").alias("last_orderkey"))
+              .withColumn("asof_date", F.col("o_orderdate").cast("timestamp")))
+    ev = ev.withColumn("_jk", F.col("user_id"))
+    orders = orders.withColumn("_jk", F.col("o_custkey"))
+    out = asof_join(ev, orders, key="_jk", left_ts="ts",
+                    right_ts="o_orderdate",
+                    payload=("last_orderkey", "asof_date"))
+    return (out.select("event_id", "last_orderkey", "asof_date")
+            .orderBy("event_id"))
+
+
 # ------------------------------------------------------------ text analysis
 
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

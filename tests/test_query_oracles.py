@@ -40,6 +40,7 @@ SUBSET = [
     "heavy_users_spacesaving",  # SpaceSaving exact-k == GROUP BY count
     "theta_token_overlap",      # theta under-k == exact set ops
     "dds_decayed_quantiles",    # exponentially time-decayed quantiles
+    "events_asof_orders",       # as-of join vs DuckDB's native ASOF
 ]
 
 
