@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window functions / sessionization
         "window_running_value": Q.q_window_running_value,
         "events_asof_orders": Q.q_events_asof_orders,
+        "events_interval_join": Q.q_events_interval_join,
         "user_sessions": Q.q_user_sessions,
         # text analysis
         "top_tokens_exact": Q.q_top_tokens,

@@ -24,7 +24,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
+
+
+def interval_join(left: DataFrame, right: DataFrame, key: str,
+                  left_ts: str, start_col: str, end_col: str,
+                  bucket_seconds: int = 3600) -> DataFrame:
+    """Range (interval) join: all (left, right) pairs of the same `key`
+    with left_ts ∈ [start, end] — WITHOUT the range-condition join
+    Catalyst plans as a per-key nested loop. Each right interval
+    explodes into the `bucket_seconds` time buckets it overlaps, each
+    left row maps to its single bucket, and a hash EQUI-join on
+    (key, bucket) produces candidates that one exact filter prunes.
+    Shuffle volume: |left| + |right|·(interval/bucket + 1) rows — size
+    `bucket_seconds` near the typical interval length. Duplicate
+    candidates are impossible (a left row lives in exactly one bucket).
+    Returns left columns + right columns (names must not collide)."""
+    b = F.lit(int(bucket_seconds)).cast("long")
+    l_ts = F.col(left_ts).cast("timestamp").cast("double").cast("long")
+    s_ts = F.col(start_col).cast("timestamp").cast("double").cast("long")
+    e_ts = F.col(end_col).cast("timestamp").cast("double").cast("long")
+    l = left.withColumn("_b", F.floor(l_ts / b).cast("long")) \
+            .withColumn("_jk", F.col(key))
+    r = (right.withColumn("_bs", F.floor(s_ts / b).cast("long"))
+         .withColumn("_be", F.floor(e_ts / b).cast("long"))
+         .withColumn("_b", F.explode(F.sequence(F.col("_bs"), F.col("_be"))))
+         .withColumn("_jk", F.col(key))
+         .drop("_bs", "_be", key))
+    joined = l.join(r, ["_jk", "_b"])
+    keep = (F.col(left_ts).cast("timestamp") >= F.col(start_col).cast("timestamp")) & \
+           (F.col(left_ts).cast("timestamp") <= F.col(end_col).cast("timestamp"))
+    return joined.where(keep).drop("_jk", "_b")
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,

@@ -153,6 +153,19 @@ ASOF LEFT JOIN r
 ORDER BY event_id
 """
 
+ORACLES["events_interval_join"] = """
+WITH win AS (
+  SELECT event_id AS window_id, user_id, ts AS w_start,
+         ts + INTERVAL 2 HOUR AS w_end
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT w.window_id, e.event_id
+FROM events e
+JOIN win w ON e.user_id = w.user_id
+          AND e.ts BETWEEN w.w_start AND w.w_end
+ORDER BY window_id, event_id
+"""
+
 ORACLES["window_running_value"] = """
 SELECT event_id, user_id,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS running_value,

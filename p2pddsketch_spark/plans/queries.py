@@ -360,6 +360,25 @@ def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via time-bucketized equi-join
+    (operators/asof.py::interval_join): every 97th event opens a 2-hour
+    window; find all same-user events inside each window. Hash join on
+    (user, hour-bucket) + exact filter — no per-key nested loop. Oracle:
+    plain BETWEEN join in DuckDB."""
+    from p2pddsketch_spark.operators.asof import interval_join
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    win = (ev.where(F.col("event_id") % 97 == 0)
+           .select(F.col("event_id").alias("window_id"), "user_id",
+                   F.col("ts").alias("w_start"),
+                   (F.col("ts").cast("timestamp") + F.expr("INTERVAL 2 HOURS"))
+                   .alias("w_end")))
+    out = interval_join(ev, win, key="user_id", left_ts="ts",
+                        start_col="w_start", end_col="w_end")
+    return (out.select("window_id", "event_id")
+            .orderBy("window_id", "event_id"))
+
+
 # ------------------------------------------------------------ text analysis
 
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

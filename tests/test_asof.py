@@ -32,3 +32,29 @@ def test_asof_edges(spark):
         [None, "b", "c", None, None]
     # left columns all preserved
     assert set(got.columns) == {"k", "ts", "lid", "pay"}
+
+
+def test_interval_join_edges(spark):
+    """Containment boundaries inclusive on both ends; bucket-spanning
+    intervals; no duplicates; disjoint keys never pair."""
+    import pandas as pd
+    from p2pddsketch_spark.operators.asof import interval_join
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:30:00",
+                              "2024-01-01 03:00:00", "2024-01-01 03:00:01",
+                              "2024-01-01 01:00:00"]),
+        "lid": [0, 1, 2, 3, 4],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": [1],
+        "s": pd.to_datetime(["2024-01-01 00:00:00"]),
+        "e": pd.to_datetime(["2024-01-01 03:00:00"]),  # spans 4 hour-buckets
+        "wid": [100],
+    }))
+    got = interval_join(left, right, key="k", left_ts="ts",
+                        start_col="s", end_col="e").toPandas()
+    # start boundary (lid 0) and end boundary (lid 2) INCLUDED; one
+    # second past the end (lid 3) excluded; other key (lid 4) excluded
+    assert sorted(got["lid"]) == [0, 1, 2]
+    assert len(got) == len(got.drop_duplicates(["lid", "wid"]))  # no dups

@@ -41,6 +41,7 @@ SUBSET = [
     "theta_token_overlap",      # theta under-k == exact set ops
     "dds_decayed_quantiles",    # exponentially time-decayed quantiles
     "events_asof_orders",       # as-of join vs DuckDB's native ASOF
+    "events_interval_join",     # bucketized range join vs BETWEEN join
 ]
 
 
