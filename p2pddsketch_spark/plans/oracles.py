@@ -146,7 +146,8 @@ WITH r AS (
   SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
   FROM orders GROUP BY o_custkey, o_orderdate
 )
-SELECT e.event_id, r.last_orderkey, r.o_orderdate AS asof_date
+SELECT e.event_id, r.last_orderkey,
+       strftime(r.o_orderdate, '%Y-%m-%d') AS asof_date
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000) e
 ASOF LEFT JOIN r
   ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate

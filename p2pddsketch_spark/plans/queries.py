@@ -350,7 +350,10 @@ def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (load(spark, sf_dir, "orders")
               .groupBy("o_custkey", "o_orderdate")
               .agg(F.max("o_orderkey").alias("last_orderkey"))
-              .withColumn("asof_date", F.col("o_orderdate").cast("timestamp")))
+              # string date, not timestamp: the repo's tz-free output
+              # idiom (also sidesteps pandas ns-vs-us resolution skew)
+              .withColumn("asof_date",
+                          F.date_format("o_orderdate", "yyyy-MM-dd")))
     ev = ev.withColumn("_jk", F.col("user_id"))
     orders = orders.withColumn("_jk", F.col("o_custkey"))
     out = asof_join(ev, orders, key="_jk", left_ts="ts",
