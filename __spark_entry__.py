@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_doclen_by_lang": Q.q_dds_doclen_by_lang,
         "dds_events_hourly": Q.q_dds_events_hourly,
         "dds_sliding_p95": Q.q_dds_sliding_p95,
+        "dds_daily_rollup": Q.q_dds_daily_rollup,
         "dds_decayed_quantiles": Q.q_dds_decayed,
         "dds_rank_enrich": Q.q_dds_rank_enrich,
         "dds_rank_by_user_bucket": Q.q_dds_rank_by_user_bucket,

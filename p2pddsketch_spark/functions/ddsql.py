@@ -155,6 +155,50 @@ ORDER BY {ids}
 """
 
 
+def ddsketch_rollup_quantile_plan(df: DataFrame, value_col: str, ts_col: str,
+                                  quantiles: list[float], alpha: float,
+                                  offset: int = 1 << 30) -> DataFrame:
+    """Hypertable-style continuous-aggregate ROLLUP: materialize the
+    FINE grain once (hourly (bucket, count) state — what the streaming
+    windowed aggregation maintains), then derive the COARSE grain (daily
+    quantiles) purely by re-aggregating that state. sum-by-(day, bucket)
+    of hourly counts is EXACTLY the daily bucket histogram, so the
+    coarse answer is identical to scanning raw data — at 100 TB the raw
+    table is touched once per fine window ever, and every rollup after
+    that reads counts bounded by (windows × buckets). Output schema ==
+    `ddsketch_quantile_plan` with a `day_bucket` group column."""
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    hour_bucket = F.date_format(F.date_trunc("hour", F.col(ts_col)),
+                                "yyyy-MM-dd HH:00:00")
+    # fine grain (the persisted hypertable state)
+    hourly = (df.where(v.isNotNull() & ~F.isnan(v))
+              .select(hour_bucket.alias("hour_bucket"),
+                      ddsketch_key_col(v, alpha, offset).alias("_key"))
+              .groupBy("hour_bucket", "_key").agg(F.count("*").alias("_cnt")))
+    # coarse grain derives from fine state only — no raw-data access
+    daily = (hourly.withColumn("day_bucket", F.substring("hour_bucket", 1, 10))
+             .groupBy("day_bucket", "_key").agg(F.sum("_cnt").alias("_cnt")))
+    w_cum = Window.partitionBy("day_bucket").orderBy("_key")
+    w_all = Window.partitionBy("day_bucket")
+    cum = (daily.withColumn("_cum", F.sum("_cnt").over(w_cum))
+           .withColumn("_n", F.sum("_cnt").over(w_all)))
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    picked = (cum.join(F.broadcast(qdf),
+                       F.col("_cum") > F.col("q") * (F.col("_n") - F.lit(1)).cast("double"))
+              .groupBy("day_bucket", "q")
+              .agg(F.min("_key").alias("_key"), F.first("_n").alias("n")))
+    unsigned = (F.when(F.col("_key") > 0, F.col("_key") - F.lit(offset))
+                .when(F.col("_key") < 0, F.col("_key") + F.lit(offset))
+                .otherwise(F.lit(0)))
+    return (picked
+            .withColumn("estimate", F.round(ddsketch_estimate_col(F.col("_key"), alpha, offset), 6))
+            .withColumn("bucket_key", unsigned.cast("long"))
+            .select("day_bucket", "q", "bucket_key", "estimate",
+                    F.col("n").cast("long").alias("n"))
+            .orderBy("day_bucket", "q"))
+
+
 def ddsketch_decayed_quantile_plan(df: DataFrame, value_col: str, ts_col: str,
                                    quantiles: list[float], alpha: float,
                                    half_life_hours: float = 24.0,

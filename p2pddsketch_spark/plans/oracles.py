@@ -56,6 +56,13 @@ from p2pddsketch_spark.functions.ddsql import (duckdb_rank_sql,
 
 from p2pddsketch_spark.functions.ddsql import duckdb_decayed_quantile_sql
 
+# the rollup's daily histogram equals the direct daily histogram (sum of
+# hourly counts), so the oracle is the plain per-day quantile SQL
+ORACLES["dds_daily_rollup"] = duckdb_quantile_sql(
+    "(SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_bucket, "
+    "value FROM events) t",
+    "value", [0.5, 0.95], alpha=0.01, group_cols=("day_bucket",))
+
 ORACLES["dds_decayed_quantiles"] = duckdb_decayed_quantile_sql(
     "events", "value", "ts", [0.5, 0.95, 0.99], alpha=0.01,
     half_life_hours=168.0)

@@ -177,6 +177,16 @@ def q_dds_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("hour_bucket", "q")
 
 
+def q_dds_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: daily p50/p95 derived ONLY from the hourly
+    bucket-count state (continuous-aggregate pattern — sum of hourly
+    histograms IS the daily histogram). Exact oracle: direct daily
+    quantile SQL over raw data."""
+    from p2pddsketch_spark.functions.ddsql import ddsketch_rollup_quantile_plan
+    return ddsketch_rollup_quantile_plan(load(spark, sf_dir, "events"),
+                                         "value", "ts", [0.5, 0.95], alpha=0.01)
+
+
 def q_dds_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed quantiles (half-life 7 days over the
     30-day fixture → weight span ~20, well-conditioned float64 sums):
@@ -463,8 +473,11 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     — (doc_id, cluster_id = min doc id of the component, is_canonical).
     Exact DuckDB twin: transitive closure via recursive CTE."""
     from p2pddsketch_spark.operators.clusters import neardup_clusters
+    # uncapped exact path: the pair list here IS the oracle-exact set,
+    # and the one-shot aggregation halves the stage count
     pairs = dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
-                                      threshold=0.12, n=2)
+                                      threshold=0.12, n=2,
+                                      max_shingle_df=None)
     return neardup_clusters(pairs)
 
 

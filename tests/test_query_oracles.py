@@ -42,6 +42,7 @@ SUBSET = [
     "dds_decayed_quantiles",    # exponentially time-decayed quantiles
     "events_asof_orders",       # as-of join vs DuckDB's native ASOF
     "events_interval_join",     # bucketized range join vs BETWEEN join
+    "dds_daily_rollup",         # hypertable rollup from hourly state
 ]
 
 
