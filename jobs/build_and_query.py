@@ -69,10 +69,20 @@ def main(argv=None):
     from p2pddsketch_spark.sketches.ddsketch import DDSketch
     from p2pddsketch_spark.sketches.hll import HyperLogLog
 
-    specs = [SketchSpec(
-        "dds", lambda: DDSketch(alpha=args.alpha, bin_limit=args.bin_limit,
-                                strategy=args.strategy),
-        scalar_extractor(args.value_col))]
+    from p2pddsketch_spark.errors import ConflictingOptions, UsageError
+    if not args.value_col and not args.tokens_col:
+        raise UsageError("nothing to sketch: provide --value-col and/or "
+                         "--tokens-col (reference USAGE_ERROR, -13)")
+    if args.verify and not args.value_col:
+        raise ConflictingOptions("--verify checks the quantile contract and "
+                                 "needs --value-col (reference "
+                                 "CONFLICTING_OPTIONS, -14)")
+    specs = []
+    if args.value_col:
+        specs += [SketchSpec(
+            "dds", lambda: DDSketch(alpha=args.alpha, bin_limit=args.bin_limit,
+                                    strategy=args.strategy),
+            scalar_extractor(args.value_col))]
     if args.tokens_col:
         specs += [
             SketchSpec("hll", lambda: HyperLogLog(p=14), array_extractor(args.tokens_col)),

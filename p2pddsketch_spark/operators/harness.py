@@ -383,12 +383,19 @@ def build_partials_from_files(spark: SparkSession, paths: list[str],
 
 
 def parquet_file_list(path: str) -> list[str]:
-    """All data files of a parquet directory (sorted, deterministic)."""
+    """All data files of a parquet directory (sorted, deterministic).
+    Raises FileError (reference FILE_ERROR, −3) when nothing is there —
+    an empty file list would otherwise surface as an opaque index error
+    deep in stage-1 planning."""
     import glob
     import os
+    from p2pddsketch_spark.errors import FileError
     if os.path.isfile(path):
         return [path]
-    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise FileError(f"no parquet files at {path!r}")
+    return files
 
 
 def build_partials(df: DataFrame, specs: list[SketchSpec],

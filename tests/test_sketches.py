@@ -391,3 +391,11 @@ def test_fd_top_direction_recovery_and_roundtrip():
     # flat (harness extractor) input equals matrix input
     flat = FD(ell=6, d=24).update_batch(a.ravel())
     assert np.allclose(flat.gram(), fd.gram(), rtol=1e-8, atol=1e-8)
+
+
+def test_file_error_on_empty_path(tmp_path):
+    import pytest
+    from p2pddsketch_spark.errors import FileError
+    from p2pddsketch_spark.operators.harness import parquet_file_list
+    with pytest.raises(FileError):
+        parquet_file_list(str(tmp_path / "nowhere"))
