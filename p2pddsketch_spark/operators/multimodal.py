@@ -25,7 +25,7 @@ from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
 
 __all__ = ["MEDIA_SCHEMA", "attach_payload", "decode_features",
            "payload_stats", "encode_ppm", "decode_image", "resize_image",
-           "sample_frames"]
+           "encode_video", "sample_frames"]
 
 # canonical multimodal row: opaque payload + typed metadata
 MEDIA_SCHEMA = StructType([
@@ -185,12 +185,43 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(px[yi[:, None], xi[None, :]])
 
 
-def sample_frames(payload: bytes, every_ms: int = 1000):  # pragma: no cover - stub
-    """Real video frame sampling — unavailable in this container."""
+# Minimal deterministic "video" container for end-to-end frame-sampling
+# without a codec library: ASCII header `P2PV <n_frames> <fps>\n`
+# followed by n_frames concatenated binary PPM (P6) images.
+_VIDEO_MAGIC = b"P2PV"
+
+
+def encode_video(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Concatenated-PPM video container (P2PV): test/bench stand-in with
+    real multi-frame structure — timestamps derive from fps."""
+    if not frames:
+        raise ValueError("encode_video needs at least one frame")
+    body = b"".join(encode_ppm(f) for f in frames)
+    return b"P2PV %d %d\n" % (len(frames), fps) + body
+
+
+def sample_frames(payload: bytes, every_ms: int = 1000) -> list[np.ndarray]:
+    """Sample one frame per `every_ms` of media time, returned as
+    (h, w, 3) uint8 arrays. REAL for the P2PV concatenated-PPM container
+    (frame k's timestamp = k/fps); compressed containers (mp4/webm) fall
+    through to a PyAV import-try, NotImplementedError here."""
+    data = bytes(payload)
+    if data[:4] == _VIDEO_MAGIC:
+        nl = data.index(b"\n")
+        _, n_frames, fps = data[:nl].split()
+        n_frames, fps = int(n_frames), int(fps)
+        frames, off = [], nl + 1
+        for _ in range(n_frames):
+            w, h, _maxv, hdr = _pnm_header(data[off:])
+            frames.append(np.frombuffer(data, np.uint8, count=w * h * 3,
+                                        offset=off + hdr).reshape(h, w, 3))
+            off += hdr + w * h * 3
+        step = max(1, round(every_ms * fps / 1000.0))
+        return [frames[i].copy() for i in range(0, n_frames, step)]
     try:
         import av  # noqa: F401
     except ImportError as ex:
         raise NotImplementedError(
-            "video codec not installed; payload_stats/decode_features "
-            "cover the pipeline plumbing") from ex
+            "payload is not a P2PV container and no video codec (PyAV) "
+            "is installed") from ex
     raise NotImplementedError("wire PyAV frame sampling here in a full deployment")

@@ -353,3 +353,38 @@ def test_streaming_session_bucket_counts(spark, tmp_path):
     # sanity: sessionization produced MANY sessions per user
     assert got.groupby("user_id").size().min() >= 1
     assert len(got) > got["user_id"].nunique()
+
+
+def test_video_frame_sampling(spark):
+    """P2PV container: encode frames, sample at several cadences through
+    the distributed pipeline (mapInPandas), verify frames and counts."""
+    from p2pddsketch_spark.operators import multimodal as mm
+    import pandas as pd
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, (6, 8, 3), dtype=np.uint8) for _ in range(20)]
+    vid = mm.encode_video(frames, fps=10)  # 20 frames @ 10fps = 2s clip
+    # 1000ms cadence -> every 10th frame -> frames 0, 10
+    got = mm.sample_frames(vid, every_ms=1000)
+    assert len(got) == 2
+    assert np.array_equal(got[0], frames[0]) and np.array_equal(got[1], frames[10])
+    # 100ms cadence -> every frame
+    assert len(mm.sample_frames(vid, every_ms=100)) == 20
+    # distributed: sample every clip in a media table, count frames
+    media = spark.createDataFrame(
+        [(i, "video", bytearray(vid), "video/x-p2pv", 8, 6, 2000)
+         for i in range(8)], mm.MEDIA_SCHEMA)
+    from pyspark.sql.types import StructType, StructField, LongType, IntegerType
+    schema = StructType([StructField("media_id", LongType()),
+                         StructField("n_sampled", IntegerType())])
+    def sample_all(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_sampled": [len(mm.sample_frames(p, 500)) for p in pdf["payload"]]})
+    out = media.select("media_id", "payload").mapInPandas(sample_all, schema)
+    assert {r["n_sampled"] for r in out.collect()} == {4}  # every 5th of 20
+    # non-container payload -> NotImplementedError (PyAV absent)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(b"\x00\x00\x01\xba mpeg-ish")
