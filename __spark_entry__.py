@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_estimates_events": Q.q_sketch_estimates_events,
         "theta_token_overlap": Q.q_theta_token_overlap,
         "stratified_sample": Q.q_stratified_sample,
+        "weighted_sample": Q.q_weighted_sample,
     }
 
 

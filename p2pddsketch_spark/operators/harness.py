@@ -49,6 +49,7 @@ from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
 from p2pddsketch_spark.sketches.tdigest import TDigest
 from p2pddsketch_spark.sketches.theta import ThetaSketch
 from p2pddsketch_spark.sketches.fd import FrequentDirections
+from p2pddsketch_spark.sketches.weightedk import WeightedTopK
 
 __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
            "build_sketches", "build_partials", "merge_partials",
@@ -77,6 +78,7 @@ SKETCH_TYPES = {
     b"BTK1": BottomKSample,
     b"THT1": ThetaSketch,
     b"FRD1": FrequentDirections,
+    b"WTK1": WeightedTopK,
 }
 
 

@@ -471,6 +471,37 @@ GROUP BY i, j
 ORDER BY i, j
 """
 
+# A-ES weighted sample: tag = ((splitmix64(id)+0.5)/2^64)^(1/w), top-20
+# tags per source. Tag floats differ by <= 1 ulp across engines (libm
+# pow); the selected ID set is ordering-stable on this data (pinned by
+# the oracle itself: any flip would mismatch).
+ORACLES["weighted_sample"] = f"""
+WITH s0 AS (
+  SELECT source, doc_id, n_chars,
+         (doc_id::HUGEINT + {_SM_SEED_ADD}::HUGEINT)
+           % 18446744073709551616::HUGEINT AS z
+  FROM documents
+), s1 AS (
+  SELECT source, doc_id, n_chars,
+         {_mulc_u64("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s0
+), s2 AS (
+  SELECT source, doc_id, n_chars,
+         {_mulc_u64("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+  FROM s1
+), ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY power((xor(z, z // 2147483648::HUGEINT)::DOUBLE + 0.5)
+                          / 18446744073709551616.0, 1.0 / n_chars) DESC,
+                    doc_id) AS rn
+  FROM s2
+)
+SELECT source, doc_id FROM ranked WHERE rn <= 20
+ORDER BY source, doc_id
+"""
+
 ORACLES["ann_cosine_topk"] = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

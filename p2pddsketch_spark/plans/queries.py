@@ -601,6 +601,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source", "doc_id"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-WEIGHTED stratified sample: 20 docs per source by A-ES
+    weighted reservoir sampling (tag u^(1/w), w = n_chars — longer docs
+    proportionally likelier), through the sketch harness. HARD oracle:
+    the tag is splitmix64 + pow, recomputed in SQL; per-source top-20
+    tags. Tag values differ by ≤1 ulp across engines but the selected ID
+    set is ordering-stable (verified)."""
+    from p2pddsketch_spark.sketches.weightedk import WeightedTopK
+    import pyarrow as pa
+
+    def pair_extractor(id_col: str, w_col: str):
+        def extract(batch: "pa.RecordBatch") -> np.ndarray:
+            i = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            w = batch.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return np.column_stack([i, w]).ravel()
+        extract.columns = [id_col, w_col]
+        extract.key = f"pair:{id_col}:{w_col}"
+        return extract
+
+    docs = load(spark, sf_dir, "documents")
+    out = build_sketches(
+        docs, [SketchSpec("wsample", lambda: WeightedTopK(k=20, seed=33),
+                          pair_extractor("doc_id", "n_chars"))],
+        group_cols=("source",), salt_buckets=8)
+    sk = collect_sketches(out, group_cols=("source",))
+    rows = [(key[0], int(i)) for key, s in sk.items() for i in s.sample()]
+    return (spark.createDataFrame(rows, "source string, doc_id long")
+            .orderBy("source", "doc_id"))
+
+
 def q_theta_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-token overlap between source pairs via theta sketches —
     the set-operation query HLL cannot answer: build one theta sketch per

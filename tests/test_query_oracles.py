@@ -43,6 +43,7 @@ SUBSET = [
     "events_asof_orders",       # as-of join vs DuckDB's native ASOF
     "events_interval_join",     # bucketized range join vs BETWEEN join
     "dds_daily_rollup",         # hypertable rollup from hourly state
+    "weighted_sample",          # A-ES weighted reservoir vs SQL tags
 ]
 
 

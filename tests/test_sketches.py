@@ -399,3 +399,32 @@ def test_file_error_on_empty_path(tmp_path):
     from p2pddsketch_spark.operators.harness import parquet_file_list
     with pytest.raises(FileError):
         parquet_file_list(str(tmp_path / "nowhere"))
+
+
+def test_weighted_topk_aes_properties():
+    """A-ES weighted sampling: merge == one-shot, roundtrip, and the
+    weighting actually biases inclusion toward heavy items."""
+    import numpy as np
+    from p2pddsketch_spark.sketches.weightedk import WeightedTopK, aes_tags
+    rng = np.random.default_rng(11)
+    n = 20_000
+    ids = np.arange(n, dtype=np.int64)
+    # half the items weigh 100x more
+    w = np.where(ids % 2 == 0, 1000, 10).astype(np.int64)
+    pairs = np.column_stack([ids, w])
+    one = WeightedTopK(k=500, seed=5).update_batch(pairs)
+    a = WeightedTopK(k=500, seed=5).update_batch(pairs[: n // 2])
+    b = WeightedTopK(k=500, seed=5).update_batch(pairs[n // 2:])
+    merged = a.merge(b)
+    assert np.array_equal(np.sort(one.sample()), np.sort(merged.sample()))
+    # heavy items dominate the sample (expected share >> 50%)
+    heavy_share = (one.sample() % 2 == 0).mean()
+    assert heavy_share > 0.9, heavy_share
+    # exact selection: top-500 by directly computed tags
+    tags = aes_tags(ids, w, seed=5)
+    expect = set(ids[np.argsort(tags)[::-1][:500]].tolist())
+    assert set(one.sample().tolist()) == expect
+    # serialization roundtrip
+    back = WeightedTopK.from_bytes(one.to_bytes())
+    assert np.array_equal(back.sample(), one.sample())
+    assert np.array_equal(back.tags, one.tags)
