@@ -6,11 +6,13 @@ mapInArrow → salted shuffle-merge-tree harness and reports their
 estimates.
 
 `queries()` — one entry per implemented operator (SURVEY.md §2 +
-gap-fill pipeline operators); `oracle_sql()` — DuckDB twins. The four
-entries without an oracle are hash/seed-dependent estimates by nature
-(HLL/CMS/Bloom/KLL/t-digest values, theta overlaps, SimHash codes,
-production LSH banding); pytest verifies each against exact oracles
-within published bounds.
+gap-fill pipeline operators); `oracle_sql()` — DuckDB twins. The TWO
+entries without an oracle are hash/seed-dependent by nature (SimHash
+fingerprint codes, production LSH banding); pytest verifies each
+against exact oracles within published bounds. HLL/CMS/Bloom/KLL/
+t-digest estimate values are likewise pytest-bound-verified
+(tests/test_estimates_bounds.py) while their deterministic counters are
+hard-oracled in `sketch_counts_events`.
 """
 
 from __future__ import annotations
@@ -84,8 +86,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": Q.q_ann_topk_ivf,
         "fd_gram_exact": Q.q_fd_gram_exact,
         "heavy_users_spacesaving": Q.q_heavy_users_spacesaving,
-        # multi-sketch single-pass estimates (rows-only check)
-        "sketch_estimates_events": Q.q_sketch_estimates_events,
+        # multi-sketch single-pass build — deterministic counters (hard
+        # oracle); the hash-dependent estimate VALUES from the same build
+        # are bound-verified in pytest (tests/test_estimates_bounds.py)
+        # and still run as the flagship `entry()`
+        "sketch_counts_events": Q.q_sketch_counts_events,
+        # structured streaming end-to-end (foreachBatch epoch state)
+        "streaming_dds_hourly": Q.q_streaming_dds_hourly,
         "theta_token_overlap": Q.q_theta_token_overlap,
         "stratified_sample": Q.q_stratified_sample,
         "weighted_sample": Q.q_weighted_sample,

@@ -31,7 +31,7 @@ HEADLINE = [
     "dds_events_catalyst",
     "dds_doclen_by_lang",
     "dds_events_hourly",
-    "sketch_estimates_events",
+    "sketch_counts_events",
     "tpch_q1",
     "join_revenue_by_nation",
     "top_tokens_exact",

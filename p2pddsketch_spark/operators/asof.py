@@ -63,29 +63,42 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     """Left as-of join: every `left` row gains `payload` columns from the
     latest `right` row of the same `key` with right_ts <= left_ts (nulls
     when no such row). `left` keeps all its columns; `payload` names must
-    not collide with them."""
+    not collide with them.
+
+    The matched right row is carried ATOMICALLY: all payload columns are
+    packed into ONE struct and a single `last(struct, ignorenulls=True)`
+    forward-fills it, so a NULL inside a matched row's payload stays NULL
+    (per-column fills would splice that column from an older right row —
+    not what DuckDB ASOF returns). Right rows with NULL timestamps are
+    dropped up front (`l.ts >= NULL` is never true in SQL), and equal
+    right timestamps break ties deterministically by the payload struct's
+    field-wise order (largest struct wins), independent of partition
+    layout."""
     lcols = left.columns
+    r = (right.where(F.col(right_ts).isNotNull())
+         .select(F.col(key).alias("_k"),
+                 F.col(right_ts).cast("timestamp").alias("_ts"),
+                 F.struct(*[F.col(c) for c in payload]).alias("_pl"))
+         .withColumn("_side", F.lit(0)))
+    pl_type = r.schema["_pl"].dataType
     l = (left.withColumn("_ts", F.col(left_ts).cast("timestamp"))
          .withColumn("_side", F.lit(1))
-         .withColumn("_k", F.col(key)))
-    r = (right.select(F.col(key).alias("_k"),
-                      F.col(right_ts).cast("timestamp").alias("_ts"),
-                      *[F.col(c) for c in payload])
-         .withColumn("_side", F.lit(0)))
+         .withColumn("_k", F.col(key))
+         .withColumn("_pl", F.lit(None).cast(pl_type)))
     for c in lcols:
-        if c not in r.columns:
-            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    for c in payload:
-        l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
-    cols = ["_k", "_ts", "_side"] + list(lcols) + list(payload)
+        r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    cols = ["_k", "_ts", "_side", "_pl"] + list(lcols)
     both = l.select(*cols).unionByName(r.select(*cols))
     # right rows sort BEFORE left rows at equal ts (_side 0 < 1), so an
     # equal-timestamp right row is visible to the left row — DuckDB ASOF
-    # (left.ts >= right.ts) semantics
-    w = (Window.partitionBy("_k").orderBy("_ts", "_side")
+    # (left.ts >= right.ts) semantics. "_pl" is the deterministic
+    # tiebreak among equal right timestamps (left rows have NULL _pl,
+    # which Spark sorts first within their (_ts, _side) group — harmless,
+    # as every right row of the frame already precedes them).
+    w = (Window.partitionBy("_k").orderBy("_ts", "_side", "_pl")
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = both.select(
         *lcols, "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in payload])
+        F.last("_pl", ignorenulls=True).over(w).alias("_f"))
     return (filled.where(F.col("_side") == 1)
-            .select(*lcols, *[F.col(f"_f_{c}").alias(c) for c in payload]))
+            .select(*lcols, *[F.col(f"_f.{c}").alias(c) for c in payload]))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 __all__ = ["connected_components", "neardup_clusters"]
 
@@ -51,26 +52,32 @@ def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                          max_iter: int = 25,
-                         driver_max_edges: int = 1 << 20) -> DataFrame:
+                         driver_max_edges: int = 1 << 18) -> DataFrame:
     """(id, component) for every vertex in `edges`; component = the
     minimum vertex id reachable through the pair graph. Deterministic.
+    Output columns (id, comp) carry the EDGE column's type — integer or
+    string vertex ids both work, on either branch.
 
     Auto-switch (same philosophy as `harness.final_sketches`): a
     `limit(max+1)` probe collects the edge list when it fits
     `driver_max_edges` — near-dup pair lists usually do even at corpus
     scale, being the OUTPUT of dedup, not the input — and union-find
     labels it in one pass (each distributed round costs ~3 Spark jobs,
-    so small graphs are strictly faster on the driver). Larger graphs
-    run the distributed min-label propagation. Raises RuntimeError if
-    `max_iter` rounds don't converge (a near-dup graph needing 25 rounds
-    means the threshold is far too low)."""
+    so small graphs are strictly faster on the driver). The 2^18 default
+    caps the probe at ~tens of MB of driver heap for Row objects (count
+    gate, matching `final_sketches`' caution). Larger graphs run the
+    distributed min-label propagation. Raises RuntimeError if `max_iter`
+    rounds don't converge (a near-dup graph needing 25 rounds means the
+    threshold is far too low)."""
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    id_type = edges.schema[src].dataType
     probe = e.limit(driver_max_edges + 1).collect()
     if len(probe) <= driver_max_edges:
         comp = _union_find([(r["u"], r["v"]) for r in probe])
-        return spark.createDataFrame(
-            sorted(comp.items()), "id long, comp long").orderBy("id")
+        schema = StructType([StructField("id", id_type),
+                             StructField("comp", id_type)])
+        return spark.createDataFrame(sorted(comp.items()), schema).orderBy("id")
     # undirected: keep both directions once
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)  # cut lineage before iterating

@@ -30,7 +30,8 @@ from p2pddsketch_spark.operators.text import fingerprint_md5_col, words_col
 __all__ = ["exact_dedup_stats", "exact_dedup", "word_shingles_col",
            "ngram_jaccard_pairs", "minhash_signatures", "minhash_band_hashes",
            "minhash_lsh_pairs", "simhash64", "simhash_blocks",
-           "simhash_neardup_pairs"]
+           "simhash_neardup_pairs", "simhash128_block_layout",
+           "simhash128_keys", "simhash_neardup_pairs_wide"]
 
 
 # ------------------------------------------------------------- exact dedup
@@ -250,9 +251,14 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128
                       (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    cand.count()        # materialize the candidate cache once …
-    digests.unpersist()  # … then the signature table can go (cand holds)
+            # localCheckpoint, not persist: it materializes eagerly (the
+            # signature stage runs exactly once), truncates lineage, and —
+            # unlike an unmatched .persist() — its blocks are released by
+            # the ContextCleaner as soon as callers drop the returned
+            # DataFrame, so repeated calls in one session don't accumulate
+            # cached tables in executor storage.
+            .localCheckpoint(eager=True))
+    digests.unpersist()  # candidates are materialized; signatures can go
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .union(cand.select(F.col("id_b").alias("id")))
                 .distinct())
@@ -353,6 +359,135 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
                     F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
             .distinct())
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .orderBy("id_a", "id_b"))
+
+
+# ------------------------------------------- 128-bit SimHash (wide radius)
+
+def simhash128_block_layout(max_hamming: int) -> tuple[list[tuple[int, int]],
+                                                       list[tuple[int, int]]]:
+    """Block layout + combo list for the 128-bit Hamming-ball multi-index
+    (the block-permutation idea of Manku/Jain/Sarma, WWW'07 §3, recast as
+    equi-joins). The fingerprint splits into B = max_hamming + 2 blocks;
+    two codes within Hamming ≤ max_hamming differ in at most max_hamming
+    blocks, so they AGREE on ≥ 2 of the B blocks — hence they share at
+    least one of the C(B, 2) block PAIRS, and joining on every pair-combo
+    key is a COMPLETE candidate generator (recall 1.0 before the exact
+    popcount verify).
+
+    Why pairs, not single blocks: at max_hamming = 8 a 64-bit fingerprint
+    in B = 9 single blocks gives ~7-bit join keys (~128 distinct values →
+    candidate volume ~n²/2⁷ — quadratic at corpus scale). 128 bits in
+    B = 10 blocks joined on pairs gives ~25-bit keys (~2·10⁷ values):
+    ~2⁶ fewer candidates per combo than even single 14-bit blocks, at the
+    cost of C(10,2) = 45 combos — each a sparse equi-join.
+
+    Returns (blocks, combos): blocks = [(start_bit, width)] over the
+    128-bit code, combos = [(i, j)] block-index pairs."""
+    b = max_hamming + 2
+    if not 2 <= b <= 128:
+        raise ValueError("max_hamming must be in [0, 126]")
+    base, rem = divmod(128, b)
+    widths = [base + 1 if i < rem else base for i in range(b)]
+    starts = [sum(widths[:i]) for i in range(b)]
+    blocks = list(zip(starts, widths))
+    combos = [(i, j) for i in range(b) for j in range(i + 1, b)]
+    return blocks, combos
+
+
+def simhash128_keys(df: DataFrame, max_hamming: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 3) -> DataFrame:
+    """(id, hi, lo, keys array<long>[C(B,2)]) — 128-bit SimHash over word
+    n-gram shingles plus the pre-computed multi-index combo keys.
+
+    One Arrow-vectorized pass: the JVM hashes every shingle TWICE
+    (xxhash64 with two seeds → 128 independent bits, 16 B/shingle over
+    Arrow instead of the strings), the Python stage unpacks the bit
+    matrix, segment-sums the ±1 votes with `np.add.reduceat`, packs
+    (hi, lo), and emits each combo's key = combo_index·2^52 | block_i
+    bits | block_j bits (block widths ≤ 13 ⇒ pair payload ≤ 26 bits —
+    no overflow, and distinct combos never collide). Keys are computed
+    HERE because blocks straddle the hi/lo boundary — numpy bit-slicing
+    of the already-unpacked matrix beats two-word SQL bit surgery."""
+    blocks, combos = simhash128_block_layout(max_hamming)
+    max_w = max(w for _, w in blocks)
+    id_type = df.schema[id_col].dataType
+    schema = StructType([StructField("id", id_type, True),
+                         StructField("hi", LongType(), False),
+                         StructField("lo", LongType(), False),
+                         StructField("keys", ArrayType(LongType(), False), False)])
+    sh = (df.select(F.col(id_col).alias("id"),
+                    word_shingles_col(text_col, n).alias("g"))
+          .select("id",
+                  F.transform("g", lambda s: F.xxhash64(s)).alias("h1"),
+                  F.transform("g", lambda s: F.xxhash64(s, F.lit(0x5EED))).alias("h2")))
+
+    def sim(batches):
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lens = pdf["h1"].map(len).to_numpy()
+            n_rows, total = len(pdf), int(lens.sum())
+            if total:
+                h1 = np.concatenate([np.asarray(x, np.int64) for x in pdf["h1"]]).astype(np.uint64)
+                h2 = np.concatenate([np.asarray(x, np.int64) for x in pdf["h2"]]).astype(np.uint64)
+                bits = np.empty((total, 128), dtype=np.int64)
+                bits[:, :64] = ((h1[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                bits[:, 64:] = ((h2[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                votes = bits * 2 - 1
+                offs = np.zeros(n_rows, dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                seg = np.add.reduceat(votes, offs, axis=0)
+                seg[lens == 0] = -1
+                fp = (seg > 0)                       # (n_rows, 128) bool
+            else:
+                fp = np.zeros((n_rows, 128), dtype=bool)
+            pw = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            hi = (fp[:, :64].astype(np.uint64) * pw).sum(axis=1, dtype=np.uint64)
+            lo = (fp[:, 64:].astype(np.uint64) * pw).sum(axis=1, dtype=np.uint64)
+            bvals = np.empty((n_rows, len(blocks)), dtype=np.int64)
+            for bi, (st, wd) in enumerate(blocks):
+                w_pow = np.uint64(1) << np.arange(wd, dtype=np.uint64)
+                bvals[:, bi] = (fp[:, st:st + wd].astype(np.uint64) * w_pow) \
+                    .sum(axis=1, dtype=np.uint64).astype(np.int64)
+            keys = np.empty((n_rows, len(combos)), dtype=np.int64)
+            for ci, (i, j) in enumerate(combos):
+                keys[:, ci] = ((np.int64(ci) << np.int64(52))
+                               | (bvals[:, i] << np.int64(max_w))
+                               | bvals[:, j])
+            yield pd.DataFrame({"id": pdf["id"],
+                                "hi": hi.astype(np.int64),
+                                "lo": lo.astype(np.int64),
+                                "keys": list(keys)})
+
+    return sh.mapInPandas(sim, schema=schema)
+
+
+def simhash_neardup_pairs_wide(df: DataFrame, max_hamming: int = 8,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               n: int = 3) -> DataFrame:
+    """Near-dup pairs by 128-bit SimHash for WIDE radii (max_hamming ≥ 4,
+    where 64-bit single-block keys degenerate — see
+    `simhash128_block_layout`): explode the C(B,2) combo keys, equi-join
+    on the key (combo id is encoded in it, so one join serves all
+    combos), verify with an exact two-word popcount. Complete for the
+    radius by the pigeonhole argument. Returns (id_a, id_b, hamming)."""
+    s = simhash128_keys(df, max_hamming, text_col, id_col, n) \
+        .localCheckpoint(eager=True)  # Python stage runs once, not per branch
+    keyed = s.select("id", "hi", "lo", F.explode("keys").alias("k"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (a.join(b, (F.col("a.k") == F.col("b.k")) &
+                      (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.hi").alias("hi_a"), F.col("a.lo").alias("lo_a"),
+                    F.col("b.hi").alias("hi_b"), F.col("b.lo").alias("lo_b"))
+            .distinct())
+    ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) +
+           F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
     return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .orderBy("id_a", "id_b"))

@@ -466,27 +466,22 @@ def final_sketches(partials: DataFrame, group_cols: tuple[str, ...] = (),
     huge DDSketch blobs (bin_limit 2^22) also route through the tree.
     Returns {(group..., name): sketch} either way.
     """
-    # CollectLimit's default incremental scan (1 partition, then 4×
-    # more per wave) serializes the expensive stage-1 build into
-    # sequential low-parallelism waves; force ONE fully-parallel wave —
-    # each task still truncates its output to limit+1 rows, so driver
-    # memory stays bounded.
-    spark = partials.sparkSession
-    key = "spark.sql.limit.initialNumPartitions"
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, str(1 << 30))
-    try:
-        probe = (partials.select(*group_cols, "sketch_name", "sketch")
-                 .limit(driver_max_partials + 1).collect())
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
-    if len(probe) <= driver_max_partials and \
-            sum(len(r["sketch"]) for r in probe) <= driver_max_bytes:
-        return _merge_partial_rows(probe, group_cols)
-    return collect_sketches(merge_partials(partials, group_cols), group_cols)
+    # Materialize stage 1 EXACTLY ONCE with a fully-parallel job
+    # (localCheckpoint), then decide from a cheap cached aggregate.
+    # Replaces round 2's CollectLimit probe, which (a) mutated the
+    # session-global spark.sql.limit.initialNumPartitions around the
+    # collect — visible to concurrent queries on a shared session — and
+    # (b) re-executed stage 1 a second time whenever the merge tree won.
+    # The checkpoint blocks are freed by the ContextCleaner once the
+    # DataFrame goes out of scope.
+    mat = partials.localCheckpoint(eager=True)
+    n, nbytes = mat.agg(
+        F.count("*"),
+        F.coalesce(F.sum(F.length("sketch")), F.lit(0))).first()
+    if n <= driver_max_partials and nbytes <= driver_max_bytes:
+        rows = mat.select(*group_cols, "sketch_name", "sketch").collect()
+        return _merge_partial_rows(rows, group_cols)
+    return collect_sketches(merge_partials(mat, group_cols), group_cols)
 
 
 def _merge_partial_rows(rows, group_cols: tuple[str, ...]) -> dict:

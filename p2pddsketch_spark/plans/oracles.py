@@ -300,17 +300,29 @@ ORACLES["ngram_jaccard_pairs"] = _JACCARD_PAIRS
 # Connected components of the near-dup pair graph: the recursive CTE
 # computes the reachability closure (vertex, reachable-source) over the
 # symmetric edge set; MIN over reached sources = the component's minimum
-# id — exactly `connected_components`' min-label fixpoint.
+# id — exactly `connected_components`' min-label fixpoint. The twin is
+# df-CAP-AWARE: like the registered Spark query, candidate pairs come
+# only from shingles in ≤ 200 docs (the `cold` CTE mirrors
+# `ngram_jaccard_pairs(max_shingle_df=200)`'s anti-join), while the
+# Jaccard verification still uses the FULL shingle sets — exact parity
+# of the capped production algorithm.
 ORACLES["neardup_clusters"] = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id AS id, {_SHINGLES_2} AS s
   FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+), ex AS (
+  SELECT id, unnest(s) AS g FROM sh
+), cold AS (
+  SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 200
+), cex AS (
+  SELECT e.id, e.g FROM ex e JOIN cold USING (g)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM cex a JOIN cex b ON a.g = b.g AND a.id < b.id
 ), pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM sh a, sh b
-  WHERE a.id < b.id
-    AND len(a.s) > 0 AND len(b.s) > 0
-    AND ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.12
 ), edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
@@ -325,6 +337,31 @@ SELECT id AS doc_id, MIN(comp) AS cluster_id,
        (id = MIN(comp)) AS is_canonical
 FROM walk GROUP BY id ORDER BY doc_id
 """
+
+# deterministic-by-construction counters of the multi-sketch build
+# (split out of the estimates row — every value is exact): row counters
+# are plain sums; bloom_hits_on_inserted = COUNT(DISTINCT user_id) by
+# the Bloom no-false-negative guarantee.
+ORACLES["sketch_counts_events"] = """
+SELECT metric, value FROM (
+  SELECT 'bloom_hits_on_inserted' AS metric,
+         COUNT(DISTINCT user_id)::DOUBLE AS value FROM events
+  UNION ALL
+  SELECT 'cms_users_total', COUNT(user_id)::DOUBLE FROM events
+  UNION ALL
+  SELECT 'kll_value_n', COUNT(value)::DOUBLE FROM events
+  UNION ALL
+  SELECT 'n_rows', COUNT(value)::DOUBLE FROM events
+) ORDER BY metric
+"""
+
+# the streaming foreachBatch build merges to the SAME final sketch as
+# the batch build (additive order-invariant merge), so its twin is the
+# identical hourly quantile SQL
+ORACLES["streaming_dds_hourly"] = duckdb_quantile_sql(
+    "(SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket, "
+    "value FROM events) t",
+    "value", [0.95], alpha=0.01, group_cols=("hour_bucket",))
 
 ORACLES["bm25_topk"] = """
 WITH base AS (

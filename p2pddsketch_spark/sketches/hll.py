@@ -21,6 +21,17 @@ _MAGIC = b"HLL1"
 # Bias-correction constants from the HLL paper.
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
+# HLL++ linear-counting → bias-corrected-raw crossover thresholds
+# (Heule et al. 2013, table in §4; one value per precision p).
+_LC_THRESHOLD = {4: 10, 5: 20, 6: 40, 7: 80, 8: 220, 9: 400, 10: 900,
+                 11: 1800, 12: 3100, 13: 6500, 14: 11500, 15: 20000,
+                 16: 50000, 17: 120000, 18: 350000}
+
+try:  # empirical mid-range bias tables (tools/gen_hll_bias.py)
+    from p2pddsketch_spark.sketches._hll_bias import BIAS_TABLE as _BIAS_TABLE
+except ImportError:  # pragma: no cover - table is committed
+    _BIAS_TABLE = {}
+
 
 class HyperLogLog:
     """2^p uint8 registers; register j = max rho of hashes landing in j."""
@@ -77,14 +88,32 @@ class HyperLogLog:
     # ----------------------------------------------------------------- query
 
     def cardinality(self) -> float:
+        """HLL++ estimator (Heule et al. 2013): raw harmonic-mean estimate
+        with empirical mid-range bias subtraction (raw ≤ 5m, table
+        self-calibrated against splitmix64 — tools/gen_hll_bias.py), and
+        linear counting while it is the better estimator (below the
+        published per-p crossover threshold). Deterministic."""
         m = float(self.m)
         alpha = _ALPHA.get(self.m, 0.7213 / (1 + 1.079 / m))
         regs = self.registers.astype(np.float64)
-        est = alpha * m * m / np.sum(np.exp2(-regs))
-        if est <= 2.5 * m:
-            zeros = int(np.count_nonzero(self.registers == 0))
-            if zeros:
-                return m * np.log(m / zeros)  # linear counting
+        raw = alpha * m * m / np.sum(np.exp2(-regs))
+        table = _BIAS_TABLE.get(self.p)
+        if table is not None and raw <= 5.0 * m:
+            raws, biases = table
+            est = raw - float(np.interp(raw, raws, biases,
+                                        left=biases[0], right=0.0))
+        else:
+            est = raw
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if zeros:
+            lc = m * np.log(m / zeros)  # linear counting
+            threshold = _LC_THRESHOLD.get(self.p, 2.5 * m)
+            if lc <= threshold:
+                return float(lc)
+            # no bias table for this p: keep the classic 2.5m rule so
+            # small-range estimates never regress to the biased raw
+            if table is None and raw <= 2.5 * m:
+                return float(lc)
         return float(est)
 
     # --------------------------------------------------------- serialization

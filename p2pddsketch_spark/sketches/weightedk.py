@@ -20,6 +20,7 @@ import struct
 
 import numpy as np
 
+from p2pddsketch_spark.errors import ParamError
 from p2pddsketch_spark.functions.hashing import splitmix64
 
 _MAGIC = b"WTK1"
@@ -61,17 +62,31 @@ class WeightedTopK:
         if v.shape[0] == 0:
             return self
         ids, w = v[:, 0], v[:, 1]
+        if w.min() < 1:
+            raise ParamError(
+                "weighted-k weights must be positive integers (>= 1); "
+                f"got min weight {int(w.min())} — a weight of 0 would "
+                "underflow u^(1/w) to 0.0 and silently drop the item")
         tags = aes_tags(ids, w, self.seed)
         return self._absorb(tags, ids)
 
     def _absorb(self, tags: np.ndarray, ids: np.ndarray) -> "WeightedTopK":
         allt = np.concatenate([self.tags, tags])
         alli = np.concatenate([self.ids, ids])
-        # dedup identical ids (same id -> same tag), keep largest tags
-        ut, idx = np.unique(allt, return_index=True)   # ascending
-        order = ut.argsort()[::-1][: self.k]
-        self.tags = ut[order]
-        self.ids = alli[idx][order]
+        # dedup by ID (an id recurs across batches/partitions; tag is a
+        # pure function of (id, weight, seed) so duplicates normally tie,
+        # and if weights ever disagree the LARGEST tag wins — still a
+        # pure function of the (id, tag) set, hence merge-order-free)
+        order = np.lexsort((-allt, alli))          # id asc, tag desc within id
+        alli, allt = alli[order], allt[order]
+        keep = np.ones(alli.size, dtype=bool)
+        keep[1:] = alli[1:] != alli[:-1]
+        alli, allt = alli[keep], allt[keep]
+        # top-k by tag desc with id-asc tiebreak (deterministic even on
+        # measure-zero tag collisions between distinct ids)
+        sel = np.lexsort((alli, -allt))[: self.k]
+        self.tags = allt[sel]
+        self.ids = alli[sel]
         return self
 
     def merge(self, other: "WeightedTopK") -> "WeightedTopK":

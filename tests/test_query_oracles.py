@@ -44,6 +44,8 @@ SUBSET = [
     "events_interval_join",     # bucketized range join vs BETWEEN join
     "dds_daily_rollup",         # hypertable rollup from hourly state
     "weighted_sample",          # A-ES weighted reservoir vs SQL tags
+    "sketch_counts_events",     # deterministic counters of the multi-sketch build
+    "streaming_dds_hourly",     # foreachBatch streaming == batch quantile SQL
 ]
 
 
@@ -88,7 +90,6 @@ def test_entry_smoke(spark):
 
 
 @pytest.mark.parametrize("name", [
-    "sketch_estimates_events",    # 8 sketches through the full pipeline
     "minhash_lsh_pairs_prod",     # production LSH banding
     "simhash_neardup_pairs",      # simhash codes are hash-dependent
 ])
@@ -99,6 +100,18 @@ def test_rows_only_queries_are_deterministic(spark, name):
     fn = E.queries()[name]
     a = canon(fn(spark, SF_DIR).toPandas())
     b = canon(fn(spark, SF_DIR).toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sketch_estimates_deterministic(spark):
+    """The 8-sketch estimates build (deregistered from the driver gate in
+    round 3 — deterministic counters moved to the hard-oracled
+    `sketch_counts_events`) still runs as `entry()` and must stay
+    run-to-run identical; value bounds live in
+    tests/test_estimates_bounds.py."""
+    from p2pddsketch_spark.plans import queries as Q
+    a = canon(Q.q_sketch_estimates_events(spark, SF_DIR).toPandas())
+    b = canon(Q.q_sketch_estimates_events(spark, SF_DIR).toPandas())
     pd.testing.assert_frame_equal(a, b)
 
 

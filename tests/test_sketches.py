@@ -30,7 +30,25 @@ def test_hll_accuracy():
     h.update_batch(tokens)
     exact = len(np.unique(tokens))
     est = h.cardinality()
-    assert abs(est - exact) / exact < 0.05  # 3σ at p=14 is ~2.5%
+    # tightened from 5% after the HLL++ bias correction (round-3):
+    # 3σ at p=14 is ~2.5%
+    assert abs(est - exact) / exact < 0.025
+
+
+def test_hll_plus_plus_midrange_sweep():
+    """The former bias trough (n between 2.5m and 5m, where raw
+    overestimates and linear counting has given up): with the empirical
+    bias table the single-trial relative error stays within ~4σ across
+    the whole sweep at p=14 — the round-2 'HLL lacks mid-range bias
+    correction' item, now bound-tested."""
+    p = 14
+    m = 1 << p
+    for i, n in enumerate([m // 4, m // 2, m, 2 * m, 3 * m, 4 * m, 5 * m,
+                           6 * m, 8 * m]):
+        h = HyperLogLog(p=p)
+        h.update_batch(np.arange(n, dtype=np.int64) + np.int64(i + 7) * (np.int64(1) << np.int64(45)))
+        est = h.cardinality()
+        assert abs(est - n) / n < 0.033, (n, est)
 
 
 def test_hll_merge_equals_union():
