@@ -79,6 +79,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": Q.q_neardup_clusters,
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "bm25_topk": Q.q_bm25_topk,
+        # training-data pipeline: documents -> sequences -> packed windows
+        "tokenize_vocab": Q.q_tokenize_vocab,
+        "pack_sequences": Q.q_pack_sequences,
+        "decontaminate_8gram": Q.q_decontaminate,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "embedding_neardup": Q.q_embedding_neardup,

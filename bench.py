@@ -74,6 +74,10 @@ def sketch_build_throughput(spark, path: str, total_tokens: int) -> dict:
     from p2pddsketch_spark.sketches.tdigest import TDigest
 
     grouped = os.environ.get("SPARK_GRAFT_BENCH_GROUPED", "1") == "1"
+    # 2 files/task = 16 workers on 32 cores: measured faster than 32
+    # lean workers on this box's saturated memory bus (BENCH/BASELINE.md
+    # membw receipts; round-2 verdict item #8)
+    fpt = int(os.environ.get("SPARK_GRAFT_BENCH_FPT", "2"))
     specs = [
         SketchSpec("dds_ntok", lambda: DDSketch(alpha=0.001, bin_limit=1 << 22),
                    scalar_extractor("n_tok")),
@@ -91,7 +95,7 @@ def sketch_build_throughput(spark, path: str, total_tokens: int) -> dict:
     for _ in range(reps):
         t0 = time.monotonic()
         out = build_sketches_from_files(spark, path, specs, group_cols=group_cols,
-                                        salt_buckets=32)
+                                        salt_buckets=32, files_per_task=fpt)
         n_final = out.count()
         dt = time.monotonic() - t0
         secs = dt if secs is None else min(secs, dt)
@@ -102,6 +106,7 @@ def sketch_build_throughput(spark, path: str, total_tokens: int) -> dict:
         "n_final_sketches": n_final,
         "grouped_by": ",".join(group_cols) or "none",
         "n_sketch_types": len(specs),
+        "files_per_task": fpt,
     }
 
 
@@ -124,11 +129,11 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm all three Python worker pools (mapInArrow, applyInPandas, and
-    # mapInPandas are separate eval types) before timing anything
+    # warm all the Python worker eval types the engine uses (mapInArrow,
+    # applyInArrow for the merge stages, mapInPandas) before timing
     par = int(spark.sparkContext.defaultParallelism)
     spark.range(par).repartition(par).mapInArrow(lambda it: it, schema="id long").count()
-    spark.range(par).groupBy("id").applyInPandas(lambda p: p, schema="id long").count()
+    spark.range(par).groupBy("id").applyInArrow(lambda t: t, schema="id long").count()
     spark.range(par).repartition(par).mapInPandas(lambda it: it, schema="id long").count()
 
     # Per-query time = min over REPS runs: this single-tenant box has

@@ -324,20 +324,30 @@ def _make_stage1(specs: list[SketchSpec], group_cols: tuple[str, ...],
 
 
 def _merge_fn(out_schema: StructType, group_cols: tuple[str, ...], final: bool):
-    import pandas as pd
-
-    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        blob = merge_blobs(list(pdf["sketch"]))
-        row = {c: pdf[c].iloc[0] for c in group_cols}
-        row.update({
-            "sketch_name": pdf["sketch_name"].iloc[0],
-            "salt": -1 if final else int(pdf["salt"].iloc[0]),
-            "partition_id": -1,
-            "rows_seen": int(pdf["rows_seen"].sum()),
-            "build_secs": float(pdf["build_secs"].sum()),
-            "sketch": blob,
-        })
-        return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+    """Arrow-native group merge for stages 2-3 (`applyInArrow`): one
+    output row per group, no pandas round-trip — on 10^5-group builds
+    the per-group Series/DataFrame construction was the stage cost, the
+    blobs themselves are tiny."""
+    def merge(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        blob = merge_blobs(tbl.column("sketch").to_pylist())
+        arrays = []
+        for field in tbl.schema:
+            name = field.name
+            if name == "salt":
+                v = -1 if final else tbl.column(name)[0].as_py()
+                arrays.append(pa.array([v], field.type))
+            elif name == "partition_id":
+                arrays.append(pa.array([-1], field.type))
+            elif name == "rows_seen":
+                arrays.append(pa.array([pc.sum(tbl.column(name)).as_py() or 0], field.type))
+            elif name == "build_secs":
+                arrays.append(pa.array([pc.sum(tbl.column(name)).as_py() or 0.0], field.type))
+            elif name == "sketch":
+                arrays.append(pa.array([blob], field.type))
+            else:  # group cols + sketch_name: constant within the group
+                arrays.append(tbl.column(name).slice(0, 1).combine_chunks())
+        return pa.table(arrays, schema=tbl.schema)
 
     return merge
 
@@ -417,10 +427,10 @@ def merge_partials(partials: DataFrame, group_cols: tuple[str, ...] = ()) -> Dat
     partials = partials.where(F.col("sketch_name") != EMPTY_MARKER)
     out_schema = partials.schema
     g2 = list(group_cols) + ["sketch_name", "salt"]
-    stage2 = partials.groupBy(*g2).applyInPandas(
+    stage2 = partials.groupBy(*g2).applyInArrow(
         _merge_fn(out_schema, group_cols, final=False), schema=out_schema)
     g3 = list(group_cols) + ["sketch_name"]
-    stage3 = stage2.groupBy(*g3).applyInPandas(
+    stage3 = stage2.groupBy(*g3).applyInArrow(
         _merge_fn(out_schema, group_cols, final=True), schema=out_schema)
     return stage3
 

@@ -1,0 +1,137 @@
+"""Training-data pipeline operators: vocabulary tokenization, sequence
+packing, and decontamination — the steps between a raw document corpus
+and the (doc_id, tokens array<int32>, n_tok, source) sequences table the
+sketch engine ingests (BASELINE.json input_hint shape).
+
+The reference has none of these (it consumes pre-generated numeric
+streams, `/root/reference/main.cpp:399-441`); gap-fill mandated by the
+brief's LLM-data-pipeline requirement. Every operator is built from JVM
+functions + broadcast joins (no Python on the per-token path except the
+inherently sequential pack fold), and each registered query has an
+exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from p2pddsketch_spark.operators.text import words_col
+
+__all__ = ["build_vocab", "tokenize", "pack_sequences",
+           "ngram_contamination"]
+
+
+def build_vocab(df: DataFrame, vocab_size: int = 512,
+                text_col: str = "text") -> DataFrame:
+    """(term, token_id) for the `vocab_size` most frequent whitespace
+    terms; id = dense rank by (count DESC, term ASC) starting at 0 —
+    fully deterministic, ties broken lexicographically. One explode +
+    one count shuffle; the result is dimension-table sized by
+    construction (≤ vocab_size rows) and is broadcast by `tokenize`."""
+    counts = (df.select(F.explode(words_col(text_col)).alias("term"))
+              .groupBy("term").agg(F.count("*").alias("cnt")))
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # top-512 then a driver merge; no single-reducer sort of the full
+    # term table), THEN the rank window over the 512 survivors only
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(vocab_size)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return (top.withColumn("token_id", F.row_number().over(w) - F.lit(1))
+            .select("term", "token_id"))
+
+
+def tokenize(df: DataFrame, vocab: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", oov_id: int = -1) -> DataFrame:
+    """Map each document to its token-id array (order-preserving;
+    out-of-vocabulary terms → `oov_id`): the documents → sequences step,
+    producing exactly the (doc_id, tokens, n_tok, source-passthrough)
+    shape the sketch harness ingests.
+
+    Scale shape: posexplode the words, ONE broadcast hash join against
+    the vocab (no shuffle of the corpus), re-assemble with
+    array_sort(collect_list(struct(pos, id))) under the doc_id shuffle —
+    the only wide exchange, keyed by the natural output key. All JVM;
+    zero Python."""
+    keep = [c for c in df.columns if c != text_col]
+    ex = df.select(*keep, F.posexplode(words_col(text_col)).alias("pos", "term"))
+    joined = (ex.join(F.broadcast(vocab), "term", "left")
+              .withColumn("tid", F.coalesce(F.col("token_id"), F.lit(oov_id))
+                          .cast("int")))
+    return (joined.groupBy(*keep)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"]).alias("tokens"))
+            .withColumn("n_tok", F.size("tokens").cast("int")))
+
+
+def pack_sequences(df: DataFrame, max_tokens: int, len_col: str = "n_tok",
+                   id_col: str = "doc_id",
+                   group_col: str = "source") -> DataFrame:
+    """Next-fit sequence packing: within each `group_col` stream, docs in
+    ascending `id_col` order are appended to the current pack until it
+    would exceed `max_tokens`, then a new pack starts (an over-long doc
+    gets a pack of its own). Returns (id, group, pack_id, pack_offset) —
+    the layout step that turns variable-length docs into fixed context
+    windows for training.
+
+    The fold is inherently sequential PER STREAM (each doc's pack
+    depends on every predecessor), so the operator runs one
+    applyInPandas per group — at corpus scale you shard the stream key
+    (date, source, shard) to bound each group; across groups it is
+    embarrassingly parallel, and nothing else touches Python. The
+    DuckDB twin replays the same fold as a recursive CTE."""
+    import pandas as pd
+
+    out_schema = (f"{id_col} long, {group_col} string, pack_id long, "
+                  f"pack_offset long")
+    cap = int(max_tokens)
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        lens = pdf[len_col].to_numpy()
+        pack_id, offs = [], []
+        cur, fill = 0, 0
+        for ln in lens:
+            ln = int(ln)
+            if fill > 0 and fill + ln > cap:
+                cur, fill = cur + 1, 0
+            pack_id.append(cur)
+            offs.append(fill)
+            fill += ln
+        return pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                             group_col: pdf[group_col].to_numpy(),
+                             "pack_id": pack_id, "pack_offset": offs})
+
+    return (df.select(id_col, group_col, len_col)
+            .groupBy(group_col).applyInPandas(pack, schema=out_schema))
+
+
+def ngram_contamination(df: DataFrame, bench: DataFrame, n: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Train/eval decontamination: for every candidate-training doc, the
+    number of distinct word `n`-grams it shares with ANY doc of the
+    `bench` (held-out eval) set — the standard 13-gram-style overlap
+    check run before training. Returns (doc_id, shared_grams,
+    contaminated) for docs NOT in bench.
+
+    Scale shape: bench n-grams are exploded + distinct (eval sets are
+    tiny next to the corpus) and hash-joined against the exploded train
+    grams — the join key is the gram, so only colliding grams meet; a
+    train doc sharing nothing never leaves its map task (left join +
+    count). No Python anywhere."""
+    from p2pddsketch_spark.operators.dedup import word_shingles_col
+    bench_ids = bench.select(F.col(id_col).alias("bid"))
+    train = df.join(bench_ids, df[id_col] == bench_ids["bid"], "left_anti")
+    bgrams = (bench.select(F.explode(word_shingles_col(text_col, n)).alias("g"))
+              .distinct())
+    tgrams = train.select(F.col(id_col), F.explode(
+        word_shingles_col(text_col, n)).alias("g"))
+    hits = (tgrams.join(bgrams, "g", "left_semi")
+            .groupBy(id_col).agg(F.countDistinct("g").alias("shared_grams")))
+    return (train.select(id_col).join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("shared_grams", F.lit(0)).alias("shared_grams"))
+            .withColumn("contaminated", F.col("shared_grams") > 0)
+            .orderBy(id_col))

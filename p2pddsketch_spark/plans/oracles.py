@@ -338,6 +338,80 @@ SELECT id AS doc_id, MIN(comp) AS cluster_id,
 FROM walk GROUP BY id ORDER BY doc_id
 """
 
+# documents → sequences tokenization: the twin recomputes the top-512
+# vocabulary with the same (count DESC, term ASC) total order and
+# derives the per-doc scalars from the exploded (position, token-id)
+# join — equality of Σ tid·pos pins every token id at every position.
+ORACLES["tokenize_vocab"] = f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS cnt
+  FROM (SELECT unnest({_WORDS}) AS term FROM documents) GROUP BY term
+), vocab AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) - 1 AS token_id
+  FROM counts QUALIFY token_id < 512
+), w AS (
+  SELECT doc_id, unnest(ws) AS term, unnest(range(1, len(ws) + 1)) AS pos
+  FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+), joined AS (
+  SELECT w.doc_id, w.pos, COALESCE(v.token_id, -1)::BIGINT AS tid
+  FROM w LEFT JOIN vocab v USING (term)
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_tok,
+       COUNT(*) FILTER (WHERE tid = -1)::BIGINT AS n_oov,
+       SUM(tid * pos)::BIGINT AS tok_hash
+FROM joined GROUP BY doc_id ORDER BY doc_id
+"""
+
+# next-fit packing replayed as a recursive CTE: one step per document
+# within each source stream, identical overflow rule to
+# operators/pipeline.py::pack_sequences
+ORACLES["pack_sequences"] = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source, len({_WORDS})::BIGINT AS w,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), walk(source, rn, doc_id, w, pack_id, fill) AS (
+  SELECT source, rn, doc_id, w, 0::BIGINT, w FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.w,
+         CASE WHEN walk.fill > 0 AND walk.fill + d.w > 1024
+              THEN walk.pack_id + 1 ELSE walk.pack_id END,
+         CASE WHEN walk.fill > 0 AND walk.fill + d.w > 1024
+              THEN d.w ELSE walk.fill + d.w END
+  FROM walk JOIN d ON d.source = walk.source AND d.rn = walk.rn + 1
+)
+SELECT doc_id, source, pack_id, (fill - w) AS pack_offset
+FROM walk ORDER BY doc_id
+"""
+
+# train/eval 8-gram decontamination; shingle definition mirrors
+# word_shingles_col(n=8) — docs under 8 words have NO gram
+_SHINGLES_8 = ("CASE WHEN len(w) >= 8 THEN "
+               "list_distinct(list_transform(range(1, len(w) - 6), "
+               "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]"
+               " || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' "
+               "|| w[i+7])) ELSE [] END")
+
+ORACLES["decontaminate_8gram"] = f"""
+WITH b AS (
+  SELECT DISTINCT unnest({_SHINGLES_8}) AS g
+  FROM (SELECT {_WORDS} AS w FROM documents WHERE doc_id % 97 = 0)
+), t AS (
+  SELECT doc_id, unnest({_SHINGLES_8}) AS g
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id % 97 <> 0)
+), hits AS (
+  SELECT t.doc_id, COUNT(DISTINCT t.g) AS shared_grams
+  FROM t JOIN b USING (g) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.shared_grams, 0)::BIGINT AS shared_grams,
+       COALESCE(h.shared_grams, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
 # deterministic-by-construction counters of the multi-sketch build
 # (split out of the estimates row — every value is exact): row counters
 # are plain sums; bloom_hits_on_inserted = COUNT(DISTINCT user_id) by

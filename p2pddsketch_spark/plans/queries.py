@@ -497,6 +497,55 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(pairs)
 
 
+def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → sequences: top-512 vocabulary (count DESC, term ASC)
+    + order-preserving tokenization to int token-id arrays (OOV = −1) —
+    the step that produces the (doc_id, tokens, n_tok) input_hint shape.
+    The gate row derives three scalars PER DOC from the assembled array
+    (length, OOV count, position-weighted checksum Σ tid·pos), so the
+    oracle pins every token id at every position without shipping
+    arrays through the frame compare."""
+    from p2pddsketch_spark.operators.pipeline import build_vocab, tokenize
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, vocab_size=512)
+    toks = tokenize(docs.select("doc_id", "text"), vocab)
+    pos = F.sequence(F.lit(1), F.size("tokens"))
+    tok_hash = F.aggregate(
+        F.zip_with("tokens", pos, lambda t, p: t.cast("long") * p.cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    n_oov = F.size(F.filter("tokens", lambda t: t == F.lit(-1)))
+    return (toks.select("doc_id",
+                        F.col("n_tok").cast("long").alias("n_tok"),
+                        n_oov.cast("long").alias("n_oov"),
+                        tok_hash.alias("tok_hash"))
+            .orderBy("doc_id"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing of the documents stream into 1024-token
+    context windows, per source (ascending doc_id order). The fold is
+    sequential per stream by definition — one applyInPandas per source,
+    embarrassingly parallel across streams; the DuckDB twin replays the
+    identical fold as a recursive CTE."""
+    from p2pddsketch_spark.operators.pipeline import pack_sequences
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " ")).cast("long"))
+    return (pack_sequences(docs, max_tokens=1024)
+            .select("doc_id", "source", "pack_id", "pack_offset")
+            .orderBy("doc_id"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: 8-gram overlap of every training doc
+    against the held-out benchmark subset (doc_id % 97 == 0 — the
+    fixture's stand-in eval set). Grams join on the gram key (only
+    colliding grams meet); bench grams are corpus-tiny and distinct."""
+    from p2pddsketch_spark.operators.pipeline import ngram_contamination
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(docs, bench, n=8)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed query (hash, merge, dup —
     df spread exercises the idf term), k1=1.2 b=0.75, top 10."""

@@ -1,0 +1,90 @@
+"""Unit tests for the training-data pipeline operators
+(operators/pipeline.py): vocabulary tie-breaking, order-preserving
+tokenization, next-fit packing invariants, planted contamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.operators.pipeline import (build_vocab, tokenize,
+                                                  pack_sequences,
+                                                  ngram_contamination)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c a b a", "web"),
+        (2, "b c d d", "web"),
+        (3, "e e e e e", "web"),
+        (4, "a rare token stream", "books"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_vocab_rank_and_ties(spark, docs):
+    v = {r["term"]: r["token_id"] for r in build_vocab(docs, 4).collect()}
+    # counts: a=4 b=3 e=5 c=2 d=2 rare/token/stream=1 → e,a,b then c beats d on term ASC
+    assert v == {"e": 0, "a": 1, "b": 2, "c": 3}
+
+
+def test_tokenize_preserves_order_and_oov(spark, docs):
+    v = build_vocab(docs, 4)
+    out = {r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+           for r in tokenize(docs, v).collect()}
+    assert out[1] == ([1, 2, 3, 1, 2, 1], 6)
+    assert out[2] == ([2, 3, -1, -1], 4)          # d is OOV at V=4
+    assert out[4] == ([1, -1, -1, -1], 4)
+    # token-array equality is the per-row invariant (BASELINE input_hint):
+    # re-running tokenize reproduces identical arrays
+    again = {r["doc_id"]: list(r["tokens"]) for r in tokenize(docs, v).collect()}
+    assert {k: v0[0] for k, v0 in out.items()} == again
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, "s", int(ln)) for i, ln in enumerate([400, 400, 300, 1200, 10, 1014, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    got = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in pack_sequences(df, max_tokens=1024).collect()}
+    # next-fit: [400,400] fits pack0; 300 overflows -> pack1; 1200 alone
+    # in pack2 (over-long doc allowed); 10 -> pack3 (1200 already > cap);
+    # 1014 joins 10 (10+1014=1024 fits exactly); 1 -> pack4
+    assert got[0] == (0, 0)
+    assert got[1] == (0, 400)
+    assert got[2] == (1, 0)
+    assert got[3] == (2, 0)
+    assert got[4] == (3, 0)
+    assert got[5] == (3, 10)
+    assert got[6] == (4, 0)
+
+
+def test_pack_respects_cap_per_fixture(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .withColumn("n_tok", F.size(F.split("text", " ")).cast("long"))
+    packed = pack_sequences(docs, max_tokens=1024)
+    sums = (packed.join(docs.select("doc_id", "n_tok"), "doc_id")
+            .groupBy("source", "pack_id")
+            .agg(F.sum("n_tok").alias("tot"), F.count("*").alias("n")))
+    bad = sums.where((F.col("tot") > 1024) & (F.col("n") > 1)).count()
+    assert bad == 0  # only singleton packs may exceed the cap
+    # offsets are the running sum: offset + n_tok of the last doc == tot
+    chk = (packed.join(docs.select("doc_id", "n_tok"), "doc_id")
+           .groupBy("source", "pack_id")
+           .agg(F.max(F.col("pack_offset") + F.col("n_tok")).alias("end"),
+                F.sum("n_tok").alias("tot")))
+    assert chk.where(F.col("end") != F.col("tot")).count() == 0
+
+
+def test_contamination_planted(spark):
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [(0, base, "eval"),                       # bench doc
+            (1, base + " tail x", "web"),            # shares all 8-grams
+            (2, "a b c d e f g h i j", "web"),       # disjoint
+            (3, "short doc", "web")]                 # no 8-gram at all
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = df.where(F.col("doc_id") == 0)
+    got = {r["doc_id"]: (r["shared_grams"], r["contaminated"])
+           for r in ngram_contamination(df, bench, n=8).collect()}
+    assert set(got) == {1, 2, 3}         # bench doc excluded from output
+    assert got[1][0] == 3 and got[1][1]  # the 3 grams of a 10-word doc
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)

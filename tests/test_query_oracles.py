@@ -46,6 +46,9 @@ SUBSET = [
     "weighted_sample",          # A-ES weighted reservoir vs SQL tags
     "sketch_counts_events",     # deterministic counters of the multi-sketch build
     "streaming_dds_hourly",     # foreachBatch streaming == batch quantile SQL
+    "tokenize_vocab",           # vocab build + tokenization vs positional checksum
+    "pack_sequences",           # next-fit packing vs recursive-CTE fold replay
+    "decontaminate_8gram",      # train/eval n-gram overlap
 ]
 
 
