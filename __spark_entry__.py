@@ -83,6 +83,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_vocab": Q.q_tokenize_vocab,
         "pack_sequences": Q.q_pack_sequences,
         "decontaminate_8gram": Q.q_decontaminate,
+        "split_assign": Q.q_split_assign,
+        "vocab_coverage": Q.q_vocab_coverage,
+        # DDSketch as a literal GROUPED_AGG UDAF (SQL-parity form)
+        "dds_udaf_by_flag": Q.q_dds_udaf_by_flag,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "embedding_neardup": Q.q_embedding_neardup,

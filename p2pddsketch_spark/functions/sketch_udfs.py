@@ -25,7 +25,50 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["dds_quantile_udf", "sketch_count_udf", "sketch_cardinality_udf",
-           "register_sketch_udfs"]
+           "dds_build_udaf", "sketch_merge_udaf", "register_sketch_udfs"]
+
+
+@lru_cache(maxsize=None)
+def dds_build_udaf(alpha: float = 0.01, bin_limit: int = 1 << 22):
+    """GROUPED_AGG pandas UDAF: aggregate raw values into DDSketch bytes
+    directly inside `groupBy().agg(...)` / SQL `GROUP BY` — the literal
+    'mergeable UDAF' form of the north rule. Deterministic regardless of
+    row order (bucket counts are additive integers).
+
+    Scale note: Spark cannot partially-aggregate a pandas GROUPED_AGG
+    UDF, so raw rows shuffle to their group's reducer — the convenience /
+    SQL-parity form. The two-level mapInArrow harness
+    (`operators/harness.py`) is the 10^12-row path; `sketch_merge_udaf`
+    is the UDAF that re-aggregates ITS persisted partials without
+    re-reading data."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+
+    @pandas_udf("binary")
+    def dds_build(v: pd.Series) -> bytes:
+        sk = DDSketch(alpha=alpha, bin_limit=bin_limit)
+        sk.update_batch(v.to_numpy(dtype=np.float64))
+        return sk.to_bytes()
+
+    return dds_build
+
+
+@lru_cache(maxsize=None)
+def sketch_merge_udaf():
+    """GROUPED_AGG pandas UDAF merging persisted sketch blobs (any sketch
+    type; α-alignment rules apply inside `merge_blobs`): re-aggregate a
+    partial-sketch parquet table to any coarser grouping in one SQL
+    statement — `SELECT source, sketch_merge(sketch) FROM partials GROUP
+    BY source`. Input rows are tiny blobs, so the no-partial-agg caveat
+    of grouped-agg UDFs is immaterial here."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.operators.harness import merge_blobs
+
+    @pandas_udf("binary")
+    def sketch_merge(blobs: pd.Series) -> bytes:
+        return merge_blobs([bytes(b) for b in blobs if b is not None])
+
+    return sketch_merge
 
 
 @lru_cache(maxsize=None)
@@ -75,3 +118,5 @@ def register_sketch_udfs(spark) -> None:
     spark.udf.register("dds_quantile", dds_quantile_udf())
     spark.udf.register("sketch_count", sketch_count_udf())
     spark.udf.register("hll_cardinality", sketch_cardinality_udf())
+    spark.udf.register("dds_build", dds_build_udaf())
+    spark.udf.register("sketch_merge", sketch_merge_udaf())

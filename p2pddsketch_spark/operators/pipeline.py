@@ -13,6 +13,8 @@ exact DuckDB twin.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -20,7 +22,82 @@ from pyspark.sql.window import Window
 from p2pddsketch_spark.operators.text import words_col
 
 __all__ = ["build_vocab", "tokenize", "pack_sequences",
-           "ngram_contamination"]
+           "ngram_contamination", "split_assign", "vocab_coverage"]
+
+
+def split_assign(df: DataFrame, id_col: str = "doc_id", seed: int = 101,
+                 fractions: tuple[tuple[str, float], ...] = (
+                     ("train", 0.90), ("val", 0.05), ("test", 0.05))) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    splitmix64(id, seed) mod 10000 against cumulative fraction
+    thresholds. A pure function of the id — stable across reruns,
+    re-partitions, and corpus growth (a doc never migrates between
+    splits when new docs arrive), which is what makes held-out sets
+    trustworthy at 100 TB. Vectorized mapInPandas (splitmix64 is numpy);
+    the tag is mod-2^64 arithmetic, so the assignment has an exact
+    HUGEINT SQL twin. Returns df's columns + (split_bucket, split)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from p2pddsketch_spark.functions.hashing import splitmix64
+    if abs(sum(f for _, f in fractions) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    bounds = []
+    acc = 0.0
+    for name, f in fractions:
+        acc += f
+        bounds.append((name, int(round(acc * 10000))))
+    # NOT df.schema.add(...): StructType.add mutates in place, which
+    # would corrupt the input DataFrame's cached schema
+    schema = StructType(list(df.schema.fields) +
+                        [StructField("split_bucket", LongType()),
+                         StructField("split", StringType())])
+
+    def assign(batches):
+        for pdf in batches:
+            b = (splitmix64(pdf[id_col].to_numpy(dtype=np.int64), seed=seed)
+                 % np.uint64(10000)).astype(np.int64)
+            split = np.empty(len(pdf), dtype=object)
+            lo = 0
+            for name, hi in bounds:
+                split[(b >= lo) & (b < hi)] = name
+                lo = hi
+            out = pdf.copy()
+            out["split_bucket"] = b
+            out["split"] = split
+            yield out
+
+    return df.mapInPandas(assign, schema=schema)
+
+
+def vocab_coverage(df: DataFrame, sizes: tuple[int, ...] = (64, 128, 256, 512),
+                   text_col: str = "text") -> DataFrame:
+    """Corpus coverage curve of a frequency-ranked vocabulary: for each
+    candidate vocab size, the fraction of all token OCCURRENCES covered
+    by the top-k terms — the number that decides the OOV rate before
+    committing to a vocab. One term-count shuffle + a distributed top-k
+    (max(sizes) rows); the cumulative window runs over those survivors
+    only. Returns (vocab_size, coverage, n_terms_total)."""
+    kmax = max(sizes)
+    counts = (df.select(F.explode(words_col(text_col)).alias("term"))
+              .groupBy("term").agg(F.count("*").alias("cnt")))
+    totals = counts.agg(F.sum("cnt").alias("total"),
+                        F.count("*").alias("n_terms_total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(kmax)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (top.withColumn("cum", F.sum("cnt").over(w))
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.desc("cnt"), F.asc("term")))))
+    sizes_df = df.sparkSession.createDataFrame(
+        [(int(s),) for s in sizes], "vocab_size int")
+    at = ranked.join(F.broadcast(sizes_df),
+                     ranked["rank"] == sizes_df["vocab_size"])
+    return (at.crossJoin(F.broadcast(totals))
+            .select("vocab_size",
+                    F.round(F.col("cum").cast("double") /
+                            F.col("total").cast("double"), 6).alias("coverage"),
+                    F.col("n_terms_total").cast("long").alias("n_terms_total"))
+            .orderBy("vocab_size"))
 
 
 def build_vocab(df: DataFrame, vocab_size: int = 512,

@@ -338,6 +338,15 @@ SELECT id AS doc_id, MIN(comp) AS cluster_id,
 FROM walk GROUP BY id ORDER BY doc_id
 """
 
+def _mulc_u64(z: str, c: int) -> str:
+    """HUGEINT SQL for (z * c) mod 2^64 without int128 overflow: split the
+    constant into 32-bit halves (z < 2^64, so z·lo < 2^96 fits)."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (f"(({z}) * {lo}::HUGEINT + "
+            f"((({z}) * {hi}::HUGEINT) % 4294967296::HUGEINT) * "
+            f"4294967296::HUGEINT) % 18446744073709551616::HUGEINT")
+
+
 # documents → sequences tokenization: the twin recomputes the top-512
 # vocabulary with the same (count DESC, term ASC) total order and
 # derives the per-doc scalars from the exploded (position, token-id)
@@ -348,7 +357,7 @@ WITH counts AS (
   FROM (SELECT unnest({_WORDS}) AS term FROM documents) GROUP BY term
 ), vocab AS (
   SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) - 1 AS token_id
-  FROM counts QUALIFY token_id < 512
+  FROM counts QUALIFY token_id < 16
 ), w AS (
   SELECT doc_id, unnest(ws) AS term, unnest(range(1, len(ws) + 1)) AS pos
   FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
@@ -411,6 +420,64 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
 LEFT JOIN hits h USING (doc_id)
 ORDER BY d.doc_id
 """
+
+# deterministic train/val/test split: splitmix64(doc_id, seed=101)
+# mod 10000 against cumulative 90/5/5 thresholds, in HUGEINT SQL
+_SM_SEED_ADD_101 = (101 * 0x9E3779B97F4A7C15 + 0x9E3779B97F4A7C15) \
+    & 0xFFFFFFFFFFFFFFFF
+
+ORACLES["split_assign"] = f"""
+WITH s0 AS (
+  SELECT doc_id,
+         (doc_id::HUGEINT + {_SM_SEED_ADD_101}::HUGEINT)
+           % 18446744073709551616::HUGEINT AS z
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         {_mulc_u64("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s0
+), s2 AS (
+  SELECT doc_id,
+         {_mulc_u64("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+  FROM s1
+), b AS (
+  SELECT doc_id,
+         (xor(z, z // 2147483648::HUGEINT) % 10000::HUGEINT)::BIGINT AS split_bucket
+  FROM s2
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < 9000 THEN 'train'
+            WHEN split_bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+# vocabulary coverage curve: cumulative share of token occurrences of
+# the (count DESC, term ASC)-ranked top-k terms
+ORACLES["vocab_coverage"] = f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS cnt
+  FROM (SELECT unnest({_WORDS}) AS term FROM documents) GROUP BY term
+), tot AS (
+  SELECT SUM(cnt) AS total, COUNT(*) AS n_terms_total FROM counts
+), ranked AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts
+)
+SELECT rank::INT AS vocab_size,
+       ROUND(cum::DOUBLE / total::DOUBLE, 6) AS coverage,
+       n_terms_total::BIGINT AS n_terms_total
+FROM ranked, tot WHERE rank IN (4, 8, 16, 24) ORDER BY vocab_size
+"""
+
+# the UDAF build is order-invariant (additive integer bucket counts), so
+# the plain quantile SQL twin is exact
+ORACLES["dds_udaf_by_flag"] = duckdb_quantile_sql(
+    "lineitem", "l_quantity", [0.25, 0.75, 0.99], alpha=0.01,
+    group_cols=("l_returnflag",))
 
 # deterministic-by-construction counters of the multi-sketch build
 # (split out of the estimates row — every value is exact): row counters
@@ -494,14 +561,6 @@ FROM (
 ORDER BY doc_id
 """
 
-
-def _mulc_u64(z: str, c: int) -> str:
-    """HUGEINT SQL for (z * c) mod 2^64 without int128 overflow: split the
-    constant into 32-bit halves (z < 2^64, so z·lo < 2^96 fits)."""
-    hi, lo = c >> 32, c & 0xFFFFFFFF
-    return (f"(({z}) * {lo}::HUGEINT + "
-            f"((({z}) * {hi}::HUGEINT) % 4294967296::HUGEINT) * "
-            f"4294967296::HUGEINT) % 18446744073709551616::HUGEINT")
 
 
 _SM_SEED_ADD = (33 * 0x9E3779B97F4A7C15 + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF

@@ -507,7 +507,9 @@ def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays through the frame compare."""
     from p2pddsketch_spark.operators.pipeline import build_vocab, tokenize
     docs = load(spark, sf_dir, "documents")
-    vocab = build_vocab(docs, vocab_size=512)
+    # vocab_size 16 < the fixture's 31-term vocabulary, so the OOV (−1)
+    # path is live in the gate, not just in unit tests
+    vocab = build_vocab(docs, vocab_size=16)
     toks = tokenize(docs.select("doc_id", "text"), vocab)
     pos = F.sequence(F.lit(1), F.size("tokens"))
     tok_hash = F.aggregate(
@@ -544,6 +546,49 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     return ngram_contamination(docs, bench, n=8)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split: splitmix64(doc_id)
+    mod 10000 vs cumulative thresholds — a pure function of the id
+    (stable under reruns/repartitions/corpus growth). Exact HUGEINT
+    splitmix twin."""
+    from p2pddsketch_spark.operators.pipeline import split_assign
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (split_assign(docs, seed=101)
+            .select("doc_id", "split_bucket", "split")
+            .orderBy("doc_id"))
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: fraction of all token occurrences
+    covered by the top-k terms, k ∈ {4, 8, 16, 24} (fixture vocabulary
+    is 31 terms) — the OOV-rate planning number for `tokenize`."""
+    from p2pddsketch_spark.operators.pipeline import vocab_coverage
+    return vocab_coverage(load(spark, sf_dir, "documents"),
+                          sizes=(4, 8, 16, 24))
+
+
+def q_dds_udaf_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch as a literal mergeable UDAF (north_rule wording): a
+    GROUPED_AGG pandas UDF aggregates l_quantity into sketch BYTES
+    inside a plain groupBy().agg(), and the quantiles are read from the
+    collected per-group blobs. Convenience/SQL-parity form of the
+    harness (grouped-agg UDFs can't partial-aggregate — the 10^12-row
+    path stays `operators/harness.py`; `sketch_merge_udaf` re-aggregates
+    its persisted partials). Bucket counts are order-invariant, so the
+    same quantile SQL is an exact oracle."""
+    from p2pddsketch_spark.functions.sketch_udfs import dds_build_udaf
+    alpha = 0.01
+    gamma, _ = gamma_of_alpha(alpha)
+    li = load(spark, sf_dir, "lineitem")
+    rows = (li.groupBy("l_returnflag")
+            .agg(dds_build_udaf(alpha, 1 << 22)("l_quantity").alias("sketch"))
+            .collect())
+    sketches = {(r["l_returnflag"], "dds"): DDSketch.from_bytes(bytes(r["sketch"]))
+                for r in rows}
+    return _ddsketch_quantile_rows(spark, li, sketches, [0.25, 0.75, 0.99],
+                                   gamma, ("l_returnflag",))
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,6 +49,9 @@ SUBSET = [
     "tokenize_vocab",           # vocab build + tokenization vs positional checksum
     "pack_sequences",           # next-fit packing vs recursive-CTE fold replay
     "decontaminate_8gram",      # train/eval n-gram overlap
+    "split_assign",             # deterministic 90/5/5 split vs HUGEINT splitmix
+    "vocab_coverage",           # coverage curve vs windowed cumsum
+    "dds_udaf_by_flag",         # GROUPED_AGG binary UDAF vs quantile SQL
 ]
 
 

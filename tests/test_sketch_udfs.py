@@ -36,6 +36,36 @@ def test_persisted_sketch_table_query(spark, tmp_path):
         assert abs(got[etype][0] - sk.quantile(0.95)) < 1e-12
 
 
+def test_udaf_build_and_merge_reaggregation(spark):
+    """The GROUPED_AGG UDAF pair: dds_build aggregates raw values to
+    sketch bytes inside GROUP BY; sketch_merge re-aggregates a persisted
+    partial table to a coarser grouping — and the re-aggregated sketch
+    is BYTE-IDENTICAL to building from all raw values at once (merge
+    associativity, the north-rule UDAF contract)."""
+    from p2pddsketch_spark.functions.sketch_udfs import (dds_build_udaf,
+                                                         sketch_merge_udaf)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    fine = (ev.groupBy("event_type", (F.col("user_id") % 4).alias("b"))
+            .agg(dds_build_udaf(0.01, 1 << 20)("value").alias("sketch")))
+    coarse = (fine.groupBy("event_type")
+              .agg(sketch_merge_udaf()("sketch").alias("sketch")))
+    got = {r["event_type"]: bytes(r["sketch"]) for r in coarse.collect()}
+    pdf = ev.select("event_type", "value").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        direct = DDSketch(alpha=0.01, bin_limit=1 << 20) \
+            .update_batch(grp["value"].to_numpy())
+        assert got[etype] == direct.to_bytes(), etype
+    # same thing from plain SQL (UDAFs registered)
+    register_sketch_udfs(spark)
+    ev.createOrReplaceTempView("ev_udaf")
+    row = spark.sql(
+        "SELECT dds_quantile(dds_build(value), 0.5) AS p50 FROM ev_udaf"
+    ).collect()[0]
+    allsk = DDSketch(alpha=0.01, bin_limit=1 << 22) \
+        .update_batch(pdf["value"].to_numpy())
+    assert abs(row["p50"] - allsk.quantile(0.5)) < 1e-12
+
+
 def test_delete_batch_turnstile():
     rng = np.random.default_rng(55)
     keep = rng.lognormal(0, 1, 5000)
