@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": Q.q_join_topsuppliers,
         "order_priority_semi": Q.q_order_priority_semi,
         "customers_without_orders": Q.q_customers_without_orders,
+        "revenue_cube": Q.q_revenue_cube,
+        "value_pivot": Q.q_value_pivot,
         # window functions / sessionization
         "window_running_value": Q.q_window_running_value,
         "events_asof_orders": Q.q_events_asof_orders,

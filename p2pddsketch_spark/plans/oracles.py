@@ -200,6 +200,29 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
+ORACLES["revenue_cube"] = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+ORACLES["value_pivot"] = """
+SELECT CAST(user_id % 4 AS BIGINT) AS user_bucket,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'click'), 0) AS DOUBLE) AS v_click,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'error'), 0) AS DOUBLE) AS v_error,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE) AS v_purchase,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'signup'), 0) AS DOUBLE) AS v_signup,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'view'), 0) AS DOUBLE) AS v_view
+FROM events
+GROUP BY user_bucket
+ORDER BY user_bucket
+"""
+
 ORACLES["top_tokens_exact"] = f"""
 SELECT token, COUNT(*) AS cnt
 FROM (SELECT unnest({_WORDS}) AS token FROM documents)

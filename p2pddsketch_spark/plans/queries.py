@@ -432,6 +432,39 @@ def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: revenue at every granularity of
+    (l_returnflag, l_linestatus) in ONE pass via CUBE — Catalyst expands
+    the grouping sets inside a single partial-aggregated exchange
+    instead of 4 scans + union. NULL group keys are coalesced to 'ALL'
+    on both sides; grouping_id disambiguates."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(20,6)")).cast("double")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(rev.alias("revenue"), F.count("*").alias("n_rows"),
+                 F.grouping_id().alias("gid"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                    F.col("gid").cast("long").alias("gid"),
+                    "revenue", "n_rows")
+            .orderBy("gid", "l_returnflag", "l_linestatus"))
+
+
+def q_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: per user bucket, total value by event type as
+    columns. The pivot value list is EXPLICIT (no discovery pass — at
+    100 TB a two-pass pivot is a bug); decimal(20,6) sums for float
+    parity; twin is the portable conditional-aggregation SQL."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("long"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    agg = F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+    out = ev.groupBy("user_bucket").pivot("event_type", types).agg(agg)
+    cols = [F.coalesce(F.col(t), F.lit(0.0)).alias(f"v_{t}") for t in types]
+    return out.select("user_bucket", *cols).orderBy("user_bucket")
+
+
 # ------------------------------------------------------------------- dedup
 
 def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
