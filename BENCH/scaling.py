@@ -103,8 +103,17 @@ Raw JSON (best runs):
 ```
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve everything from the first hand-written section onward
+    # (hardware-ceiling receipts, per-round notes) — only the generated
+    # curve block above it is replaced
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
     with open(path, "w") as f:
-        f.write(md)
+        f.write(md + tail)
     print(md)
 
 

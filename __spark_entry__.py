@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": Q.q_quality_score,
         "language_id": Q.q_language_id,
         "token_count_regex": Q.q_token_count_regex,
+        "repetition_stats": Q.q_repetition_stats,
         # dedup
         "exact_dedup_stats": Q.q_exact_dedup_stats,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard,

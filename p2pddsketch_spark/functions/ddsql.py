@@ -232,6 +232,10 @@ def ddsketch_decayed_quantile_plan(df: DataFrame, value_col: str, ts_col: str,
              .select(ddsketch_key_col(v, alpha, offset).alias("_key"),
                      weight.alias("_w")))
     counts = keyed.groupBy("_key").agg(F.sum("_w").alias("_cnt"))
+    # unpartitioned window = one reducer — deliberate: it runs over the
+    # POST-AGGREGATION bucket table (≤ a few thousand rows at any data
+    # size; bounded by bin count, not input rows), after the grouped
+    # partial-aggregated exchange has done the heavy lifting
     w_cum = Window.orderBy("_key")
     cum = (counts.withColumn("_cum", F.sum("_cnt").over(w_cum))
            .withColumn("_n", F.sum("_cnt").over(Window.partitionBy())))

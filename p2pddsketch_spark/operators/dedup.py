@@ -232,9 +232,12 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128
     """
     from pyspark import StorageLevel
     # small-file inputs arrive as one partition — spread the vectorized
-    # signature stage across the cluster (cheap narrow shuffle of text)
+    # signature stage across the cluster (cheap narrow shuffle of text).
+    # File count stands in for partition count (df.rdd would trigger RDD
+    # conversion planning just to read a number); non-file-backed inputs
+    # report [] and take the conservative repartition.
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if len(df.inputFiles()) < par:
         df = df.repartition(par)
     # persist the signature table and the candidate set: both are re-read
     # by several plan branches (self-join sides, verify semi-join, final

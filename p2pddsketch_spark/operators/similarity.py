@@ -102,7 +102,13 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
 def hyperplane_buckets(df: DataFrame, planes: int = 16, seed: int = 13,
                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH bucket per vector: sign pattern of `planes`
-    projections, computed as ONE numpy matmul per Arrow batch."""
+    projections, computed as ONE numpy matmul per Arrow batch.
+
+    Every task re-derives the SAME plane matrix H from the fixed seed
+    inside the closure (deliberate: H is d×planes ≈ a few KB, and
+    seeded default_rng is deterministic across workers — a broadcast
+    would ship the identical bytes with more machinery; re-deriving is
+    the intent, not an oversight)."""
     id_type = df.schema[id_col].dataType
     schema = StructType([StructField("id", id_type, True),
                          StructField("bucket", LongType(), False)])

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["words_col", "doc_stats", "top_tokens", "distinct_tokens_by",
            "language_id_col", "fingerprint_md5_col", "rolling_fingerprint",
-           "quality_score", "bm25_topk"]
+           "quality_score", "bm25_topk", "repetition_stats"]
 
 STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
@@ -50,6 +50,35 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.round(n_stop.cast("double") / n_words.cast("double"), 6).alias("stopword_ratio"),
         F.round(distinct_words.cast("double") / n_words.cast("double"), 6).alias("distinct_ratio"),
     )
+
+
+def repetition_stats(df: DataFrame, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Repetition quality signal: per doc, the share of word n-gram
+    OCCURRENCES taken by the single most-repeated n-gram (template spam
+    and boilerplate score near 1; natural text near 1/n_grams). Unlike
+    the dedup shingles these grams are NOT deduped — counts are the
+    signal. Docs with < n words score 0. All JVM: explode →
+    per-(doc, gram) count → per-doc max/total — two partial-aggregated
+    exchanges on the doc key."""
+    words = words_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
+    grams = F.when(F.size(words) >= n,
+                   F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))) \
+             .otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    per_gram = ex.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    per_doc = (per_gram.groupBy(id_col)
+               .agg(F.max("c").alias("max_gram_count"),
+                    F.sum("c").alias("n_grams")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+                    F.coalesce("max_gram_count", F.lit(0)).cast("long").alias("max_gram_count"),
+                    F.coalesce(F.round(F.col("max_gram_count").cast("double") /
+                                       F.col("n_grams").cast("double"), 6),
+                               F.lit(0.0)).alias("rep_score"))
+            .orderBy(id_col))
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -289,6 +289,28 @@ GROUP BY source
 ORDER BY source
 """
 
+ORACLES["repetition_stats"] = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END) AS g
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+), per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY doc_id, g
+), per_doc AS (
+  SELECT doc_id, MAX(c) AS max_gram_count, SUM(c) AS n_grams
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(p.max_gram_count, 0)::BIGINT AS max_gram_count,
+       COALESCE(ROUND(p.max_gram_count::DOUBLE / p.n_grams::DOUBLE, 6), 0.0) AS rep_score
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
 ORACLES["exact_dedup_stats"] = """
 SELECT COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(text)) AS n_unique,

@@ -415,6 +415,12 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.language_id_col("text").alias("lang_pred")).orderBy("doc_id")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template-spam signal: share of trigram occurrences
+    taken by the most-repeated trigram per doc."""
+    return text.repetition_stats(load(spark, sf_dir, "documents"), n=3)
+
+
 def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + alpha-only tokens + vowel count
     per source (BPE-ish regex classes, exact & SQL-portable)."""

@@ -52,6 +52,9 @@ SUBSET = [
     "split_assign",             # deterministic 90/5/5 split vs HUGEINT splitmix
     "vocab_coverage",           # coverage curve vs windowed cumsum
     "dds_udaf_by_flag",         # GROUPED_AGG binary UDAF vs quantile SQL
+    "revenue_cube",             # grouping sets vs GROUP BY CUBE
+    "value_pivot",              # explicit-list pivot vs conditional agg
+    "repetition_stats",         # boilerplate signal vs per-gram count SQL
 ]
 
 
