@@ -3,8 +3,10 @@ way a 100 TB pre-training corpus job would:
 
   read → exact dedup (md5 fingerprint) → near-dup removal (MinHash+LSH,
   keep the smallest doc_id of each near-dup cluster) → quality filter →
-  optional language filter → write curated table + one-pass sketch
-  summary (DDSketch over doc length, HLL/CMS over tokens) + manifest.
+  optional language filter → optional eval-set decontamination (8-gram
+  overlap vs --benchmark-input) → optional deterministic train/val/test
+  split column (--assign-splits) → write curated table + one-pass
+  sketch summary (DDSketch over doc length) + manifest.
 
   spark-submit --py-files sketchlib.zip jobs/curate.py \\
       --input /root/testdata/sf0.01/documents.parquet \\
@@ -28,6 +30,11 @@ def main(argv=None):
     p.add_argument("--min-quality", type=float, default=0.0)
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--langs", nargs="*", default=[])
+    p.add_argument("--benchmark-input", default=None,
+                   help="parquet of held-out eval docs; training docs "
+                        "sharing any 8-gram with it are dropped")
+    p.add_argument("--assign-splits", action="store_true",
+                   help="add a deterministic 90/5/5 train/val/test column")
     p.add_argument("--shuffle-partitions", type=int, default=64)
     args = p.parse_args(argv)
 
@@ -79,6 +86,25 @@ def main(argv=None):
                      .select(args.id_col), args.id_col, "inner")
     n4 = df.count()
 
+    # 5. eval-set decontamination (8-gram overlap, standard 13-gram-style
+    #    check scaled to the corpus' doc lengths)
+    if args.benchmark_input:
+        from p2pddsketch_spark.operators.pipeline import ngram_contamination
+        bench = spark.read.parquet(args.benchmark_input)
+        contaminated = (ngram_contamination(df, bench, n=8,
+                                            text_col=args.text_col,
+                                            id_col=args.id_col,
+                                            exclude_bench_ids=False)
+                        .where(F.col("contaminated"))
+                        .select(args.id_col))
+        df = df.join(contaminated, args.id_col, "left_anti")
+    n5 = df.count()
+
+    # 6. deterministic split column (stable under reruns/corpus growth)
+    if args.assign_splits:
+        from p2pddsketch_spark.operators.pipeline import split_assign
+        df = split_assign(df, id_col=args.id_col).drop("split_bucket")
+
     df.write.mode("overwrite").parquet(args.output)
 
     # 5. one-pass sketch summary of the curated corpus
@@ -94,7 +120,7 @@ def main(argv=None):
     manifest = {
         "input": args.input, "output": args.output,
         "rows_in": n0, "after_exact_dedup": n1, "after_near_dedup": n2,
-        "after_quality": n3, "after_lang": n4,
+        "after_quality": n3, "after_lang": n4, "after_decontaminate": n5,
         "secs": round(time.monotonic() - t0, 2), **quantiles,
     }
     print(json.dumps(manifest, indent=2))

@@ -185,8 +185,8 @@ def pack_sequences(df: DataFrame, max_tokens: int, len_col: str = "n_tok",
 
 
 def ngram_contamination(df: DataFrame, bench: DataFrame, n: int = 8,
-                        text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        exclude_bench_ids: bool = True) -> DataFrame:
     """Train/eval decontamination: for every candidate-training doc, the
     number of distinct word `n`-grams it shares with ANY doc of the
     `bench` (held-out eval) set — the standard 13-gram-style overlap
@@ -199,8 +199,14 @@ def ngram_contamination(df: DataFrame, bench: DataFrame, n: int = 8,
     train doc sharing nothing never leaves its map task (left join +
     count). No Python anywhere."""
     from p2pddsketch_spark.operators.dedup import word_shingles_col
-    bench_ids = bench.select(F.col(id_col).alias("bid"))
-    train = df.join(bench_ids, df[id_col] == bench_ids["bid"], "left_anti")
+    if exclude_bench_ids:
+        # bench ⊂ corpus (same id space): bench docs are not candidates
+        bench_ids = bench.select(F.col(id_col).alias("bid"))
+        train = df.join(bench_ids, df[id_col] == bench_ids["bid"], "left_anti")
+    else:
+        # external eval set: its id space is unrelated to the corpus',
+        # so an id collision must NOT exempt a training doc
+        train = df
     bgrams = (bench.select(F.explode(word_shingles_col(text_col, n)).alias("g"))
               .distinct())
     tgrams = train.select(F.col(id_col), F.explode(
