@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_8gram": Q.q_decontaminate,
         "split_assign": Q.q_split_assign,
         "vocab_coverage": Q.q_vocab_coverage,
+        "chunk_text": Q.q_chunk_text,
         # DDSketch as a literal GROUPED_AGG UDAF (SQL-parity form)
         "dds_udaf_by_flag": Q.q_dds_udaf_by_flag,
         # similarity search

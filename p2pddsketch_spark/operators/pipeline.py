@@ -22,7 +22,34 @@ from pyspark.sql.window import Window
 from p2pddsketch_spark.operators.text import words_col
 
 __all__ = ["build_vocab", "tokenize", "pack_sequences",
-           "ngram_contamination", "split_assign", "vocab_coverage"]
+           "ngram_contamination", "split_assign", "vocab_coverage",
+           "chunk_text"]
+
+
+def chunk_text(df: DataFrame, size: int = 20, overlap: int = 5,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping word windows (RAG-style
+    chunking / sliding training contexts): chunk k covers words
+    [1 + k·stride, …+size) with stride = size − overlap; a doc of
+    n ≤ size words is one chunk; the last chunk may be shorter. The
+    chunk count is CLOSED-FORM (ceil((n−size)/stride) + 1), so the whole
+    operator is one `transform` + `posexplode` — all JVM, no shuffle at
+    all until something downstream asks for one. Returns
+    (id, chunk_id, n_chunks, chunk)."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    words = words_col(text_col)
+    n = F.size(words)
+    k = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(size)).cast("double") / F.lit(float(stride))) + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * stride + 1, size)))
+    return (df.select(F.col(id_col), k.alias("n_chunks"),
+                      F.posexplode(chunks).alias("chunk_id", "chunk"))
+            .select(id_col, "chunk_id", "n_chunks", "chunk"))
 
 
 def split_assign(df: DataFrame, id_col: str = "doc_id", seed: int = 101,

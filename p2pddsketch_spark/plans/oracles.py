@@ -466,6 +466,27 @@ LEFT JOIN hits h USING (doc_id)
 ORDER BY d.doc_id
 """
 
+# overlapping word chunks (size 20, overlap 5 → stride 15): closed-form
+# chunk count; md5 of each re-sliced chunk pins every boundary
+ORACLES["chunk_text"] = f"""
+WITH d AS (
+  SELECT doc_id, {_WORDS} AS w, len({_WORDS}) AS n FROM documents
+), k AS (
+  SELECT doc_id, w, n,
+         CASE WHEN n <= 20 THEN 1
+              ELSE CAST(ceil((n - 20)::DOUBLE / 15.0) AS INT) + 1 END AS n_chunks
+  FROM d
+), ex AS (
+  SELECT doc_id, n_chunks, unnest(range(0, n_chunks)) AS cid, w FROM k
+)
+SELECT doc_id,
+       cid::INT AS chunk_id,
+       n_chunks::INT AS n_chunks,
+       len(w[cid*15 + 1 : cid*15 + 20])::BIGINT AS chunk_words,
+       md5(array_to_string(w[cid*15 + 1 : cid*15 + 20], ' ')) AS chunk_hash
+FROM ex ORDER BY doc_id, chunk_id
+"""
+
 # deterministic train/val/test split: splitmix64(doc_id, seed=101)
 # mod 10000 against cumulative 90/5/5 thresholds, in HUGEINT SQL
 _SM_SEED_ADD_101 = (101 * 0x9E3779B97F4A7C15 + 0x9E3779B97F4A7C15) \

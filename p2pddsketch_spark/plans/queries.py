@@ -587,6 +587,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, bench, n=8)
 
 
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping word chunks (size 20, overlap 5) with a
+    closed-form chunk count — per-chunk word count + rolling checksum
+    keep the oracle compact while pinning every chunk boundary."""
+    from p2pddsketch_spark.operators.pipeline import chunk_text
+    ch = chunk_text(load(spark, sf_dir, "documents"), size=20, overlap=5)
+    return (ch.select("doc_id", "chunk_id", "n_chunks",
+                      F.size(F.split("chunk", " ")).cast("long").alias("chunk_words"),
+                      F.md5("chunk").alias("chunk_hash"))
+            .orderBy("doc_id", "chunk_id"))
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test split: splitmix64(doc_id)
     mod 10000 vs cumulative thresholds — a pure function of the id

@@ -74,6 +74,26 @@ def test_pack_respects_cap_per_fixture(spark):
     assert chk.where(F.col("end") != F.col("tot")).count() == 0
 
 
+def test_chunk_text_boundaries(spark):
+    from p2pddsketch_spark.operators.pipeline import chunk_text
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(12))),   # n=12 > size -> 3 chunks
+         (2, "a b c"),                                 # n <= size -> 1 chunk
+         (3, "")],                                     # degenerate
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk"], r["n_chunks"])
+           for r in chunk_text(df, size=5, overlap=2).collect()}
+    # stride 3: starts at words 1, 4, 7, 10 -> ceil((12-5)/3)+1 = 4 chunks
+    assert got[(1, 0)][0] == "w0 w1 w2 w3 w4"
+    assert got[(1, 1)][0] == "w3 w4 w5 w6 w7"
+    assert got[(1, 3)][0] == "w9 w10 w11"  # short tail
+    assert got[(1, 0)][1] == 4
+    assert got[(2, 0)] == ("a b c", 1)
+    assert got[(3, 0)] == ("", 1)
+    with pytest.raises(ValueError):
+        chunk_text(df, size=5, overlap=5)
+
+
 def test_contamination_planted(spark):
     base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
     rows = [(0, base, "eval"),                       # bench doc

@@ -55,6 +55,7 @@ SUBSET = [
     "revenue_cube",             # grouping sets vs GROUP BY CUBE
     "value_pivot",              # explicit-list pivot vs conditional agg
     "repetition_stats",         # boilerplate signal vs per-gram count SQL
+    "chunk_text",               # overlapping chunks vs closed-form re-slice
 ]
 
 
