@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": Q.q_split_assign,
         "vocab_coverage": Q.q_vocab_coverage,
         "chunk_text": Q.q_chunk_text,
+        # multimodal decode path (real PPM codec, distributed)
+        "image_decode_features": Q.q_image_decode_features,
         # DDSketch as a literal GROUPED_AGG UDAF (SQL-parity form)
         "dds_udaf_by_flag": Q.q_dds_udaf_by_flag,
         # similarity search

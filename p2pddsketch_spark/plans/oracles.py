@@ -487,6 +487,41 @@ SELECT doc_id,
 FROM ex ORDER BY doc_id, chunk_id
 """
 
+# multimodal decode gate: pixel (doc_id·48+i) = splitmix64 mod 256 —
+# the twin regenerates every pixel in HUGEINT SQL and aggregates the
+# same exact-in-float32 features the distributed codec reports
+_SM_K = 0x9E3779B97F4A7C15
+
+ORACLES["image_decode_features"] = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(range(0, 48)) AS i FROM documents
+), s0 AS (
+  SELECT doc_id, i,
+         ((doc_id * 48 + i)::HUGEINT + {_SM_K}::HUGEINT)
+           % 18446744073709551616::HUGEINT AS z
+  FROM ex
+), s1 AS (
+  SELECT doc_id, i,
+         {_mulc_u64("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s0
+), s2 AS (
+  SELECT doc_id, i,
+         {_mulc_u64("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+  FROM s1
+), px AS (
+  SELECT doc_id, i,
+         (xor(z, z // 2147483648::HUGEINT) % 256::HUGEINT)::BIGINT AS v
+  FROM s2
+)
+SELECT doc_id,
+       4::BIGINT AS width, 4::BIGINT AS height,
+       AVG(v) FILTER (WHERE i % 3 = 0) AS mean_r,
+       AVG(v) FILTER (WHERE i % 3 = 1) AS mean_g,
+       AVG(v) FILTER (WHERE i % 3 = 2) AS mean_b,
+       MIN(v)::BIGINT AS min_px, MAX(v)::BIGINT AS max_px
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
 # deterministic train/val/test split: splitmix64(doc_id, seed=101)
 # mod 10000 against cumulative 90/5/5 thresholds, in HUGEINT SQL
 _SM_SEED_ADD_101 = (101 * 0x9E3779B97F4A7C15 + 0x9E3779B97F4A7C15) \

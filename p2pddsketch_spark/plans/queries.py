@@ -649,6 +649,46 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ["hash", "merge", "dup"], k=10)
 
 
+def q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gates the MULTIMODAL path end-to-end: one deterministic
+    4×4 P6 PPM per doc (pixels = splitmix64(doc_id·48+i) mod 256,
+    encoded by the library's own `encode_ppm`), decoded DISTRIBUTED by
+    the real pure-numpy codec through `decode_features`, reporting dims,
+    per-channel means, and pixel min/max. Every reported feature is
+    exact in float32 (sums of ≤16 uint8s divided by 16), so the HUGEINT
+    splitmix SQL twin reproduces them bit-for-bit — the binary-column
+    plumbing, PPM parser, and Arrow feature batching all sit inside a
+    hard oracle. (Compressed formats remain env-limited: PIL/av absent
+    here — import-try fallbacks, `operators/multimodal.py`.)"""
+    import pandas as pd
+    from p2pddsketch_spark.functions.hashing import splitmix64
+    from p2pddsketch_spark.operators import multimodal as MM
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                idx = np.arange(48, dtype=np.int64) + d * 48
+                px = (splitmix64(idx) % np.uint64(256)).astype(np.uint8)
+                payloads.append(MM.encode_ppm(px.reshape(4, 4, 3)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(make, "media_id long, payload binary")
+    f = F.col("features")
+    return (MM.decode_features(media)
+            .select(F.col("media_id").alias("doc_id"),
+                    f[0].cast("long").alias("width"),
+                    f[1].cast("long").alias("height"),
+                    f[2].cast("double").alias("mean_r"),
+                    f[3].cast("double").alias("mean_g"),
+                    f[4].cast("double").alias("mean_b"),
+                    f[6].cast("long").alias("min_px"),
+                    f[7].cast("long").alias("max_px"))
+            .orderBy("doc_id"))
+
+
 # -------------------------------------------------------------- similarity
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,6 +56,7 @@ SUBSET = [
     "value_pivot",              # explicit-list pivot vs conditional agg
     "repetition_stats",         # boilerplate signal vs per-gram count SQL
     "chunk_text",               # overlapping chunks vs closed-form re-slice
+    "image_decode_features",    # distributed PPM decode vs splitmix pixel twin
 ]
 
 
