@@ -93,6 +93,40 @@ def test_embedding_neardup_query_plan_is_lsh_not_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_simhash_wide_plan_is_equijoin_not_cartesian(spark):
+    """The 128-bit multi-index candidate stage must plan as a hash
+    EQUI-join on the combo key — no nested-loop/cartesian anywhere."""
+    from p2pddsketch_spark.operators import dedup
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = dedup.simhash_neardup_pairs_wide(docs, max_hamming=8, n=2)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tokenize_plan_broadcasts_vocab_distributed_topk(spark):
+    """tokenize's join side must be a BroadcastHashJoin fed by a
+    distributed top-k (TakeOrderedAndProject) — NOT a global-sort rank
+    over the full term table, and the corpus must not shuffle for the
+    join (exactly one non-broadcast Exchange: the doc_id re-assembly;
+    AQE may add a post-shuffle read but no second hash exchange)."""
+    from p2pddsketch_spark.operators.pipeline import build_vocab, tokenize
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = tokenize(docs.select("doc_id", "text"), build_vocab(docs, 16))
+    plan = explain_str(toks)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_chunk_text_plan_has_no_shuffle(spark):
+    """Chunking is a pure narrow transform: closed-form chunk count +
+    posexplode — zero Exchange in the plan."""
+    from p2pddsketch_spark.operators.pipeline import chunk_text
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = explain_str(chunk_text(docs, size=20, overlap=5))
+    assert "Exchange" not in plan, plan
+
+
 def test_cosine_neardup_lsh_planted_pair_recall(spark):
     """Planted near-dups at cosine >= 0.97 are all recovered by the
     8-plane x 8-table OR-amplified LSH (miss prob per pair < 1e-5), and
