@@ -40,3 +40,48 @@ def test_curate_funnel(spark, tmp_path, capsys):
         >= m["after_quality"] >= m["after_lang"] > 0
     curated = spark.read.parquet(str(tmp_path / "curated"))
     assert curated.count() == m["after_lang"]
+
+
+def test_prepare_sequences_feeds_the_harness(spark, tmp_path, capsys):
+    """documents → sequences materialization: the output table has the
+    input_hint shape, token arrays regenerate identically (per-row
+    token-array equality — the BASELINE per-row invariant), and the
+    sketch harness consumes it directly (n_tok quantiles within α of
+    exact)."""
+    import numpy as np
+    sys.path.insert(0, "/root/repo/jobs")
+    import prepare_sequences
+    out = str(tmp_path / "seqs")
+    rc = prepare_sequences.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--vocab-size", "24", "--assign-splits"])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip())
+    assert manifest["n_docs"] == 500 and manifest["oov_tokens"] > 0
+
+    seqs = spark.read.parquet(out)
+    assert {"doc_id", "tokens", "n_tok", "source", "split"} <= set(seqs.columns)
+    a = {r["doc_id"]: list(r["tokens"]) for r in seqs.collect()}
+    # regeneration invariant: a second run yields identical arrays
+    out2 = str(tmp_path / "seqs2")
+    prepare_sequences.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out2, "--vocab-size", "24"])
+    capsys.readouterr()
+    b = {r["doc_id"]: list(r["tokens"])
+         for r in spark.read.parquet(out2).collect()}
+    assert a == b
+
+    # the harness ingests the materialized table directly
+    from p2pddsketch_spark.operators.harness import (SketchSpec,
+                                                     build_sketches,
+                                                     collect_sketches,
+                                                     scalar_extractor)
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+    sk = collect_sketches(build_sketches(
+        seqs, [SketchSpec("dds", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
+                          scalar_extractor("n_tok"))], salt_buckets=4))["dds"]
+    ntok = np.sort(np.array([len(v) for v in a.values()], dtype=np.float64))
+    assert sk.n == len(ntok)
+    exact = ntok[int(np.floor(1 + 0.95 * (len(ntok) - 1))) - 1]
+    assert abs(sk.quantile(0.95) - exact) / exact <= 0.01 * (1 + 1e-9)
