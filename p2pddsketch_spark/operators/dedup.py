@@ -417,6 +417,19 @@ def simhash128_keys(df: DataFrame, max_hamming: int = 8,
     of the already-unpacked matrix beats two-word SQL bit surgery."""
     blocks, combos = simhash128_block_layout(max_hamming)
     max_w = max(w for _, w in blocks)
+    ci_bits = max(1, (len(combos) - 1).bit_length())
+    # key layout: combo_index << 52 | block_i << max_w | block_j — valid
+    # iff the pair payload fits under bit 52 and the combo index under
+    # bit 63. Tiny radii (B = r+2 ≤ 4 → blocks ≥ 32 bits) and absurdly
+    # wide ones (B > 64 → > 2^11 combos) both break it; a narrow radius
+    # is exactly where the 64-bit single-block index is already sparse.
+    if 2 * max_w > 52 or ci_bits > 11:
+        from p2pddsketch_spark.errors import ParamError
+        raise ParamError(
+            f"max_hamming={max_hamming} gives {len(blocks)} blocks of up to "
+            f"{max_w} bits ({len(combos)} combos) — pair keys overflow "
+            "int64; use simhash_neardup_pairs (64-bit single blocks) for "
+            "radii <= 2")
     id_type = df.schema[id_col].dataType
     schema = StructType([StructField("id", id_type, True),
                          StructField("hi", LongType(), False),

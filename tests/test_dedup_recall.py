@@ -101,6 +101,18 @@ def test_simhash128_block_pairs_pigeonhole_complete():
             assert len(agree) >= 2, (d, agree)
 
 
+def test_simhash128_rejects_unpackable_radii(spark, docs):
+    """Radii whose (combo, block_i, block_j) key can't pack into int64
+    fail loudly with a pointer to the 64-bit path (r=0..2 → blocks of
+    ≥ 32 bits)."""
+    from p2pddsketch_spark.errors import ParamError
+    for r in (0, 1, 2):
+        with pytest.raises(ParamError):
+            dedup.simhash128_keys(docs, max_hamming=r, n=2)
+    # r=3 packs (B=5, 26-bit blocks) and stays usable
+    assert dedup.simhash128_keys(docs.limit(5), max_hamming=3, n=2).count() == 5
+
+
 def test_simhash_wide_recall_exact(spark, docs):
     """End-to-end at the registered radius (max_hamming=8): the 128-bit
     multi-index returns EXACTLY the all-pairs two-word popcount ground
