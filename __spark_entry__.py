@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming end-to-end (foreachBatch epoch state)
         "streaming_dds_hourly": Q.q_streaming_dds_hourly,
         "theta_token_overlap": Q.q_theta_token_overlap,
+        "theta_daily_retention": Q.q_theta_daily_retention,
         "stratified_sample": Q.q_stratified_sample,
         "weighted_sample": Q.q_weighted_sample,
     }

@@ -580,6 +580,31 @@ ORACLES["dds_udaf_by_flag"] = duckdb_quantile_sql(
     "lineitem", "l_quantity", [0.25, 0.75, 0.99], alpha=0.01,
     group_cols=("l_returnflag",))
 
+# day-over-day retention from per-day theta sketches: under-k keeps
+# every hash, so DAU and day-pair intersections are exact counts
+ORACLES["theta_daily_retention"] = """
+WITH du AS (
+  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id
+  FROM events
+), days AS (
+  SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+), pairs0 AS (
+  SELECT d1.day, d2.day AS next_day, d1.dau, d2.dau AS dau_next
+  FROM days d1 JOIN days d2
+    ON d2.day = strftime(CAST(d1.day AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d')
+), ret AS (
+  SELECT a.day, COUNT(*) AS retained
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id
+   AND b.day = strftime(CAST(a.day AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d')
+  GROUP BY a.day
+)
+SELECT p.day, p.next_day, p.dau, p.dau_next,
+       COALESCE(r.retained, 0) AS retained
+FROM pairs0 p LEFT JOIN ret r USING (day)
+ORDER BY p.day
+"""
+
 # deterministic-by-construction counters of the multi-sketch build
 # (split out of the estimates row — every value is exact): row counters
 # are plain sums; bloom_hits_on_inserted = COUNT(DISTINCT user_id) by

@@ -896,6 +896,39 @@ def q_sketch_estimates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value double").orderBy("metric")
 
 
+def q_theta_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day user retention from SKETCH STATE: one theta sketch
+    per day over user_id (single pass through the harness), then every
+    consecutive-day intersection is answered from the tiny summaries —
+    the product query (DAU + retained users) that would otherwise
+    re-scan raw events per day pair. HARD oracle: fixture DAU is far
+    under k, the under-k regime keeps every hash, so DAU and
+    intersections are exact counts (same regime as
+    `theta_token_overlap`); saturated-k error is pytest-bound-tested."""
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+    ev = (load(spark, sf_dir, "events")
+          .withColumn("day", F.date_format(F.date_trunc("day", F.col("ts")),
+                                           "yyyy-MM-dd")))
+    out = build_sketches(
+        ev, [SketchSpec("theta", lambda: ThetaSketch(k=65536),
+                        scalar_int_extractor("user_id"))],
+        group_cols=("day",), salt_buckets=8)
+    sk = {key[0]: s for key, s in collect_sketches(out, group_cols=("day",)).items()}
+    from datetime import date, timedelta
+    rows = []
+    for d in sorted(sk):
+        nxt = (date.fromisoformat(d) + timedelta(days=1)).isoformat()
+        if nxt not in sk:  # CALENDAR-consecutive pairs only
+            continue
+        rows.append((d, nxt,
+                     int(np.round(sk[d].cardinality())),
+                     int(np.round(sk[nxt].cardinality())),
+                     int(np.round(sk[d].intersection_cardinality(sk[nxt])))))
+    return (spark.createDataFrame(
+        rows, "day string, next_day string, dau long, dau_next long, retained long")
+        .orderBy("day"))
+
+
 def q_sketch_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic-by-construction metrics of the one-pass multi-sketch
     build, split out of the estimates row into a HARD oracle (round-2

@@ -57,6 +57,7 @@ SUBSET = [
     "repetition_stats",         # boilerplate signal vs per-gram count SQL
     "chunk_text",               # overlapping chunks vs closed-form re-slice
     "image_decode_features",    # distributed PPM decode vs splitmix pixel twin
+    "theta_daily_retention",    # DAU retention from per-day theta state
 ]
 
 
