@@ -26,7 +26,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
 
 __all__ = ["MEDIA_SCHEMA", "attach_payload", "decode_features",
            "payload_stats", "encode_ppm", "encode_png", "decode_image",
-           "resize_image", "encode_video", "sample_frames"]
+           "resize_image", "encode_wav", "decode_wav", "audio_features",
+           "encode_video", "sample_frames"]
 
 # canonical multimodal row: opaque payload + typed metadata
 MEDIA_SCHEMA = StructType([
@@ -293,6 +294,94 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     yi = (np.arange(height) * h // height).clip(0, h - 1)
     xi = (np.arange(width) * w // width).clip(0, w - 1)
     return encode_ppm(px[yi[:, None], xi[None, :]])
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 → RIFF/WAVE PCM bytes (the standard
+    uncompressed audio container) — stdlib struct + numpy."""
+    import struct
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = np.ascontiguousarray(s).tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" +
+           b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                 byte_rate, ch * 2, 16) +
+           b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM (8/16/32-bit integer) → ((n, channels) float64 in
+    [-1, 1], sample_rate). Walks RIFF chunks properly (fmt may be
+    followed by LIST/fact before data). Compressed WAVE (non-PCM
+    format tags) raises NotImplementedError."""
+    import struct
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        ln = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("malformed WAVE (missing fmt/data chunk)")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"only PCM WAVE supported (format tag {audio_format})")
+    if bits == 16:
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 32:
+        x = np.frombuffer(pcm, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    n = x.size // ch
+    return x[:n * ch].reshape(n, ch), rate
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas WAV decode → (media_id, duration_ms, sample_rate,
+    channels, rms, peak, zero_crossings) — the audio twin of
+    `decode_features`; non-WAV payloads yield NULL metrics under the
+    same schema so mixed tables flow through one plan."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("duration_ms", FloatType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("rms", FloatType(), True),
+        StructField("peak", FloatType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    x, rate = decode_wav(payload)
+                    mono = x.mean(axis=1)
+                    rows.append((int(mid), float(1000.0 * len(x) / rate),
+                                 int(rate), int(x.shape[1]),
+                                 float(np.sqrt((mono ** 2).mean())) if len(x) else 0.0,
+                                 float(np.abs(x).max()) if len(x) else 0.0,
+                                 int(np.count_nonzero(np.diff(np.signbit(mono))))))
+                except (ValueError, NotImplementedError):
+                    rows.append((int(mid), None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=out_schema)
 
 
 # Minimal deterministic "video" container for end-to-end frame-sampling
