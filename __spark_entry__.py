@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_daily_retention": Q.q_theta_daily_retention,
         "stratified_sample": Q.q_stratified_sample,
         "weighted_sample": Q.q_weighted_sample,
+        # runtime filters / robust stats / iterative graph / corpus LM
+        "bloom_filtered_join": Q.q_bloom_filtered_join,
+        "winsorized_stats": Q.q_winsorized_stats,
+        "pagerank_topk": Q.q_pagerank_topk,
+        "bigram_surprisal": Q.q_bigram_surprisal,
     }
 
 

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["words_col", "doc_stats", "top_tokens", "distinct_tokens_by",
            "language_id_col", "fingerprint_md5_col", "rolling_fingerprint",
-           "quality_score", "bm25_topk", "repetition_stats"]
+           "quality_score", "bm25_topk", "repetition_stats",
+           "bigram_surprisal"]
 
 STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
@@ -78,6 +79,55 @@ def repetition_stats(df: DataFrame, n: int = 3, text_col: str = "text",
                     F.coalesce(F.round(F.col("max_gram_count").cast("double") /
                                        F.col("n_grams").cast("double"), 6),
                                F.lit(0.0)).alias("rep_score"))
+            .orderBy(id_col))
+
+
+def bigram_surprisal(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", rare_threshold: int = 3) -> DataFrame:
+    """Corpus-LM quality scoring: train bigram frequencies over the whole
+    corpus in one aggregation, then score every document by (a) its
+    rare-bigram ratio (share of bigrams seen < `rare_threshold` times
+    corpus-wide — gibberish/OCR noise scores high) and (b) its total
+    self-information  Σ −ln(cf/total)/ln 2  in bits (unigram-free
+    pointwise surprisal). The classic n-gram-LM filter of large-scale
+    training-data curation, expressed as two hash aggregations and one
+    equi-join — no Python anywhere.
+
+    Float-parity discipline: each bigram's surprisal is rounded to 6
+    decimals and summed as DECIMAL(20,6) (exact, associative — immune
+    to shuffle order), and the log is written as ln(x)/ln(2) on both
+    engines so libm evaluates the identical expression. Docs with < 2
+    words have no bigrams and drop out (both engines).
+
+    100 TB: the corpus-frequency table aggregates with map-side combine
+    on the bigram key; the score join shuffles (bigram, doc_id) pairs
+    only. Hot bigrams (stopword pairs) are the skew risk — AQE skew-join
+    handles the join; the aggregation is a plain combine-reduce.
+    """
+    words = words_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(1), F.lit(1)))
+    grams = F.when(F.size(words) >= 2,
+                   F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2)))) \
+             .otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.explode(grams).alias("bg"))
+    corpus = ex.groupBy("bg").agg(F.count("*").alias("cf"))
+    total = corpus.agg(F.sum("cf").cast("double").alias("tot"))
+    scored = (ex.join(corpus, "bg")
+              .crossJoin(F.broadcast(total))
+              .select(F.col(id_col), F.col("cf"),
+                      F.round(-F.log(F.col("cf").cast("double") / F.col("tot")) /
+                              F.log(F.lit(2.0)), 6)
+                      .cast("decimal(20,6)").alias("surp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.count(F.when(F.col("cf") < rare_threshold, 1)).alias("n_rare"),
+                 F.sum("surp").alias("_surp_sum"))
+            .select(F.col(id_col),
+                    F.col("n_bigrams"),
+                    F.col("n_rare"),
+                    F.round(F.col("n_rare").cast("double") /
+                            F.col("n_bigrams").cast("double"), 6).alias("rare_ratio"),
+                    F.col("_surp_sum").cast("double").alias("surprisal"))
             .orderBy(id_col))
 
 

@@ -831,3 +831,116 @@ WHERE a.vec_id < b.vec_id
   AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8
 ORDER BY id_a, id_b
 """
+
+
+# ------------------------------------------------- round-3 additions
+
+# Bloom runtime filter has no false negatives and the exact join removes
+# false positives, so the twin is the PLAIN join — any divergence means
+# the filter dropped a real match.
+ORACLES["bloom_filtered_join"] = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 450000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# Winsorized stats: the trim bounds are the DDSketch p01/p99 estimates,
+# which the quantile twin reproduces value-exactly; the trimmed
+# aggregate is then plain SQL over the same bounds.
+ORACLES["winsorized_stats"] = f"""
+WITH qe AS ({duckdb_quantile_sql("lineitem", "l_extendedprice", [0.01, 0.99], alpha=0.005)}),
+bounds AS (
+  SELECT MIN(CASE WHEN q = 0.01 THEN estimate END) AS lo,
+         MIN(CASE WHEN q = 0.99 THEN estimate END) AS hi
+  FROM qe)
+SELECT l_returnflag,
+       COUNT(*) AS n_kept,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price
+FROM lineitem CROSS JOIN bounds
+WHERE l_extendedprice BETWEEN lo AND hi
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def duckdb_pagerank_sql(edge_sql: str, iterations: int,
+                        damping: float = 0.85, topk: int = 20) -> str:
+    """Unrolled-iteration twin of `operators.pagerank.pagerank` — one CTE
+    trio (contrib, incoming, rank) per synchronous round. Ranks are
+    scaled int64 nano-units quantized as floor(x·1e9 + 0.5): decimal
+    ROUND-of-double differs between engines, but mul/add/div/floor are
+    single correctly-rounded IEEE ops written here with exactly the
+    Spark expression's association, so every iteration is bit-identical
+    and the BIGINT sums are exact."""
+    d = "CAST(0.85 AS DOUBLE)" if damping == 0.85 else f"CAST({damping!r} AS DOUBLE)"
+
+    def q(x: str) -> str:
+        return f"CAST(floor(({x}) * 1e9 + 0.5) AS BIGINT)"
+
+    parts = [f"""
+WITH edges AS ({edge_sql}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM edges GROUP BY src),
+r0 AS (SELECT node, {q("CAST(1.0 AS DOUBLE) / nd")} AS rank_nano
+       FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        upd = (f"(CAST(1.0 AS DOUBLE) - {d}) / nn.nd + {d} * "
+               f"(CAST(COALESCE(a.inc, 0) AS DOUBLE) / 1e9 "
+               f"+ CAST(g.dang AS DOUBLE) / 1e9 / nn.nd)")
+        parts.append(f""",
+c{i} AS (SELECT e.dst AS node,
+                {q("CAST(r.rank_nano AS DOUBLE) / 1e9 / o.odeg")} AS c
+         FROM edges e JOIN r{p} r ON e.src = r.node JOIN outdeg o ON e.src = o.src),
+a{i} AS (SELECT node, SUM(c) AS inc FROM c{i} GROUP BY node),
+g{i} AS (SELECT COALESCE(SUM(rank_nano), 0) AS dang
+         FROM r{p} WHERE node NOT IN (SELECT src FROM outdeg)),
+r{i} AS (SELECT n.node, {q(upd)} AS rank_nano
+         FROM nodes n LEFT JOIN a{i} a ON n.node = a.node
+         CROSS JOIN g{i} g CROSS JOIN nn)""")
+    parts.append(f"""
+SELECT node, CAST(rank_nano AS DOUBLE) / 1e9 AS rank
+FROM r{iterations}
+ORDER BY rank DESC, node
+LIMIT {topk}""")
+    return "".join(parts)
+
+
+ORACLES["pagerank_topk"] = duckdb_pagerank_sql(
+    "SELECT l_partkey AS src, l_suppkey + 4294967296 AS dst FROM lineitem "
+    "UNION "
+    "SELECT l_suppkey + 4294967296 AS src, l_partkey AS dst FROM lineitem",
+    iterations=3, damping=0.85, topk=20)
+
+# Bigram-LM scoring: surprisal written as ln(x)/ln(2) on both engines
+# (identical libm expression), rounded per-bigram and summed as
+# DECIMAL(20,6) so shuffle order cannot move the sum.
+ORACLES["bigram_surprisal"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks),
+bgs AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM pos),
+corpus AS (SELECT bg, COUNT(*) AS cf FROM bgs GROUP BY bg),
+total AS (SELECT CAST(SUM(cf) AS DOUBLE) AS tot FROM corpus),
+scored AS (
+  SELECT doc_id, cf,
+         CAST(ROUND(-ln(CAST(cf AS DOUBLE) / tot) / ln(CAST(2.0 AS DOUBLE)), 6)
+              AS DECIMAL(20,6)) AS surp
+  FROM bgs JOIN corpus USING (bg) CROSS JOIN total)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       COUNT(*) FILTER (WHERE cf < 3) AS n_rare,
+       ROUND(CAST(COUNT(*) FILTER (WHERE cf < 3) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS rare_ratio,
+       CAST(SUM(surp) AS DOUBLE) AS surprisal
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""

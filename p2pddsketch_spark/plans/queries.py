@@ -1048,3 +1048,81 @@ def scalar_int_extractor(column: str):
     extract.columns = [column]
     extract.key = f"scalar_int:{column}"
     return extract
+
+
+# ------------------------------------------------- round-3 additions:
+# runtime filters, robust stats, iterative graph, corpus-LM scoring
+
+def q_bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accelerated join: a Bloom filter built over the keys of a
+    ~10%-selective orders slice prunes lineitem BEFORE the shuffle join;
+    the exact join afterwards removes Bloom false positives, so the
+    result is bit-identical to the plain join (the DuckDB twin). At
+    100 TB this cuts the fact-side shuffle ~10× for the cost of a
+    broadcast bitset — the explicit form of Spark's runtime bloom
+    filter, reusing the library's mergeable BloomFilter."""
+    from p2pddsketch_spark.operators.runtime_filter import bloom_semi_filter
+    orders = (load(spark, sf_dir, "orders")
+              .where(F.col("o_totalprice") > 450000.0))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    pruned = bloom_semi_filter(li, "l_orderkey",
+                               orders.select("o_orderkey"), "o_orderkey")
+    return (pruned.join(orders.select("o_orderkey", "o_orderpriority"),
+                        pruned["l_orderkey"] == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(20,6)")).cast("double").alias("revenue"))
+            .orderBy("o_orderpriority"))
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven robust aggregation: DDSketch p01/p99 of
+    l_extendedprice (pure Catalyst plan — the estimates are
+    value-exact vs the SQL twin) define the trim bounds; the stats
+    aggregate only rows inside them. One bounds row broadcast; the
+    fact table is scanned once for the quantile pass and once for the
+    trimmed aggregate — no sort, no full-data percentile."""
+    li = load(spark, sf_dir, "lineitem")
+    qdf = ddsketch_quantile_plan(li, "l_extendedprice", [0.01, 0.99],
+                                 alpha=0.005)
+    bounds = qdf.agg(
+        F.min(F.when(F.col("q") == 0.01, F.col("estimate"))).alias("lo"),
+        F.min(F.when(F.col("q") == 0.99, F.col("estimate"))).alias("hi"))
+    kept = (li.crossJoin(F.broadcast(bounds))
+            .where(F.col("l_extendedprice").between(F.col("lo"), F.col("hi"))))
+    dec_sum = F.sum(F.col("l_extendedprice").cast("decimal(20,6)")).cast("double")
+    return (kept.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_kept"),
+                 dec_sum.alias("sum_price"),
+                 F.round(dec_sum / F.count("*").cast("double"), 6)
+                 .alias("avg_price"))
+            .orderBy("l_returnflag"))
+
+
+def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the symmetrized part↔supplier
+    graph from lineitem (supplier ids offset by 2^32 into their own id
+    space). Three synchronous rounds, damping 0.85, int64 nano-unit
+    ranks — every iteration reproduced bit-for-bit by the unrolled-CTE
+    DuckDB twin. Top 20 nodes, deterministic (rank DESC, node) order."""
+    from p2pddsketch_spark.operators.pagerank import pagerank
+    li = load(spark, sf_dir, "lineitem")
+    off = F.lit(1 << 32).cast("long")
+    fwd = li.select(F.col("l_partkey").alias("src"),
+                    (F.col("l_suppkey") + off).alias("dst"))
+    rev = li.select((F.col("l_suppkey") + off).alias("src"),
+                    F.col("l_partkey").alias("dst"))
+    ranks = pagerank(fwd.union(rev), iterations=3, damping=0.85)
+    return (ranks.select("node",
+                         (F.col("rank_nano").cast("double") / F.lit(1e9))
+                         .alias("rank"))
+            .orderBy(F.desc("rank"), "node").limit(20))
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM quality scores per document (rare-bigram ratio +
+    total self-information in bits) — see text.bigram_surprisal."""
+    return text.bigram_surprisal(load(spark, sf_dir, "documents"),
+                                 rare_threshold=3)

@@ -58,6 +58,10 @@ SUBSET = [
     "chunk_text",               # overlapping chunks vs closed-form re-slice
     "image_decode_features",    # distributed PPM decode vs splitmix pixel twin
     "theta_daily_retention",    # DAU retention from per-day theta state
+    "bloom_filtered_join",      # Bloom runtime filter == plain join
+    "winsorized_stats",         # DDSketch p01/p99 trim bounds
+    "pagerank_topk",            # 3-round PageRank vs unrolled CTE twin
+    "bigram_surprisal",         # corpus bigram-LM scores, decimal log sums
 ]
 
 
