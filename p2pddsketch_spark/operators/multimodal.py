@@ -249,13 +249,17 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     Pure-numpy paths: binary PPM (P6), binary PGM (P5, replicated to
     RGB), 24-bit uncompressed BMP (BGR, bottom-up, 4-byte row padding),
-    and — since round 3 — real COMPRESSED 8-bit PNG (stdlib zlib
-    inflate + all five row filters, `_decode_png`). JPEG/webm etc.
-    still need an external codec → PIL import-try, then
+    and — since round 3 — real COMPRESSED formats: 8-bit PNG (stdlib
+    zlib inflate + all five row filters, `_decode_png`) and baseline
+    sequential JPEG (Huffman + IDCT, `operators/jpeg.py`). Remaining
+    exotics (progressive JPEG, webp, …) fall to a PIL import-try, then
     NotImplementedError (this container ships no PIL)."""
     data = bytes(payload)
     if data[:8] == _PNG_SIG:
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from p2pddsketch_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(data)
     if data[:2] in (b"P6", b"P5"):
         w, h, maxval, off = _pnm_header(data)
         if maxval > 255:

@@ -1,0 +1,128 @@
+"""Baseline-JPEG codec tests (`operators/jpeg.py`).
+
+The golden tests build minimal JPEG byte streams BY HAND per ITU-T T.81
+(not via our encoder) with trivial Huffman tables, and check the decoder
+against analytically computed IDCT outputs — so decoder conformance
+does not rest on encoder/decoder sharing assumptions. Round-trip tests
+then drive every decoder path (4:4:4, 4:2:0, grayscale, restart
+markers, multi-MCU DC prediction) through the encoder."""
+
+import math
+
+import numpy as np
+import pytest
+
+from p2pddsketch_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from p2pddsketch_spark.operators.multimodal import decode_image
+
+ZZ16 = bytes([16] * 64)  # flat quant table (zigzag order is moot)
+
+
+def _seg(marker: bytes, body: bytes) -> bytes:
+    return marker + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _minimal_gray(entropy: bytes, dc_counts, dc_syms, ac_counts, ac_syms,
+                  quant: bytes = ZZ16) -> bytes:
+    """8×8 single-component baseline JPEG with caller-chosen tables."""
+    out = b"\xff\xd8"
+    out += _seg(b"\xff\xdb", bytes([0]) + quant)
+    out += _seg(b"\xff\xc0", bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    out += _seg(b"\xff\xc4", bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += _seg(b"\xff\xc4", bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    out += _seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
+    return out + entropy + b"\xff\xd9"
+
+
+def test_golden_dc_only_block():
+    # DC table: one symbol (category 3), 1-bit code '0'.
+    # AC table: one symbol (EOB), 1-bit code '0'.
+    # Stream: '0' (huff cat3) + '100' (DC=4) + '0' (EOB), pad '111'
+    # → 0b01000111 = 0x47. Dequant DC = 4*16 = 64 → every pixel
+    # 64/8 + 128 = 136 exactly.
+    dc_counts = [1] + [0] * 15
+    ac_counts = [1] + [0] * 15
+    data = _minimal_gray(b"\x47", dc_counts, [3], ac_counts, [0x00])
+    img = decode_jpeg(data)
+    assert img.shape == (8, 8, 3)
+    assert np.all(img == 136)
+
+
+def test_golden_single_ac_coefficient():
+    # DC table: symbol 0 (category 0), code '0'. AC: two 2-bit symbols
+    # [0x01, 0x00] → codes 00, 01. Stream: '0' (DC cat0, no bits) +
+    # '00' (run0/size1) + '1' (amplitude +1) + '01' (EOB), pad '11'
+    # → 0b00010111 = 0x17. Coefficient lands at zigzag index 1 =
+    # natural (0,1): S[0,1] = 1*16; pixel(y,x) = A[0,y]·16·A[1,x] + 128
+    # with A[0,·] = 1/(2√2), A[1,x] = ½·cos((2x+1)π/16).
+    dc_counts = [1] + [0] * 15
+    ac_counts = [0, 2] + [0] * 14
+    data = _minimal_gray(b"\x17", dc_counts, [0], ac_counts, [0x01, 0x00])
+    img = decode_jpeg(data)
+    expected = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            expected[y, x] = (1 / (2 * math.sqrt(2)) * 16 *
+                              0.5 * math.cos((2 * x + 1) * math.pi / 16) + 128)
+    expected = np.clip(np.round(expected), 0, 255).astype(np.uint8)
+    assert np.array_equal(img[:, :, 0], expected)
+    assert np.array_equal(img[:, :, 0], img[:, :, 1])
+
+
+def _smooth(h, w, seed=0):
+    """Band-limited test image — JPEG should reproduce it closely."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        img[:, :, c] = (128 + 60 * np.sin(xx / (8 + 3 * c) + c) *
+                        np.cos(yy / (11 - 2 * c)) + rng.normal(0, 2, (h, w)))
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def test_roundtrip_444():
+    img = _smooth(40, 56)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample="444"))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 3 and err.max() < 32
+
+
+def test_roundtrip_420_and_odd_size():
+    img = _smooth(33, 47, seed=1)  # non-multiple of 16 exercises padding
+    out = decode_jpeg(encode_jpeg(img, quality=92, subsample="420"))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 5 and err.max() < 48
+
+
+def test_roundtrip_grayscale():
+    g = _smooth(24, 24, seed=2)[:, :, 0]
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (24, 24, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+    err = np.abs(out[:, :, 0].astype(int) - g.astype(int))
+    assert err.mean() < 3
+
+
+def test_restart_markers_do_not_change_pixels():
+    img = _smooth(48, 64, seed=3)
+    plain = decode_jpeg(encode_jpeg(img, quality=90, subsample="420"))
+    rst = encode_jpeg(img, quality=90, subsample="420", restart_interval=2)
+    assert b"\xff\xd0" in rst  # restart markers actually emitted
+    assert np.array_equal(decode_jpeg(rst), plain)
+
+
+def test_decode_image_dispatches_jpeg():
+    img = _smooth(16, 16, seed=4)
+    out = decode_image(encode_jpeg(img, quality=95))
+    assert out.shape == (16, 16, 3)
+
+
+def test_progressive_rejected():
+    img = _smooth(8, 8)
+    data = bytearray(encode_jpeg(img))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
