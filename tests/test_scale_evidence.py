@@ -152,3 +152,27 @@ def test_cosine_neardup_lsh_planted_pair_recall(spark):
     assert set(planted) <= got_pairs          # all planted pairs found
     exact = cosine_neardup_pairs(df, threshold=0.97, use_lsh=False).toPandas()
     assert got_pairs <= set(zip(exact["id_a"], exact["id_b"]))  # no FPs
+
+
+def test_bloom_join_plan_prunes_columns_before_python_stage(spark):
+    """The Bloom probe must sit directly on a 3-column pruned scan
+    (mapInArrow is a pruning barrier, so the query pre-selects), the dim
+    filter must push into parquet, and the join must be a hash join."""
+    from p2pddsketch_spark.plans import queries as Q
+    plan = explain_str(Q.q_bloom_filtered_join(spark, "/root/testdata/sf0.001"))
+    assert "MapInArrow" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "l_orderkey:bigint,l_extendedprice:double,l_discount:double" in plan, plan
+    assert "GreaterThan(o_totalprice,450000.0)" in plan, plan
+
+
+def test_pagerank_iteration_is_checkpoint_pinned(spark):
+    """The returned rank table must plan as a pinned RDD scan (lineage
+    cut each iteration), not a join tree over all iterations."""
+    from pyspark.sql import functions as F
+    from p2pddsketch_spark.operators.pagerank import pagerank
+    e = spark.range(100).select(
+        (F.col("id") % 10).alias("src"), (F.col("id") % 7).alias("dst"))
+    plan = explain_str(pagerank(e, iterations=2))
+    assert "ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan
