@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": Q.q_winsorized_stats,
         "pagerank_topk": Q.q_pagerank_topk,
         "bigram_surprisal": Q.q_bigram_surprisal,
+        # data layout / scrubbing / semi-structured
+        "zorder_index": Q.q_zorder_index,
+        "redact_pii": Q.q_redact_pii,
+        "json_props_stats": Q.q_json_props_stats,
     }
 
 

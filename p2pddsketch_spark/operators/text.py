@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 __all__ = ["words_col", "doc_stats", "top_tokens", "distinct_tokens_by",
            "language_id_col", "fingerprint_md5_col", "rolling_fingerprint",
            "quality_score", "bm25_topk", "repetition_stats",
-           "bigram_surprisal"]
+           "bigram_surprisal", "redact_pii", "PII_PATTERNS"]
 
 STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
@@ -80,6 +80,31 @@ def repetition_stats(df: DataFrame, n: int = 3, text_col: str = "text",
                                        F.col("n_grams").cast("double"), 6),
                                F.lit(0.0)).alias("rep_score"))
             .orderBy(id_col))
+
+
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+    "ip": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / phone
+    numbers / IPv4 literals with typed placeholder tokens and count the
+    hits per document (counts taken on the ORIGINAL text, before any
+    replacement). Pure `regexp_replace`/`regexp_count` built-ins —
+    whole-stage codegen, a narrow map at any scale."""
+    txt = F.col(text_col)
+    counts = [F.regexp_count(txt, F.lit(p)).alias(f"n_{name}")
+              for name, p in PII_PATTERNS.items()]
+    red = txt
+    for name, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, f"[{name.upper()}]")
+    return df.select(F.col(id_col), red.alias("redacted"), *counts)
 
 
 def bigram_surprisal(df: DataFrame, text_col: str = "text",

@@ -944,3 +944,55 @@ FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+from p2pddsketch_spark.operators.layout import duckdb_zorder_expr
+
+ORACLES["zorder_index"] = f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_partkey, l_suppkey,
+       {duckdb_zorder_expr("l_partkey", "l_suppkey", bits=11)} AS z
+FROM lineitem
+ORDER BY z, l_orderkey, l_linenumber
+LIMIT 200
+"""
+
+# Redaction twin: identical RE2/Java-compatible patterns, identical
+# email -> phone -> ip replacement order, counts on the original text.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+ORACLES["redact_pii"] = f"""
+WITH src AS (
+  SELECT event_id,
+         'contact user' || CAST(user_id AS VARCHAR)
+         || ' at user' || CAST(user_id AS VARCHAR)
+         || '@example.com or +1-555-'
+         || lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0')
+         || ' ip 10.' || CAST(user_id % 256 AS VARCHAR)
+         || '.0.' || CAST(event_id % 256 AS VARCHAR) AS text
+  FROM events WHERE event_id < 2000)
+SELECT event_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_PHONE}', '[PHONE]', 'g'),
+           '{_PII_IP}', '[IP]', 'g') AS redacted,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+       len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip
+FROM src
+ORDER BY event_id
+"""
+
+ORACLES["json_props_stats"] = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

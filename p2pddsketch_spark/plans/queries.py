@@ -1126,3 +1126,52 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     total self-information in bits) — see text.bigram_surprisal."""
     return text.bigram_surprisal(load(spark, sf_dir, "documents"),
                                  rare_threshold=3)
+
+
+def q_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values for (l_partkey, l_suppkey) — the clustering key
+    of `operators.layout.zorder_layout`. Pure Catalyst bit math; the
+    DuckDB twin evaluates the identical interleave expression. The
+    layout's pruning payoff is measured in tests/test_layout.py."""
+    from p2pddsketch_spark.operators.layout import zorder_col
+    li = load(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey",
+                      F.col("l_linenumber").cast("long").alias("l_linenumber"),
+                      "l_partkey", "l_suppkey",
+                      zorder_col("l_partkey", "l_suppkey", bits=11).alias("z"))
+            .orderBy("z", "l_orderkey", "l_linenumber").limit(200))
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministic synthetic contact string built
+    from events (the fixture corpus contains no organic PII — the
+    operator under test is the regex scrub, and the construction makes
+    its effect oracle-checkable). Counts are taken pre-redaction."""
+    from p2pddsketch_spark.operators.text import redact_pii
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    txt = F.concat(
+        F.lit("contact user"), F.col("user_id").cast("string"),
+        F.lit(" at user"), F.col("user_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("user_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (F.col("user_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("event_id") % 256).cast("string"))
+    return (redact_pii(ev.select("event_id", txt.alias("text")),
+                       text_col="text", id_col="event_id")
+            .orderBy("event_id"))
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull `$.k` out of the JSON props
+    column (JVM JsonPath, no Python) and aggregate per event type."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.round(F.sum("k").cast("double") /
+                         F.count("*").cast("double"), 6).alias("avg_k"))
+            .orderBy("event_type"))

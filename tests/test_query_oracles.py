@@ -62,6 +62,9 @@ SUBSET = [
     "winsorized_stats",         # DDSketch p01/p99 trim bounds
     "pagerank_topk",            # 3-round PageRank vs unrolled CTE twin
     "bigram_surprisal",         # corpus bigram-LM scores, decimal log sums
+    "zorder_index",             # Morton interleave vs identical SQL bit expr
+    "redact_pii",               # regex scrub, RE2/Java-compatible patterns
+    "json_props_stats",         # JSON path extraction + aggregation
 ]
 
 
