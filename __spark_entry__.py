@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_index": Q.q_zorder_index,
         "redact_pii": Q.q_redact_pii,
         "json_props_stats": Q.q_json_props_stats,
+        "salted_join_revenue": Q.q_salted_join_revenue,
+        "scd2_user_value": Q.q_scd2_user_value,
     }
 
 

@@ -996,3 +996,26 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+# Salting only routes rows to reducers — the oracle is the plain join.
+ORACLES["salted_join_revenue"] = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# SCD-2 merge replay: versioning the change log with one LEAD window in
+# (ts, event_id) order reproduces open-row seeding + interval closing.
+ORACLES["scd2_user_value"] = """
+SELECT user_id, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+FROM events
+WHERE user_id < 100
+ORDER BY user_id, valid_from
+"""

@@ -1175,3 +1175,50 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("k").cast("double") /
                          F.count("*").cast("double"), 6).alias("avg_k"))
             .orderBy("event_type"))
+
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join (orders replicated 4×, lineitem salted
+    by an unrelated hash, join key (orderkey, salt)) — identical rows to
+    the plain join, which is the oracle. The plan-shape test pins the
+    salt into the join keys and the absence of a broadcast."""
+    from p2pddsketch_spark.operators.skew import salted_join
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, orders, key="l_orderkey", build_key="o_orderkey",
+                    salts=4)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(20,6)")).cast("double").alias("revenue"))
+            .orderBy("o_orderpriority"))
+
+
+def q_scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension build: the first event per user seeds the open
+    row of a `current` table, every later event is a change record, and
+    `scd2_merge` closes/extends intervals with one lead() window. The
+    twin replays the same versioning as a plain LEAD over (ts, event_id)
+    order — the merge must reproduce it exactly."""
+    from pyspark.sql import Window
+    from p2pddsketch_spark.operators.scd import scd2_merge
+    ev = (load(spark, sf_dir, "events").where(F.col("user_id") < 100)
+          .select("user_id", "event_id", "ts", "value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = ev.withColumn("_rn", F.row_number().over(w))
+    current = (rn.where(F.col("_rn") == 1)
+               .select("user_id", "value",
+                       F.col("ts").alias("valid_from"),
+                       F.lit(None).cast(rn.schema["ts"].dataType)
+                       .alias("valid_to")))
+    updates = rn.where(F.col("_rn") > 1).select("user_id", "value", "ts",
+                                                "event_id")
+    merged = scd2_merge(current, updates, key="user_id", ts_col="ts",
+                        payload_cols=["value"], tiebreak="event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (merged.select(
+                "user_id", "value",
+                F.date_format("valid_from", fmt).alias("valid_from"),
+                F.date_format("valid_to", fmt).alias("valid_to"))
+            .orderBy("user_id", "valid_from"))

@@ -65,6 +65,8 @@ SUBSET = [
     "zorder_index",             # Morton interleave vs identical SQL bit expr
     "redact_pii",               # regex scrub, RE2/Java-compatible patterns
     "json_props_stats",         # JSON path extraction + aggregation
+    "salted_join_revenue",      # skew-salted join == plain join
+    "scd2_user_value",          # SCD-2 merge vs LEAD replay
 ]
 
 
