@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": Q.q_json_props_stats,
         "salted_join_revenue": Q.q_salted_join_revenue,
         "scd2_user_value": Q.q_scd2_user_value,
+        "triangle_counts": Q.q_triangle_counts,
     }
 
 

@@ -1019,3 +1019,26 @@ FROM events
 WHERE user_id < 100
 ORDER BY user_id, valid_from
 """
+
+# Triangle counting: identical canonical-edge wedge-close join algebra.
+ORACLES["triangle_counts"] = """
+WITH co AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 300 AND b.l_partkey < 300),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM co e1
+  JOIN co e2 ON e1.b = e2.a
+  JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b),
+participation AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node, COUNT(*) AS n_triangles
+FROM participation
+GROUP BY node
+ORDER BY n_triangles DESC, node
+LIMIT 20
+"""

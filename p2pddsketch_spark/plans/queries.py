@@ -1222,3 +1222,22 @@ def q_scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.date_format("valid_from", fmt).alias("valid_from"),
                 F.date_format("valid_to", fmt).alias("valid_to"))
             .orderBy("user_id", "valid_from"))
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top nodes by triangle participation in the co-purchase graph
+    (parts < 300 sharing an order). Two hash equi-joins; every triangle
+    enumerated once via a<b<c canonicalization — the DuckDB twin runs
+    the identical join algebra."""
+    from p2pddsketch_spark.operators.triangles import triangle_participation
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_partkey") < 300)
+          .select("l_orderkey", "l_partkey"))
+    co = (li.alias("x")
+          .join(li.alias("y"),
+                (F.col("x.l_orderkey") == F.col("y.l_orderkey")) &
+                (F.col("x.l_partkey") < F.col("y.l_partkey")))
+          .select(F.col("x.l_partkey").alias("src"),
+                  F.col("y.l_partkey").alias("dst")))
+    return (triangle_participation(co)
+            .orderBy(F.desc("n_triangles"), "node").limit(20))

@@ -80,3 +80,13 @@ def test_bigram_surprisal_hand_fixture(spark):
     surp_ba = round(-math.log(1 / 4) / math.log(2.0), 6)
     assert out[2]["surprisal"] == pytest.approx(surp_ab, abs=1e-9)
     assert out[1]["surprisal"] == pytest.approx(2 * surp_ab + surp_ba, abs=1e-9)
+
+
+def test_triangle_participation_hand_graph(spark):
+    from p2pddsketch_spark.operators.triangles import triangle_participation
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 5
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges.append((4, 5))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_participation(e).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # pendant node 5 in none

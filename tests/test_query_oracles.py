@@ -67,6 +67,7 @@ SUBSET = [
     "json_props_stats",         # JSON path extraction + aggregation
     "salted_join_revenue",      # skew-salted join == plain join
     "scd2_user_value",          # SCD-2 merge vs LEAD replay
+    "triangle_counts",          # wedge-close triangle join algebra
 ]
 
 
