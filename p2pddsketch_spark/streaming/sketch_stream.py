@@ -179,3 +179,24 @@ class ForeachBatchSketchWriter:
             merged = merge_blobs(blobs)
             out[key if len(key) > 1 else key[0]] = sketch_from_bytes(merged)
         return out
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
+                         left_ts: str, right_ts: str,
+                         max_lag: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner equi-join with an event-time range condition:
+    match right rows within (left_ts − max_lag, left_ts]. Watermarks on
+    BOTH sides bound the state store — without the range condition and
+    both watermarks, Structured Streaming would have to retain every
+    past row forever. Columns from both sides pass through (right's key
+    column dropped)."""
+    l = (left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+         .withWatermark(left_ts, watermark))
+    r = (right.withColumnRenamed(key, "_rkey")
+         .withColumn(right_ts, F.col(right_ts).cast("timestamp"))
+         .withWatermark(right_ts, watermark))
+    cond = ((F.col(key) == F.col("_rkey")) &
+            (F.col(right_ts) <= F.col(left_ts)) &
+            (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {max_lag}")))
+    return l.join(r, cond, "inner").drop("_rkey")
