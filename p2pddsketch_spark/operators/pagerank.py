@@ -84,4 +84,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                    F.lit(d) * (inc_d + dang_d / F.lit(n)))
                          .alias("rank_nano"))
                  .localCheckpoint(eager=True))
+    # ranks is pinned by the eager checkpoint — the loop inputs can go
+    for df in (e, nodes, outdeg):
+        df.unpersist()
     return ranks
