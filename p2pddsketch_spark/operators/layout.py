@@ -37,6 +37,7 @@ def zorder_col(x: Column | str, y: Column | str, bits: int = 16) -> Column:
         raise ValueError("bits must be in [1, 31]")
     xc, yc = F.col(x) if isinstance(x, str) else x, \
         F.col(y) if isinstance(y, str) else y
+    xc, yc = xc.cast("long"), yc.cast("long")  # int32 would overflow <<31
     terms = []
     for i in range(bits):
         terms.append(F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i))
@@ -48,9 +49,9 @@ def duckdb_zorder_expr(x: str, y: str, bits: int = 16) -> str:
     """The identical Morton expression in ANSI SQL (DuckDB twin)."""
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
-    return "(" + " | ".join(terms) + ")"
+        terms.append(f"((CAST({x} AS BIGINT) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((CAST({y} AS BIGINT) >> {i}) & 1) << {2 * i + 1}")
+    return "(" + " | ".join(f"({t})" for t in terms) + ")"
 
 
 def zorder_layout(df: DataFrame, x: str, y: str, bits: int = 16,
