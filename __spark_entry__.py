@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": Q.q_salted_join_revenue,
         "scd2_user_value": Q.q_scd2_user_value,
         "triangle_counts": Q.q_triangle_counts,
+        "udtf_ngram_stats": Q.q_udtf_ngram_stats,
     }
 
 

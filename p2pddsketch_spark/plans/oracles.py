@@ -1042,3 +1042,18 @@ GROUP BY node
 ORDER BY n_triangles DESC, node
 LIMIT 20
 """
+
+# UDTF lateral n-grams == zipped-unnest twin (pos is 0-based).
+ORACLES["udtf_ngram_stats"] = """
+WITH g AS (
+  SELECT lang, ws[i] || ' ' || ws[i+1] AS gram, i - 1 AS pos
+  FROM (SELECT lang, ws, unnest(range(1, len(ws))) AS i
+        FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)))
+SELECT lang,
+       COUNT(*) AS n_grams,
+       COUNT(DISTINCT gram) AS n_distinct,
+       CAST(SUM(pos) AS BIGINT) AS pos_checksum
+FROM g
+GROUP BY lang
+ORDER BY lang
+"""

@@ -1241,3 +1241,11 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("y.l_partkey").alias("dst")))
     return (triangle_participation(co)
             .orderBy(F.desc("n_triangles"), "node").limit(20))
+
+
+def q_udtf_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram totals via a Python UDTF in SQL LATERAL
+    position (Arrow-batched) — the extension-API template, pinned
+    against an unnest-twin oracle. Hot n-gram paths remain JVM-side."""
+    from p2pddsketch_spark.operators.udtf_ops import udtf_ngram_stats
+    return udtf_ngram_stats(spark, load(spark, sf_dir, "documents"), n=2)

@@ -68,6 +68,7 @@ SUBSET = [
     "salted_join_revenue",      # skew-salted join == plain join
     "scd2_user_value",          # SCD-2 merge vs LEAD replay
     "triangle_counts",          # wedge-close triangle join algebra
+    "udtf_ngram_stats",         # Python UDTF in LATERAL vs unnest twin
 ]
 
 
