@@ -6,11 +6,11 @@ mapInArrow → salted shuffle-merge-tree harness and reports their
 estimates.
 
 `queries()` — one entry per implemented operator (SURVEY.md §2 +
-gap-fill pipeline operators); `oracle_sql()` — DuckDB twins. The TWO
-entries without an oracle are hash/seed-dependent by nature (SimHash
-fingerprint codes, production LSH banding); pytest verifies each
-against exact oracles within published bounds. HLL/CMS/Bloom/KLL/
-t-digest estimate values are likewise pytest-bound-verified
+gap-fill pipeline operators); `oracle_sql()` — DuckDB twins. EVERY
+entry has a hard oracle: even the hash-dependent production pipelines
+(MinHash banding, 128-bit SimHash) are replayed exactly in SQL via an
+XXH64-in-DuckDB implementation (functions/xxh_sql.py). HLL/CMS/Bloom/
+KLL/t-digest estimate VALUES are pytest-bound-verified
 (tests/test_estimates_bounds.py) while their deterministic counters are
 hard-oracled in `sketch_counts_events`.
 """

@@ -1057,3 +1057,129 @@ FROM g
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ------------------------------------------------- XXH64-in-SQL oracles
+# With xxhash64 itself expressed in SQL (functions/xxh_sql.py), the
+# "hash-dependent" production pipelines stop being rows-only: the twin
+# replays hashing, Mersenne-61 permutations, banding, candidate
+# generation and exact verification end-to-end.
+
+def _minhash_prod_sql(threshold: float = 0.5, num_perm: int = 128,
+                      bands: int = 32, seed: int = 7) -> str:
+    """Twin of `dedup.minhash_lsh_pairs(threshold, num_perm, bands, n=2)`:
+    XXH64(shingle) → h mod M61 → min over (a·h+b) mod M61 per
+    permutation (constants from the same seeded generator) → band
+    signature lists → bucket-collision candidates → exact Jaccard ≥
+    threshold. Docs with no bigram shingle are absent on both sides at
+    fixture scales (min doc length ≥ 10 words)."""
+    import numpy as np
+    from p2pddsketch_spark.functions.xxh_sql import xxhash64_sql_ctes
+    from p2pddsketch_spark.operators.dedup import _perm_params
+    pa, pb = _perm_params(num_perm, seed)
+    rows = num_perm // bands
+    m61 = (1 << 61) - 1
+    perm_vals = ", ".join(f"({i}, {int(pa[i])}::HUGEINT, {int(pb[i])}::HUGEINT)"
+                          for i in range(num_perm))
+    jac = ("ROUND(len(list_intersect(x.s, y.s))::DOUBLE / "
+           "(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6)")
+    return f"""
+WITH w0 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+shl AS (SELECT doc_id AS id, {_SHINGLES_2} AS s FROM w0),
+shx AS (SELECT id, unnest(s) AS s FROM shl),
+strs AS (SELECT DISTINCT s FROM shx),{xxhash64_sql_ctes("strs", "s", "hx")},
+perms(p, pa, pb) AS (VALUES {perm_vals}),
+sigs AS (
+  SELECT shx.id, pr.p, MIN((pr.pa * (hx.h % {m61}) + pr.pb) % {m61}) AS mn
+  FROM shx JOIN hx USING (s) CROSS JOIN perms pr
+  GROUP BY shx.id, pr.p),
+bnd AS (
+  SELECT id, p // {rows} AS band, list(mn ORDER BY p) AS bsig
+  FROM sigs GROUP BY id, p // {rows}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id)
+SELECT c.id_a, c.id_b, {jac} AS jaccard
+FROM cand c JOIN shl x ON x.id = c.id_a JOIN shl y ON y.id = c.id_b
+WHERE {jac} >= {threshold!r}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLES["minhash_lsh_pairs_prod"] = _minhash_prod_sql()
+
+
+def _simhash_wide_sql(max_hamming: int = 8, n_shingle: int = 2) -> str:
+    """Twin of `dedup.simhash_neardup_pairs_wide(max_hamming, n=2)`:
+    one XXH64 chain (seed 42) for h1, then h2 = Spark's multi-column
+    continuation hashInt(0x5EED, seed=h1) (a closed-form 4-byte XXH64
+    tail — verified bit-exact against `F.xxhash64(s, lit(0x5EED))`) →
+    128 vote bits per doc →
+    block values per the same layout → C(B,2) combo keys → key-collision
+    candidates → exact two-word popcount ≤ radius."""
+    from p2pddsketch_spark.functions.xxh_sql import (M64, P1, P2, P3, P5,
+                                                     _scmul, _sm64, _srotl,
+                                                     _sxor, xxhash64_sql_ctes)
+    from p2pddsketch_spark.operators.dedup import simhash128_block_layout
+    c1 = (P5 + 4) % M64                    # seed offset: P5 + byte length
+    k = (0x5EED * P1) % M64                # the int lane premultiplied
+    t1 = _sxor(_sm64(f"h + {c1}::HUGEINT"), f"{k}::HUGEINT")
+    t2 = _sm64(_scmul(_srotl(t1, 23), P2) + f" + {P3}")
+    blocks, combos = simhash128_block_layout(max_hamming)
+    max_w = max(w for _, w in blocks)
+    blk_vals = ", ".join(f"({bi}, {st}, {wd})"
+                         for bi, (st, wd) in enumerate(blocks))
+    combo_vals = ", ".join(f"({ci}, {i}, {j})"
+                           for ci, (i, j) in enumerate(combos))
+    pc = ("(bit_count(((({x}) >> 32))::BIGINT) + "
+          "bit_count((({x}) & 4294967295)::BIGINT))")
+    ham = (pc.format(x="xor(a.hb, b.hb)") + " + " +
+           pc.format(x="xor(a.lb, b.lb)"))
+    return f"""
+WITH w0 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+shl AS (SELECT doc_id AS id, {_SHINGLES_2} AS s FROM w0),
+shx AS (SELECT id, unnest(s) AS s FROM shl),
+strs AS (SELECT DISTINCT s FROM shx),{xxhash64_sql_ctes("strs", "s", "hx1", seed=42)},
+h2a AS (SELECT s, h AS h1, {t2} AS t2 FROM hx1),
+h2b AS (SELECT *, {_scmul(_sxor("t2", "t2 >> 33"), P2)} AS u1 FROM h2a),
+h2c AS (SELECT *, {_scmul(_sxor("u1", "u1 >> 29"), P3)} AS u2 FROM h2b),
+hh AS (SELECT s, h1, {_sxor("u2", "u2 >> 32")} AS h2 FROM h2c),
+bits AS (
+  SELECT shx.id, b.bit,
+         CASE WHEN b.bit < 64 THEN (hh.h1 >> b.bit) & 1
+              ELSE (hh.h2 >> (b.bit - 64)) & 1 END AS bv
+  FROM shx JOIN hh USING (s)
+  CROSS JOIN (SELECT unnest(range(0, 128)) AS bit) b),
+fp AS (
+  SELECT id, bit, CASE WHEN SUM(2 * bv - 1) > 0 THEN 1::HUGEINT
+                       ELSE 0::HUGEINT END AS f
+  FROM bits GROUP BY id, bit),
+words AS (
+  SELECT id,
+         SUM(CASE WHEN bit < 64 THEN f << bit ELSE 0::HUGEINT END) AS hb,
+         SUM(CASE WHEN bit >= 64 THEN f << (bit - 64) ELSE 0::HUGEINT END) AS lb
+  FROM fp GROUP BY id),
+blkdef(bi, st, wd) AS (VALUES {blk_vals}),
+bvals AS (
+  SELECT fp.id, d.bi, SUM(fp.f << (fp.bit - d.st))::BIGINT AS bv
+  FROM fp JOIN blkdef d ON fp.bit >= d.st AND fp.bit < d.st + d.wd
+  GROUP BY fp.id, d.bi),
+combodef(ci, i, j) AS (VALUES {combo_vals}),
+keyed AS (
+  SELECT x.id, (c.ci::BIGINT << 52) | (x.bv << {max_w}) | y.bv AS k
+  FROM combodef c
+  JOIN bvals x ON x.bi = c.i
+  JOIN bvals y ON y.bi = c.j AND y.id = x.id),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keyed a JOIN keyed b ON a.k = b.k AND a.id < b.id)
+SELECT c.id_a, c.id_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand c
+JOIN words a ON a.id = c.id_a
+JOIN words b ON b.id = c.id_b
+WHERE {ham} <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLES["simhash_neardup_pairs"] = _simhash_wide_sql()

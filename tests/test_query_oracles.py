@@ -69,6 +69,8 @@ SUBSET = [
     "scd2_user_value",          # SCD-2 merge vs LEAD replay
     "triangle_counts",          # wedge-close triangle join algebra
     "udtf_ngram_stats",         # Python UDTF in LATERAL vs unnest twin
+    "minhash_lsh_pairs_prod",   # FULL prod pipeline via XXH64-in-SQL
+    "simhash_neardup_pairs",    # 128-bit SimHash via XXH64-in-SQL
 ]
 
 
@@ -114,12 +116,12 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", [
     "minhash_lsh_pairs_prod",     # production LSH banding
-    "simhash_neardup_pairs",      # simhash codes are hash-dependent
+    "simhash_neardup_pairs",      # simhash fingerprint codes
 ])
-def test_rows_only_queries_are_deterministic(spark, name):
-    """The queries WITHOUT SQL oracles are hash/seed-dependent — but every
-    hash and seed is fixed, so two runs must produce identical results
-    (the determinism contract that makes estimates debuggable at scale)."""
+def test_hash_dependent_queries_are_deterministic(spark, name):
+    """The hash-dependent pipelines (now ALSO hard-oracled via
+    XXH64-in-SQL) must stay run-to-run identical — the determinism
+    contract that makes near-dup results debuggable at scale."""
     fn = E.queries()[name]
     a = canon(fn(spark, SF_DIR).toPandas())
     b = canon(fn(spark, SF_DIR).toPandas())
