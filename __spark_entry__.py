@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_value": Q.q_scd2_user_value,
         "triangle_counts": Q.q_triangle_counts,
         "udtf_ngram_stats": Q.q_udtf_ngram_stats,
+        "tpch_q12": Q.q_tpch_q12,
+        "tpch_q14": Q.q_tpch_q14,
+        "table_stats": Q.q_table_stats,
     }
 
 

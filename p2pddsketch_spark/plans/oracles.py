@@ -1183,3 +1183,35 @@ ORDER BY id_a, id_b
 
 
 ORACLES["simhash_neardup_pairs"] = _simhash_wide_sql()
+
+
+ORACLES["tpch_q12"] = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["tpch_q14"] = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+                  ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 6)
+         AS promo_share,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+ORACLES["table_stats"] = "SELECT " + ", ".join(
+    f"ROUND(MIN({c}), 6) AS {c}_min, ROUND(MAX({c}), 6) AS {c}_max, "
+    f"COUNT(DISTINCT {c}) AS {c}_ndv, "
+    f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS {c}_nulls"
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+) + " FROM lineitem"

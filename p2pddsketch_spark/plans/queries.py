@@ -1249,3 +1249,51 @@ def q_udtf_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     against an unnest-twin oracle. Hot n-gram paths remain JVM-side."""
     from p2pddsketch_spark.operators.udtf_ops import udtf_ngram_stats
     return udtf_ngram_stats(spark, load(spark, sf_dir, "documents"), n=2)
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: orders joined to a filtered lineitem window,
+    conditional aggregation by priority class. Filter pushes into the
+    fact scan; the dim broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (li.where((F.col("l_shipdate") >= F.lit("1995-01-01")) &
+                     (F.col("l_shipdate") < F.lit("1996-01-01")))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(hi).alias("high_line_count"),
+                 F.sum(1 - hi).alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share: decimal-exact numerator and
+    denominator, one final double division (deterministic)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(20,6)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev) \
+        .otherwise(F.lit(0).cast("decimal(20,6)"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double") /
+                         F.sum(rev).cast("double"), 6).alias("promo_share"),
+                 F.sum(rev).cast("double").alias("total_revenue")))
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics in ONE aggregation pass (the
+    planner-feeding profile a 100 TB table gets before layout/join
+    decisions): per numeric column min/max/ndv/null-count. Exact ndv
+    here (hard oracle); the HLL sketch path estimates the same profile
+    one-pass-mergeable at scale (bound-tested in pytest)."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [F.round(F.min(c), 6).alias(f"{c}_min"),
+                 F.round(F.max(c), 6).alias(f"{c}_max"),
+                 F.countDistinct(c).alias(f"{c}_ndv"),
+                 F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls")]
+    return li.agg(*aggs)

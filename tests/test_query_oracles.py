@@ -71,6 +71,9 @@ SUBSET = [
     "udtf_ngram_stats",         # Python UDTF in LATERAL vs unnest twin
     "minhash_lsh_pairs_prod",   # FULL prod pipeline via XXH64-in-SQL
     "simhash_neardup_pairs",    # 128-bit SimHash via XXH64-in-SQL
+    "tpch_q12",                 # conditional agg over a filtered join
+    "tpch_q14",                 # promo share, decimal num/denom
+    "table_stats",              # ANALYZE-style one-pass column profile
 ]
 
 
