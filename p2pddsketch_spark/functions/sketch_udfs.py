@@ -25,7 +25,8 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["dds_quantile_udf", "sketch_count_udf", "sketch_cardinality_udf",
-           "dds_build_udaf", "sketch_merge_udaf", "register_sketch_udfs"]
+           "dds_build_udaf", "sketch_merge_udaf", "theta_build_udaf",
+           "theta_cardinality_udf", "register_sketch_udfs"]
 
 
 @lru_cache(maxsize=None)
@@ -120,3 +121,41 @@ def register_sketch_udfs(spark) -> None:
     spark.udf.register("hll_cardinality", sketch_cardinality_udf())
     spark.udf.register("dds_build", dds_build_udaf())
     spark.udf.register("sketch_merge", sketch_merge_udaf())
+    spark.udf.register("theta_build", theta_build_udaf())
+    spark.udf.register("theta_cardinality", theta_cardinality_udf())
+
+
+@lru_cache(maxsize=None)
+def theta_build_udaf(k: int = 4096, seed: int = 0):
+    """GROUPED_AGG pandas UDAF: aggregate int64 keys into Theta/KMV
+    sketch bytes inside `groupBy().agg(...)` / SQL `GROUP BY` — the
+    distinct-counting + set-operation UDAF. Under k distinct hashes the
+    sketch keeps every hash, so `theta_cardinality` is EXACT (the
+    hard-oracle regime); past k it degrades gracefully to the KMV
+    estimator (pytest-bounded). Deterministic regardless of row order
+    (the kept set is a pure function of the value set)."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+
+    @pandas_udf("binary")
+    def theta_build(v: pd.Series) -> bytes:
+        sk = ThetaSketch(k=k, seed=seed)
+        sk.update_batch(v.to_numpy(dtype=np.int64))
+        return sk.to_bytes()
+
+    return theta_build
+
+
+@lru_cache(maxsize=None)
+def theta_cardinality_udf():
+    """SCALAR pandas UDF: distinct-count estimate of theta blobs."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+
+    @pandas_udf("double")
+    def theta_cardinality(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: float(np.round(ThetaSketch.from_bytes(bytes(b))
+                                     .cardinality(), 1)))
+
+    return theta_cardinality

@@ -1215,3 +1215,14 @@ ORACLES["table_stats"] = "SELECT " + ", ".join(
     f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS {c}_nulls"
     for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 ) + " FROM lineitem"
+
+# Theta UDAF in the under-k exact regime: both the direct build and the
+# day-partial union-merge must equal plain COUNT(DISTINCT).
+ORACLES["theta_distinct_by_type"] = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_direct,
+       COUNT(DISTINCT user_id) AS n_users_rolled
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

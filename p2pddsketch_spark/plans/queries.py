@@ -1297,3 +1297,33 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct(c).alias(f"{c}_ndv"),
                  F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls")]
     return li.agg(*aggs)
+
+
+def q_theta_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV as a SQL GROUPED_AGG UDAF: distinct users per event
+    type from sketch blobs built inside GROUP BY, plus a two-level
+    re-aggregation (per-(type, day) partials union-merged to per-type)
+    that must give the SAME answer — the mergeability contract. The
+    fixture cardinalities sit under k, so every estimate is exact and
+    the COUNT(DISTINCT) twin is a hard oracle."""
+    from p2pddsketch_spark.functions.sketch_udfs import (theta_build_udaf,
+                                                         theta_cardinality_udf,
+                                                         sketch_merge_udaf)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"),
+        F.xxhash64("user_id").alias("uid_h"))
+    direct = (ev.groupBy("event_type")
+              .agg(theta_build_udaf()("uid_h").alias("sk"))
+              .select("event_type",
+                      theta_cardinality_udf()("sk").alias("n_users_direct")))
+    partials = (ev.groupBy("event_type", "day")
+                .agg(theta_build_udaf()("uid_h").alias("sk")))
+    rolled = (partials.groupBy("event_type")
+              .agg(sketch_merge_udaf()("sk").alias("sk"))
+              .select("event_type",
+                      theta_cardinality_udf()("sk").alias("n_users_rolled")))
+    return (direct.join(rolled, "event_type")
+            .select("event_type",
+                    F.col("n_users_direct").cast("long").alias("n_users_direct"),
+                    F.col("n_users_rolled").cast("long").alias("n_users_rolled"))
+            .orderBy("event_type"))

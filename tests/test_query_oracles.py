@@ -74,6 +74,7 @@ SUBSET = [
     "tpch_q12",                 # conditional agg over a filtered join
     "tpch_q14",                 # promo share, decimal num/denom
     "table_stats",              # ANALYZE-style one-pass column profile
+    "theta_distinct_by_type",   # theta UDAF under-k exact + merge parity
 ]
 
 
