@@ -4,9 +4,10 @@ way a 100 TB pre-training corpus job would:
   read → exact dedup (md5 fingerprint) → near-dup removal (MinHash+LSH,
   keep the smallest doc_id of each near-dup cluster) → quality filter →
   optional language filter → optional eval-set decontamination (8-gram
-  overlap vs --benchmark-input) → optional deterministic train/val/test
-  split column (--assign-splits) → write curated table + one-pass
-  sketch summary (DDSketch over doc length) + manifest.
+  overlap vs --benchmark-input) → optional PII scrub (--redact-pii) →
+  optional deterministic train/val/test split column (--assign-splits)
+  → write curated table + one-pass sketch summary (DDSketch over doc
+  length) + manifest.
 
   spark-submit --py-files sketchlib.zip jobs/curate.py \\
       --input /root/testdata/sf0.01/documents.parquet \\
@@ -35,6 +36,9 @@ def main(argv=None):
                         "sharing any 8-gram with it are dropped")
     p.add_argument("--assign-splits", action="store_true",
                    help="add a deterministic 90/5/5 train/val/test column")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="scrub emails/phones/IPs into typed placeholders "
+                        "and keep per-doc hit counts")
     p.add_argument("--shuffle-partitions", type=int, default=64)
     args = p.parse_args(argv)
 
@@ -100,7 +104,18 @@ def main(argv=None):
         df = df.join(contaminated, args.id_col, "left_anti")
     n5 = df.count()
 
-    # 6. deterministic split column (stable under reruns/corpus growth)
+    # 6. PII scrub: replace emails/phones/IPs with typed placeholders and
+    #    carry the per-doc hit counts into the output for auditing
+    n_redacted = 0
+    if args.redact_pii:
+        red = text.redact_pii(df, text_col=args.text_col, id_col=args.id_col)
+        n_redacted = (red.where((F.col("n_email") + F.col("n_phone") +
+                                 F.col("n_ip")) > 0).count())
+        df = (df.drop(args.text_col)
+              .join(red.withColumnRenamed("redacted", args.text_col),
+                    args.id_col, "inner"))
+
+    # 7. deterministic split column (stable under reruns/corpus growth)
     if args.assign_splits:
         from p2pddsketch_spark.operators.pipeline import split_assign
         df = split_assign(df, id_col=args.id_col).drop("split_bucket")
@@ -121,6 +136,7 @@ def main(argv=None):
         "input": args.input, "output": args.output,
         "rows_in": n0, "after_exact_dedup": n1, "after_near_dedup": n2,
         "after_quality": n3, "after_lang": n4, "after_decontaminate": n5,
+        "docs_with_pii_redacted": n_redacted,
         "secs": round(time.monotonic() - t0, 2), **quantiles,
     }
     print(json.dumps(manifest, indent=2))
