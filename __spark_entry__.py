@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": Q.q_chunk_text,
         # multimodal decode path (real PPM codec, distributed)
         "image_decode_features": Q.q_image_decode_features,
+        "jpeg_decode_features": Q.q_jpeg_decode_features,
         # DDSketch as a literal GROUPED_AGG UDAF (SQL-parity form)
         "dds_udaf_by_flag": Q.q_dds_udaf_by_flag,
         # similarity search

@@ -1226,3 +1226,32 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+# JPEG decode gate: quality-100 constant tiles round-trip exactly, so
+# the twin regenerates the tile values (splitmix64) and aggregates.
+ORACLES["jpeg_decode_features"] = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(range(0, 16)) AS i FROM documents
+), s0 AS (
+  SELECT doc_id, i,
+         ((doc_id * 16 + i)::HUGEINT + {_SM_K}::HUGEINT)
+           % 18446744073709551616::HUGEINT AS z
+  FROM ex
+), s1 AS (
+  SELECT doc_id, i,
+         {_mulc_u64("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s0
+), s2 AS (
+  SELECT doc_id, i,
+         {_mulc_u64("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+  FROM s1
+), px AS (
+  SELECT doc_id, (xor(z, z // 2147483648::HUGEINT) % 256::HUGEINT)::BIGINT AS v
+  FROM s2
+)
+SELECT doc_id,
+       32::BIGINT AS width, 32::BIGINT AS height,
+       AVG(v) AS mean_px,
+       MIN(v)::BIGINT AS min_px, MAX(v)::BIGINT AS max_px
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""

@@ -1327,3 +1327,42 @@ def q_theta_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_users_direct").cast("long").alias("n_users_direct"),
                     F.col("n_users_rolled").cast("long").alias("n_users_rolled"))
             .orderBy("event_type"))
+
+
+def q_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gates the JPEG codec end-to-end: one 32×32 grayscale JPEG
+    per doc, built from 4×4 tiles of 8×8-constant pixels (tile value =
+    splitmix64(doc_id·16+t) mod 256), ENCODED at quality 100 where every
+    quant value is 1 — a constant DCT block quantizes losslessly, so the
+    decode (headers, Huffman, bit unpacking, IDCT, rounding) reproduces
+    the tiles EXACTLY (pytest-pinned for all 256 values). Features are
+    exact in float32 (power-of-two divisors), so the HUGEINT-splitmix
+    twin is a hard oracle over the full compressed-codec path."""
+    import pandas as pd
+    from p2pddsketch_spark.functions.hashing import splitmix64
+    from p2pddsketch_spark.operators import multimodal as MM
+    from p2pddsketch_spark.operators.jpeg import encode_jpeg
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                idx = np.arange(16, dtype=np.int64) + d * 16
+                tiles = (splitmix64(idx) % np.uint64(256)) \
+                    .astype(np.uint8).reshape(4, 4)
+                img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                payloads.append(encode_jpeg(img, quality=100))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(make, "media_id long, payload binary")
+    f = F.col("features")
+    return (MM.decode_features(media)
+            .select(F.col("media_id").alias("doc_id"),
+                    f[0].cast("long").alias("width"),
+                    f[1].cast("long").alias("height"),
+                    f[2].cast("double").alias("mean_px"),
+                    f[6].cast("long").alias("min_px"),
+                    f[7].cast("long").alias("max_px"))
+            .orderBy("doc_id"))

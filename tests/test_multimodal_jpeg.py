@@ -126,3 +126,14 @@ def test_progressive_rejected():
     data[i + 1] = 0xC2  # masquerade as progressive
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
+
+
+def test_quality100_constant_tiles_roundtrip_exactly():
+    """The jpeg_decode_features oracle's premise: at quality 100 every
+    quant value is 1, so an 8×8-constant tile quantizes losslessly and
+    decode reproduces it EXACTLY — pinned for all 256 gray levels."""
+    vals = np.arange(256, dtype=np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(16, 16), 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert np.array_equal(out[:, :, 0], img)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])

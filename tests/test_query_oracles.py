@@ -75,6 +75,7 @@ SUBSET = [
     "tpch_q14",                 # promo share, decimal num/denom
     "table_stats",              # ANALYZE-style one-pass column profile
     "theta_distinct_by_type",   # theta UDAF under-k exact + merge parity
+    "jpeg_decode_features",     # quality-100 exact JPEG round-trip gate
 ]
 
 
