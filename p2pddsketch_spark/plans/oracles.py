@@ -1255,3 +1255,44 @@ SELECT doc_id,
        MIN(v)::BIGINT AS min_px, MAX(v)::BIGINT AS max_px
 FROM px GROUP BY doc_id ORDER BY doc_id
 """
+
+# WAV audio gate: PCM is lossless; every feature is exact arithmetic on
+# the regenerated splitmix samples (float32-cast at the end like the
+# Spark schema). signbit(v) == v < 0 for integer samples.
+ORACLES["audio_decode_features"] = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(range(0, 256)) AS i FROM documents
+), s0 AS (
+  SELECT doc_id, i,
+         ((doc_id * 256 + i)::HUGEINT + {_SM_K}::HUGEINT)
+           % 18446744073709551616::HUGEINT AS z
+  FROM ex
+), s1 AS (
+  SELECT doc_id, i,
+         {_mulc_u64("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s0
+), s2 AS (
+  SELECT doc_id, i,
+         {_mulc_u64("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+  FROM s1
+), smp AS (
+  SELECT doc_id, i,
+         (xor(z, z // 2147483648::HUGEINT) % 65536::HUGEINT)::BIGINT - 32768 AS v
+  FROM s2
+), zc AS (
+  SELECT doc_id,
+         COUNT(CASE WHEN (v < 0) <> (pv < 0) THEN 1 END) AS zx
+  FROM (SELECT doc_id, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM smp)
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(CAST(16.0 AS REAL) AS DOUBLE) AS duration_ms,
+       16000 AS sample_rate, 1 AS channels,
+       CAST(CAST(sqrt(CAST(SUM(v * v) AS DOUBLE) / 256.0) / 32768.0 AS REAL) AS DOUBLE) AS rms,
+       CAST(CAST(CAST(MAX(abs(v)) AS DOUBLE) / 32768.0 AS REAL) AS DOUBLE) AS peak,
+       MIN(zc.zx)::BIGINT AS zero_crossings
+FROM smp s JOIN zc ON zc.doc_id = s.doc_id
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""

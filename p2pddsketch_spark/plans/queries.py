@@ -1366,3 +1366,37 @@ def q_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f[6].cast("long").alias("min_px"),
                     f[7].cast("long").alias("max_px"))
             .orderBy("doc_id"))
+
+
+def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gates the AUDIO codec end-to-end: one 256-sample 16 kHz
+    mono RIFF/WAVE per doc (int16 samples = splitmix64(doc_id·256+i)
+    mod 2^16 − 2^15, encoded by the library's `encode_wav`), decoded
+    DISTRIBUTED by `audio_features`. PCM is lossless and every reported
+    metric is exact float64 math with power-of-two divisors cast to
+    float32, so the HUGEINT-splitmix twin reproduces each bit-for-bit
+    (rms via an exact integer sum of squares + one IEEE sqrt)."""
+    import pandas as pd
+    from p2pddsketch_spark.functions.hashing import splitmix64
+    from p2pddsketch_spark.operators import multimodal as MM
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                idx = np.arange(256, dtype=np.int64) + d * 256
+                v = (splitmix64(idx) % np.uint64(65536)).astype(np.int64) - 32768
+                payloads.append(MM.encode_wav(v.astype(np.int16), 16000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(make, "media_id long, payload binary")
+    return (MM.audio_features(media)
+            .select(F.col("media_id").alias("doc_id"),
+                    F.col("duration_ms").cast("double").alias("duration_ms"),
+                    "sample_rate", "channels",
+                    F.col("rms").cast("double").alias("rms"),
+                    F.col("peak").cast("double").alias("peak"),
+                    "zero_crossings")
+            .orderBy("doc_id"))

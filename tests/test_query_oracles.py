@@ -76,6 +76,7 @@ SUBSET = [
     "table_stats",              # ANALYZE-style one-pass column profile
     "theta_distinct_by_type",   # theta UDAF under-k exact + merge parity
     "jpeg_decode_features",     # quality-100 exact JPEG round-trip gate
+    "audio_decode_features",    # lossless PCM decode, bit-exact features
 ]
 
 
