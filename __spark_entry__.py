@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_features": Q.q_image_decode_features,
         "jpeg_decode_features": Q.q_jpeg_decode_features,
         "audio_decode_features": Q.q_audio_decode_features,
+        "png_decode_features": Q.q_png_decode_features,
+        "video_sample_features": Q.q_video_sample_features,
         # DDSketch as a literal GROUPED_AGG UDAF (SQL-parity form)
         "dds_udaf_by_flag": Q.q_dds_udaf_by_flag,
         # similarity search

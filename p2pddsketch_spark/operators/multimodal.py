@@ -21,13 +21,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
-                               LongType, StringType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, FloatType,
+                               IntegerType, LongType, StringType, StructField,
+                               StructType)
 
 __all__ = ["MEDIA_SCHEMA", "attach_payload", "decode_features",
            "payload_stats", "encode_ppm", "encode_png", "decode_image",
            "resize_image", "encode_wav", "decode_wav", "audio_features",
-           "encode_video", "sample_frames"]
+           "encode_video", "sample_frames", "video_frame_features"]
 
 # canonical multimodal row: opaque payload + typed metadata
 MEDIA_SCHEMA = StructType([
@@ -428,3 +429,29 @@ def sample_frames(payload: bytes, every_ms: int = 1000) -> list[np.ndarray]:
             "payload is not a P2PV container and no video codec (PyAV) "
             "is installed") from ex
     raise NotImplementedError("wire PyAV frame sampling here in a full deployment")
+
+
+def video_frame_features(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """mapInPandas frame sampling → (media_id, n_sampled,
+    frame_means array<double>) — one mean-brightness per SAMPLED frame
+    in order. The video twin of `decode_features`; non-P2PV payloads
+    yield NULLs under the same schema."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("n_sampled", IntegerType(), True),
+        StructField("frame_means", ArrayType(DoubleType()), True),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = sample_frames(payload, every_ms=every_ms)
+                    rows.append((int(mid), len(frames),
+                                 [float(f.mean()) for f in frames]))
+                except (ValueError, NotImplementedError):
+                    rows.append((int(mid), None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=out_schema)

@@ -1296,3 +1296,39 @@ FROM smp s JOIN zc ON zc.doc_id = s.doc_id
 GROUP BY s.doc_id
 ORDER BY s.doc_id
 """
+
+# PNG is lossless: the compressed-codec gate shares the PPM oracle.
+ORACLES["png_decode_features"] = ORACLES["image_decode_features"]
+
+# Video gate: sampled frames {0, 3} of 6 at step round(300*10/1000)=3;
+# per-frame mean = exact integer sum / 48 (one double division).
+ORACLES["video_sample_features"] = f"""
+WITH ex AS (
+  SELECT doc_id, f, unnest(range(0, 48)) AS i
+  FROM documents CROSS JOIN (SELECT unnest([0, 3]) AS f)
+), s0 AS (
+  SELECT doc_id, f, i,
+         ((doc_id * 288 + f * 48 + i)::HUGEINT + {_SM_K}::HUGEINT)
+           % 18446744073709551616::HUGEINT AS z
+  FROM ex
+), s1 AS (
+  SELECT doc_id, f, i,
+         {_mulc_u64("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s0
+), s2 AS (
+  SELECT doc_id, f, i,
+         {_mulc_u64("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+  FROM s1
+), px AS (
+  SELECT doc_id, f,
+         (xor(z, z // 2147483648::HUGEINT) % 256::HUGEINT)::BIGINT AS v
+  FROM s2
+), fm AS (
+  SELECT doc_id, f, ROUND(CAST(SUM(v) AS DOUBLE) / 48.0, 6) AS m
+  FROM px GROUP BY doc_id, f
+)
+SELECT doc_id, 2 AS n_sampled,
+       MIN(CASE WHEN f = 0 THEN m END) AS mean_f0,
+       MIN(CASE WHEN f = 3 THEN m END) AS mean_f1
+FROM fm GROUP BY doc_id ORDER BY doc_id
+"""

@@ -1400,3 +1400,72 @@ def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("peak").cast("double").alias("peak"),
                     "zero_crossings")
             .orderBy("doc_id"))
+
+
+def q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gates the COMPRESSED-PNG decode path: identical splitmix
+    pixels to `image_decode_features`, but encoded through the real
+    zlib-deflate PNG writer and decoded by the inflate + row-filter
+    reconstruction. PNG is lossless, so the oracle IS the PPM query's
+    oracle — any divergence is a codec bug."""
+    import pandas as pd
+    from p2pddsketch_spark.functions.hashing import splitmix64
+    from p2pddsketch_spark.operators import multimodal as MM
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                idx = np.arange(48, dtype=np.int64) + d * 48
+                px = (splitmix64(idx) % np.uint64(256)).astype(np.uint8)
+                payloads.append(MM.encode_png(px.reshape(4, 4, 3)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(make, "media_id long, payload binary")
+    f = F.col("features")
+    return (MM.decode_features(media)
+            .select(F.col("media_id").alias("doc_id"),
+                    f[0].cast("long").alias("width"),
+                    f[1].cast("long").alias("height"),
+                    f[2].cast("double").alias("mean_r"),
+                    f[3].cast("double").alias("mean_g"),
+                    f[4].cast("double").alias("mean_b"),
+                    f[6].cast("long").alias("min_px"),
+                    f[7].cast("long").alias("max_px"))
+            .orderBy("doc_id"))
+
+
+def q_video_sample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gates the VIDEO path: a 6-frame 10 fps P2PV container per
+    doc (frame f's 4×4 pixels = splitmix64(doc_id·288 + f·48 + i) mod
+    256), frame-sampled DISTRIBUTED at every_ms=300 → step
+    round(0.3·10)=3 → frames {0, 3}. Per-frame means are single exact
+    integer sums with one double division, so the splitmix twin is a
+    hard oracle over container parsing, cadence math, and sampling."""
+    import pandas as pd
+    from p2pddsketch_spark.functions.hashing import splitmix64
+    from p2pddsketch_spark.operators import multimodal as MM
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                frames = []
+                for fidx in range(6):
+                    idx = np.arange(48, dtype=np.int64) + d * 288 + fidx * 48
+                    px = (splitmix64(idx) % np.uint64(256)).astype(np.uint8)
+                    frames.append(px.reshape(4, 4, 3))
+                payloads.append(MM.encode_video(frames, fps=10))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(make, "media_id long, payload binary")
+    out = MM.video_frame_features(media, every_ms=300)
+    return (out.select(F.col("media_id").alias("doc_id"),
+                       "n_sampled",
+                       F.round(F.col("frame_means")[0], 6).alias("mean_f0"),
+                       F.round(F.col("frame_means")[1], 6).alias("mean_f1"))
+            .orderBy("doc_id"))

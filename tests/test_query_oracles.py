@@ -77,6 +77,8 @@ SUBSET = [
     "theta_distinct_by_type",   # theta UDAF under-k exact + merge parity
     "jpeg_decode_features",     # quality-100 exact JPEG round-trip gate
     "audio_decode_features",    # lossless PCM decode, bit-exact features
+    "png_decode_features",      # zlib-PNG decode == lossless PPM oracle
+    "video_sample_features",    # P2PV cadence sampling, exact frame means
 ]
 
 
