@@ -1332,3 +1332,16 @@ SELECT doc_id, 2 AS n_sampled,
        MIN(CASE WHEN f = 3 THEN m END) AS mean_f1
 FROM fm GROUP BY doc_id ORDER BY doc_id
 """
+
+# Streamed inner interval join with no-eviction watermark == batch join.
+ORACLES["streaming_interval_join"] = """
+SELECT l.event_id AS l_id, r.event_id AS r_id
+FROM (SELECT user_id, ts, event_id FROM events
+      WHERE event_id < 3000 AND event_type = 'purchase') l
+JOIN (SELECT user_id, ts, event_id FROM events
+      WHERE event_id < 3000 AND event_type = 'view') r
+  ON l.user_id = r.user_id
+ AND r.ts <= l.ts
+ AND r.ts > l.ts - INTERVAL 1 HOUR
+ORDER BY l_id, r_id
+"""

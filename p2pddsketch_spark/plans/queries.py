@@ -1469,3 +1469,47 @@ def q_video_sample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.col("frame_means")[0], 6).alias("mean_f0"),
                        F.round(F.col("frame_means")[1], 6).alias("mean_f1"))
             .orderBy("doc_id"))
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming stream-stream JOIN end-to-end with a HARD
+    oracle: purchases and views are re-laid-out as multi-file streaming
+    sources, joined with `stream_interval_join` (inner equi-join on
+    user + event-time range, watermarks on both sides), drained under
+    Trigger.AvailableNow into a memory sink. With a span-covering
+    watermark no state is evicted, so the streamed pair set must equal
+    the batch BETWEEN-join — which is the DuckDB twin. Eviction-mode
+    behavior stays pytest-pinned (tests/test_checkpoint_streaming.py)."""
+    import shutil
+    import tempfile
+    from p2pddsketch_spark.streaming.sketch_stream import stream_interval_join
+    ev = (load(spark, sf_dir, "events").where(F.col("event_id") < 3000))
+    left = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("l_ts"),
+                    F.col("event_id").alias("l_id")))
+    right = (ev.where(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("r_ts"),
+                     F.col("event_id").alias("r_id")))
+    tmp = tempfile.mkdtemp(prefix="p2pdds_ssj_gate_")
+    try:
+        lp, rp, ck = f"{tmp}/l", f"{tmp}/r", f"{tmp}/ck"
+        left.repartition(4).write.parquet(lp)
+        right.repartition(4).write.parquet(rp)
+        ls = (spark.readStream.schema(left.schema)
+              .option("maxFilesPerTrigger", 2).parquet(lp))
+        rs = (spark.readStream.schema(right.schema)
+              .option("maxFilesPerTrigger", 2).parquet(rp))
+        joined = stream_interval_join(ls, rs, key="user_id",
+                                      left_ts="l_ts", right_ts="r_ts",
+                                      max_lag="1 hour", watermark="2400 hours")
+        name = "ssj_gate_" + next(tempfile._get_candidate_names())
+        q = (joined.select("l_id", "r_id").writeStream.format("memory")
+             .queryName(name).outputMode("append")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = [(r["l_id"], r["r_id"]) for r in spark.table(name).collect()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (spark.createDataFrame(rows or [], "l_id long, r_id long")
+            .orderBy("l_id", "r_id"))

@@ -79,6 +79,7 @@ SUBSET = [
     "audio_decode_features",    # lossless PCM decode, bit-exact features
     "png_decode_features",      # zlib-PNG decode == lossless PPM oracle
     "video_sample_features",    # P2PV cadence sampling, exact frame means
+    "streaming_interval_join",  # stream-stream join drained == batch join
 ]
 
 
