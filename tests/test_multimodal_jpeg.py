@@ -137,3 +137,22 @@ def test_quality100_constant_tiles_roundtrip_exactly():
     out = decode_jpeg(encode_jpeg(img, quality=100))
     assert np.array_equal(out[:, :, 0], img)
     assert np.array_equal(out[:, :, 0], out[:, :, 1])
+
+
+def test_fuzz_roundtrip_shapes_and_qualities():
+    """Randomized encoder/decoder agreement across sizes (odd included),
+    qualities, subsampling modes, and restart intervals — shape always
+    exact, error bounded by the quality tier."""
+    rng = np.random.default_rng(42)
+    for _ in range(12):
+        h = int(rng.integers(8, 41))
+        w = int(rng.integers(8, 41))
+        q = int(rng.integers(70, 101))
+        sub = rng.choice(["444", "420"])
+        ri = int(rng.integers(0, 4))
+        img = _smooth(h, w, seed=int(rng.integers(0, 1000)))
+        out = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub,
+                                      restart_interval=ri))
+        assert out.shape == (h, w, 3), (h, w, q, sub, ri)
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < 12, (h, w, q, sub, ri, err.mean())
