@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": Q.q_tpch_q14,
         "table_stats": Q.q_table_stats,
         "theta_distinct_by_type": Q.q_theta_distinct_by_type,
+        "dq_report": Q.q_dq_report,
     }
 
 

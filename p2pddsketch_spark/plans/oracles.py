@@ -1345,3 +1345,31 @@ JOIN (SELECT user_id, ts, event_id FROM events
  AND r.ts > l.ts - INTERVAL 1 HOUR
 ORDER BY l_id, r_id
 """
+
+# One-pass DQ report: each rule's violation count in plain SQL.
+ORACLES["dq_report"] = """
+WITH m AS (
+  SELECT COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS nn,
+         COUNT(l_orderkey || '#' || l_linenumber)
+           - COUNT(DISTINCT l_orderkey || '#' || l_linenumber) AS uq,
+         COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS r50,
+         COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 40 THEN 1 END) AS r40,
+         COUNT(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                      OR l_returnflag IS NULL THEN 1 END) AS av,
+         1000 - COUNT(*) AS mr
+  FROM lineitem)
+SELECT rule, kind, violations, passed FROM (
+  SELECT 'orderkey_not_null' AS rule, 'not_null' AS kind,
+         GREATEST(nn, 0)::BIGINT AS violations, nn <= 0 AS passed FROM m
+  UNION ALL
+  SELECT 'line_unique', 'unique', GREATEST(uq, 0)::BIGINT, uq <= 0 FROM m
+  UNION ALL
+  SELECT 'qty_in_1_50', 'in_range', GREATEST(r50, 0)::BIGINT, r50 <= 0 FROM m
+  UNION ALL
+  SELECT 'qty_under_40', 'in_range', GREATEST(r40, 0)::BIGINT, r40 <= 0 FROM m
+  UNION ALL
+  SELECT 'flag_accepted', 'accepted_values', GREATEST(av, 0)::BIGINT, av <= 0 FROM m
+  UNION ALL
+  SELECT 'min_rows', 'non_negative_count', GREATEST(mr, 0)::BIGINT, mr <= 0 FROM m)
+ORDER BY rule
+"""

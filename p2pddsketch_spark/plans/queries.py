@@ -1513,3 +1513,26 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
     return (spark.createDataFrame(rows or [], "l_id long, r_id long")
             .orderBy("l_id", "r_id"))
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality report over lineitem in ONE aggregation
+    pass (operators/quality.py): null checks, key uniqueness, value
+    ranges, accepted categorical values, and a minimum-row-count
+    constraint — incl. one rule that FAILS by design (quantity "< 40")
+    so both report branches are oracle-pinned."""
+    from p2pddsketch_spark.operators.quality import Rule, validate
+    li = load(spark, sf_dir, "lineitem")
+    rules = [
+        Rule("orderkey_not_null", "not_null", col="l_orderkey"),
+        Rule("line_unique", "unique", col="l_orderkey_l_linenumber"),
+        Rule("qty_in_1_50", "in_range", col="l_quantity", lo=1, hi=50),
+        Rule("qty_under_40", "in_range", col="l_quantity", lo=1, hi=40),
+        Rule("flag_accepted", "accepted_values", col="l_returnflag",
+             values=("A", "N", "R")),
+        Rule("min_rows", "non_negative_count", min_rows=1000),
+    ]
+    keyed = li.withColumn(
+        "l_orderkey_l_linenumber",
+        F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber")))
+    return validate(keyed, rules)

@@ -80,6 +80,7 @@ SUBSET = [
     "png_decode_features",      # zlib-PNG decode == lossless PPM oracle
     "video_sample_features",    # P2PV cadence sampling, exact frame means
     "streaming_interval_join",  # stream-stream join drained == batch join
+    "dq_report",                # one-pass multi-rule data-quality report
 ]
 
 

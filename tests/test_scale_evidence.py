@@ -176,3 +176,14 @@ def test_pagerank_iteration_is_checkpoint_pinned(spark):
     plan = explain_str(pagerank(e, iterations=2))
     assert "ExistingRDD" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_dq_report_is_one_scan(spark):
+    """The whole multi-rule validation must compile to ONE table scan
+    (map-side-combined aggregation + explode), not one job per rule."""
+    from p2pddsketch_spark.plans import queries as Q
+    df = Q.q_dq_report(spark, "/root/testdata/sf0.001")
+    # executedPlan tree (explain("formatted") lists each node twice —
+    # once in the tree, once in the detail section)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
