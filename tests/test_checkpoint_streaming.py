@@ -432,3 +432,39 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
             (rb["r_ts"] > lb["l_ts"] - F.expr("INTERVAL 1 hour")))
     want = sorted(map(tuple, lb.join(rb, cond).select("l_id", "r_id").collect()))
     assert got == want and len(want) > 0
+
+
+def test_stream_join_tight_watermark_is_subset(spark, tmp_path):
+    """With a TIGHT watermark over shuffled files, eviction may drop
+    matured state — the streamed result must still be a SUBSET of the
+    batch join (never an invented pair)."""
+    from p2pddsketch_spark.streaming.sketch_stream import stream_interval_join
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .where(F.col("event_id") < 3000))
+    left = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("l_ts"),
+                    F.col("event_id").alias("l_id")))
+    right = (ev.where(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("r_ts"),
+                     F.col("event_id").alias("r_id")))
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.repartition(3).write.parquet(lp)
+    right.repartition(3).write.parquet(rp)
+    ls = spark.readStream.schema(left.schema).option("maxFilesPerTrigger", 1).parquet(lp)
+    rs = spark.readStream.schema(right.schema).option("maxFilesPerTrigger", 1).parquet(rp)
+    joined = stream_interval_join(ls, rs, key="user_id",
+                                  left_ts="l_ts", right_ts="r_ts",
+                                  max_lag="1 hour", watermark="2 hours")
+    q = (joined.select("l_id", "r_id").writeStream.format("memory")
+         .queryName("ssj_tight").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = set(map(tuple, spark.table("ssj_tight").collect()))
+    lb = left.withColumn("l_ts", F.col("l_ts").cast("timestamp"))
+    rb = (right.withColumnRenamed("user_id", "_rk")
+          .withColumn("r_ts", F.col("r_ts").cast("timestamp")))
+    cond = ((lb["user_id"] == rb["_rk"]) & (rb["r_ts"] <= lb["l_ts"]) &
+            (rb["r_ts"] > lb["l_ts"] - F.expr("INTERVAL 1 hour")))
+    want = set(map(tuple, lb.join(rb, cond).select("l_id", "r_id").collect()))
+    assert got <= want
