@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_stats": Q.q_table_stats,
         "theta_distinct_by_type": Q.q_theta_distinct_by_type,
         "dq_report": Q.q_dq_report,
+        "zipf_slope": Q.q_zipf_slope,
     }
 
 

@@ -1373,3 +1373,30 @@ SELECT rule, kind, violations, passed FROM (
   SELECT 'min_rows', 'non_negative_count', GREATEST(mr, 0)::BIGINT, mr <= 0 FROM m)
 ORDER BY rule
 """
+
+# Zipf fit: identical ln/round/decimal-sum pipeline; slope arithmetic
+# written with the same association as the Spark expression.
+ORACLES["zipf_slope"] = """
+WITH top AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100
+), ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank FROM top
+), vals AS (
+  SELECT ROUND(ln(CAST(rank AS DOUBLE)), 6) AS x,
+         ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS y
+  FROM ranked
+), sums AS (
+  SELECT CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sxx,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM vals)
+SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept,
+       CAST(n AS BIGINT) AS n_terms
+FROM sums
+"""

@@ -1536,3 +1536,36 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey_l_linenumber",
         F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber")))
     return validate(keyed, rules)
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency Zipf diagnostics: least-squares slope of
+    ln(freq) vs ln(rank) over the top-100 tokens (count DESC, token ASC
+    — total order). Corpus-health check for tokenizer/vocab decisions:
+    natural text sits near −1, template spam flattens, boilerplate
+    steepens. Float parity: each ln is rounded to 6 and the four
+    regression sums accumulate as DECIMAL(20,6) (shuffle-order immune);
+    the closed-form slope is one deterministic double expression."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    top = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("cnt"))
+           .orderBy(F.desc("cnt"), "tok").limit(100))
+    ranked = top.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), "tok")))
+    x = F.round(F.log(F.col("rank").cast("double")), 6)
+    y = F.round(F.log(F.col("cnt").cast("double")), 6)
+    d = "decimal(20,6)"
+    sums = ranked.agg(
+        F.sum(x.cast(d)).cast("double").alias("sx"),
+        F.sum(y.cast(d)).cast("double").alias("sy"),
+        F.sum(F.round(x * y, 6).cast(d)).cast("double").alias("sxy"),
+        F.sum(F.round(x * x, 6).cast(d)).cast("double").alias("sxx"),
+        F.count("*").cast("double").alias("n"))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / \
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return sums.select(F.round(slope, 6).alias("zipf_slope"),
+                       F.round(intercept, 6).alias("zipf_intercept"),
+                       F.col("n").cast("long").alias("n_terms"))

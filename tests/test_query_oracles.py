@@ -81,6 +81,7 @@ SUBSET = [
     "video_sample_features",    # P2PV cadence sampling, exact frame means
     "streaming_interval_join",  # stream-stream join drained == batch join
     "dq_report",                # one-pass multi-rule data-quality report
+    "zipf_slope",               # rank-frequency least squares, decimal sums
 ]
 
 
