@@ -1502,7 +1502,8 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined = stream_interval_join(ls, rs, key="user_id",
                                       left_ts="l_ts", right_ts="r_ts",
                                       max_lag="1 hour", watermark="2400 hours")
-        name = "ssj_gate_" + next(tempfile._get_candidate_names())
+        import uuid
+        name = "ssj_gate_" + uuid.uuid4().hex[:12]
         q = (joined.select("l_id", "r_id").writeStream.format("memory")
              .queryName(name).outputMode("append")
              .option("checkpointLocation", ck)
