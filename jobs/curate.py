@@ -108,7 +108,10 @@ def main(argv=None):
     #    carry the per-doc hit counts into the output for auditing
     n_redacted = 0
     if args.redact_pii:
-        red = text.redact_pii(df, text_col=args.text_col, id_col=args.id_col)
+        # persist: the audit count and the join both consume the scrub —
+        # without it the full-corpus regex pass would run twice
+        red = text.redact_pii(df, text_col=args.text_col,
+                              id_col=args.id_col).persist()
         n_redacted = (red.where((F.col("n_email") + F.col("n_phone") +
                                  F.col("n_ip")) > 0).count())
         df = (df.drop(args.text_col)

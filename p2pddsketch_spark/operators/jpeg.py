@@ -178,7 +178,23 @@ def _destuff(seg: bytes) -> bytes:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JFIF → (h, w, 3) uint8 RGB."""
+    """Baseline sequential JFIF → (h, w, 3) uint8 RGB.
+
+    Malformed/truncated streams raise ValueError (so mixed-corpus
+    pipelines fall back to byte stats rather than failing the task);
+    spec-legal-but-unsupported shapes raise NotImplementedError."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (TypeError, KeyError, IndexError, struct_error) as ex:
+        raise ValueError(f"malformed JPEG stream: {ex!r}") from ex
+
+
+struct_error = __import__("struct").error
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -231,7 +247,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG (one SOS "
+                    "per component) is not supported — scans must cover "
+                    "all frame components")
             scan = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]

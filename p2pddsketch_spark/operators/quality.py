@@ -46,6 +46,10 @@ def _metrics(rule: Rule) -> list:
         return [F.count(F.when((F.col(c) < rule.lo) | (F.col(c) > rule.hi), 1))
                 .alias(f"_{rule.name}_bad")]
     if rule.kind == "accepted_values":
+        if not rule.values:
+            raise ValueError(
+                f"rule {rule.name!r}: accepted_values needs a non-empty "
+                "value list (an empty list would flag every row)")
         return [F.count(F.when(~F.col(c).isin(*rule.values) |
                                F.col(c).isNull(), 1))
                 .alias(f"_{rule.name}_bad")]

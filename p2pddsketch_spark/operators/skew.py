@@ -36,6 +36,13 @@ def salted_join(probe: DataFrame, build: DataFrame, key: str,
     bk = build_key or key
     if salts < 1:
         raise ValueError("salts must be >= 1")
+    if how not in ("inner", "left", "leftouter", "left_outer", "semi",
+                   "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
+        # the build side is replicated per salt, so right/full outer
+        # joins would emit `salts` null-extended copies of every
+        # unmatched build row — not the plain join's result
+        raise ValueError(f"salted_join supports inner/left/semi/anti "
+                         f"joins only (got {how!r})")
     src = salt_source if salt_source is not None \
         else F.xxhash64(*[F.col(c) for c in probe.columns])
     p = probe.withColumn("_salt", F.pmod(src, F.lit(salts)).cast("int"))

@@ -90,3 +90,10 @@ def test_triangle_participation_hand_graph(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     out = {r["node"]: r["n_triangles"] for r in triangle_participation(e).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # pendant node 5 in none
+
+
+def test_accepted_values_requires_nonempty_list(spark):
+    from p2pddsketch_spark.operators.quality import Rule, validate
+    df = spark.range(3).select(F.col("id").alias("c"))
+    with pytest.raises(ValueError):
+        validate(df, [Rule("r", "accepted_values", col="c")])

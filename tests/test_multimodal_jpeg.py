@@ -156,3 +156,31 @@ def test_fuzz_roundtrip_shapes_and_qualities():
         assert out.shape == (h, w, 3), (h, w, q, sub, ri)
         err = np.abs(out.astype(int) - img.astype(int))
         assert err.mean() < 12, (h, w, q, sub, ri, err.mean())
+
+
+def test_corrupt_streams_raise_valueerror_not_crash():
+    """Malformed JPEG bytes must raise ValueError (the mixed-corpus
+    fallback contract of decode_features), never TypeError/KeyError."""
+    img = _smooth(16, 16)
+    good = encode_jpeg(img, quality=90)
+    sos_before_sof = b"\xff\xd8" + good[good.find(b"\xff\xda"):]
+    i = good.find(b"\xff\xc4")
+    j = good.find(b"\xff\xda")
+    no_dht = good[:i] + good[j:]
+    for bad in [sos_before_sof, no_dht, good[:40], good[:len(good) // 2],
+                b"\xff\xd8\xff\xd9", b"\xff\xd8" + b"\x00" * 30]:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(bad)
+
+
+def test_corrupt_jpeg_falls_back_to_byte_stats(spark):
+    """A corrupt FF D8 payload in a media table must yield the byte-stat
+    fallback row, not fail the task."""
+    from p2pddsketch_spark.operators.multimodal import decode_features
+    good = encode_jpeg(_smooth(8, 8), quality=90)
+    rows = [(1, bytearray(good)), (2, bytearray(good[:30]))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r["features"] for r in decode_features(df).collect()}
+    assert len(out) == 2
+    assert out[1][0] == 8.0          # decoded: width feature
+    assert out[2][0] == 30.0         # fallback: byte-count feature

@@ -66,3 +66,14 @@ def test_scd2_merge_hand_fixture(spark):
         (1, "d", _ts("2024-04-01"), None),               # new open row
         (2, "x", _ts("2024-01-15"), None),               # untouched key
     ])
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    from pyspark.sql import functions as SF
+    import pytest as _pt
+    probe = spark.range(4).select(SF.col("id").alias("k"))
+    build = spark.range(4).select(SF.col("id").alias("k"))
+    with _pt.raises(ValueError):
+        salted_join(probe, build, key="k", salts=2, how="full")
+    with _pt.raises(ValueError):
+        salted_join(probe, build, key="k", salts=2, how="right")
