@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_distinct_by_type": Q.q_theta_distinct_by_type,
         "dq_report": Q.q_dq_report,
         "zipf_slope": Q.q_zipf_slope,
+        "embedding_quantize": Q.q_embedding_quantize,
     }
 
 

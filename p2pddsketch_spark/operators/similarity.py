@@ -285,3 +285,42 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("rank") <= k)
             .select(qid_col, "rank", "neighbor_id", "cosine")
             .orderBy(qid_col, "rank"))
+
+
+def quantize_embeddings_int8(df: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/ANN layout a
+    100 TB embedding corpus actually serves from (4× smaller than
+    float32, SIMD-dot-friendly): scale = 127/max|x|, code_i =
+    floor(x_i·scale + 0.5) clipped to ±127. Pure Catalyst array
+    expressions (no Python), deterministic: the quantizer is the
+    cross-engine-stable floor(x+0.5) form, so the SQL twin reproduces
+    every code bit-for-bit. Returns per-vector audit columns —
+    positional checksum Σ code_i·i pins every code at every position,
+    and the reconstruction error is decimal-summed (order-immune)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    idx = F.sequence(F.lit(1), F.size(v))
+    code_at = lambda i: F.greatest(  # noqa: E731
+        F.lit(-127), F.least(F.lit(127),
+                             F.floor(v[i - 1] * scale + F.lit(0.5))
+                             .cast("int")))
+    codes = F.transform(idx, code_at)
+    resid2 = F.transform(
+        idx, lambda i: F.round((v[i - 1] - code_at(i).cast("double") / scale)
+                               * (v[i - 1] - code_at(i).cast("double") / scale),
+                               12).cast("decimal(24,12)"))
+    err2 = F.aggregate(resid2, F.lit(0).cast("decimal(28,12)"),
+                       lambda acc, x: (acc + x).cast("decimal(28,12)"))
+    checksum = F.aggregate(
+        F.zip_with(codes, idx, lambda c, i: c.cast("long") * i.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.select(
+        F.col(id_col),
+        F.size(v).alias("n_dims"),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long")).alias("code_sum"),
+        checksum.alias("code_checksum"),
+        F.round(F.sqrt(err2.cast("double")), 6).alias("l2_err"))

@@ -1400,3 +1400,37 @@ SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
        CAST(n AS BIGINT) AS n_terms
 FROM sums
 """
+
+# Int8 quantization: identical floor(x*scale+0.5) quantizer over
+# double-cast float32 elements; residual squares rounded to 12 and
+# decimal-summed so list order cannot move the error.
+ORACLES["embedding_quantize"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 0.0 END AS scale
+  FROM e
+), c AS (
+  SELECT vec_id, v, scale,
+         list_transform(range(1, len(v) + 1),
+            i -> GREATEST(-127, LEAST(127,
+                 CAST(floor(v[i] * scale + 0.5) AS INTEGER)))) AS codes
+  FROM s
+)
+SELECT vec_id,
+       len(v) AS n_dims,
+       ROUND(scale, 6) AS scale,
+       CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT))) AS BIGINT)
+         AS code_sum,
+       CAST(list_sum(list_transform(range(1, len(v) + 1),
+            i -> CAST(codes[i] AS BIGINT) * i)) AS BIGINT) AS code_checksum,
+       ROUND(sqrt(CAST(list_sum(list_transform(range(1, len(v) + 1),
+            i -> CAST(ROUND((v[i] - CAST(codes[i] AS DOUBLE) / scale)
+                            * (v[i] - CAST(codes[i] AS DOUBLE) / scale), 12)
+                      AS DECIMAL(24,12)))) AS DOUBLE)), 6) AS l2_err
+FROM c
+ORDER BY vec_id
+"""

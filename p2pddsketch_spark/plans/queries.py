@@ -1570,3 +1570,10 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(F.round(slope, 6).alias("zipf_slope"),
                        F.round(intercept, 6).alias("zipf_intercept"),
                        F.col("n").cast("long").alias("n_terms"))
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit over the embeddings table — see
+    similarity.quantize_embeddings_int8 (codes pinned positionally)."""
+    return (similarity.quantize_embeddings_int8(
+        load(spark, sf_dir, "embeddings")).orderBy("vec_id"))

@@ -82,6 +82,7 @@ SUBSET = [
     "streaming_interval_join",  # stream-stream join drained == batch join
     "dq_report",                # one-pass multi-rule data-quality report
     "zipf_slope",               # rank-frequency least squares, decimal sums
+    "embedding_quantize",       # int8 quantizer, positional code checksum
 ]
 
 
