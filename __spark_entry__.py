@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": Q.q_dq_report,
         "zipf_slope": Q.q_zipf_slope,
         "embedding_quantize": Q.q_embedding_quantize,
+        "ann_topk_int8": Q.q_ann_topk_int8,
     }
 
 

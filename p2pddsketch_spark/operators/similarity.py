@@ -324,3 +324,43 @@ def quantize_embeddings_int8(df: DataFrame, vec_col: str = "embedding",
                     lambda acc, x: acc + x.cast("long")).alias("code_sum"),
         checksum.alias("code_checksum"),
         F.round(F.sqrt(err2.cast("double")), 6).alias("l2_err"))
+
+
+def int8_codes_col(vec_col: str = "embedding"):
+    """Catalyst expression: int8 code array of a float vector (same
+    quantizer as `quantize_embeddings_int8`)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    idx = F.sequence(F.lit(1), F.size(v))
+    return F.transform(idx, lambda i: F.greatest(
+        F.lit(-127), F.least(F.lit(127),
+                             F.floor(v[i - 1] * scale + F.lit(0.5))
+                             .cast("int"))))
+
+
+def int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+    """Quantized ANN: brute-force top-k by INTEGER dot product over int8
+    codes — the SIMD-friendly scan a 100 TB serving tier runs. Queries
+    broadcast; corpus scanned once; scores are exact int64 sums, so
+    ranking is fully deterministic (score DESC, id ASC) and the SQL
+    twin replays it bit-for-bit. Per-query rank 1..k like cosine_topk."""
+    from pyspark.sql import Window
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      int8_codes_col(vec_col).alias("cc"))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       int8_codes_col(qvec_col).alias("qc"))
+    dot = F.aggregate(F.zip_with("cc", "qc",
+                                 lambda a, b: a.cast("long") * b.cast("long")),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (c.crossJoin(F.broadcast(q))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id", dot.alias("dot_i64")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_i64"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    "neighbor_id", "dot_i64")
+            .orderBy("query_id", "rank"))

@@ -1434,3 +1434,34 @@ SELECT vec_id,
 FROM c
 ORDER BY vec_id
 """
+
+# Int8 ANN: identical quantizer + exact integer dot ranking.
+ORACLES["ann_topk_int8"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 0.0 END AS scale
+  FROM e
+), c AS (
+  SELECT vec_id,
+         list_transform(range(1, len(v) + 1),
+            i -> CAST(GREATEST(-127, LEAST(127,
+                 CAST(floor(v[i] * scale + 0.5) AS INTEGER))) AS BIGINT)) AS codes
+  FROM s
+), scored AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(x.codes) + 1),
+              i -> x.codes[i] * q.codes[i])) AS BIGINT) AS dot_i64
+  FROM c x, (SELECT * FROM c WHERE vec_id < 10) q
+  WHERE x.vec_id != q.vec_id
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, dot_i64
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dot_i64 DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""

@@ -1577,3 +1577,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.quantize_embeddings_int8 (codes pinned positionally)."""
     return (similarity.quantize_embeddings_int8(
         load(spark, sf_dir, "embeddings")).orderBy("vec_id"))
+
+
+def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN: int8 codes, exact int64 dot-product ranking —
+    see similarity.int8_topk. Deterministic end-to-end, hard oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return similarity.int8_topk(emb, queries, k=5)

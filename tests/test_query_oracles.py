@@ -83,6 +83,7 @@ SUBSET = [
     "dq_report",                # one-pass multi-rule data-quality report
     "zipf_slope",               # rank-frequency least squares, decimal sums
     "embedding_quantize",       # int8 quantizer, positional code checksum
+    "ann_topk_int8",            # quantized ANN, exact integer dot ranking
 ]
 
 
