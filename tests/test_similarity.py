@@ -101,3 +101,19 @@ def test_neardup_exact_vs_lsh(emb, spark):
     # on this near-isotropic 1-pair sample is probabilistic, so only the
     # subset property is deterministic enough to assert
     assert l <= e
+
+
+def test_int8_quantizer_error_bound(spark):
+    """Per-element |x − c/scale| ≤ 0.5/scale, so the per-vector l2 error
+    is bounded by √d · max|x| / 254 — checked on the real fixture."""
+    import math
+    from p2pddsketch_spark.operators.similarity import quantize_embeddings_int8
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = quantize_embeddings_int8(emb).collect()
+    raw = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert len(rows) == len(raw)
+    for r in rows:
+        maxabs = max(abs(float(x)) for x in raw[r["vec_id"]])
+        bound = math.sqrt(r["n_dims"]) * maxabs / 254.0
+        assert r["l2_err"] <= bound * (1 + 1e-9), r
+        assert abs(r["scale"] * maxabs - 127.0) < 1e-3
