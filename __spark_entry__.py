@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_orders": Q.q_events_asof_orders,
         "events_interval_join": Q.q_events_interval_join,
         "user_sessions": Q.q_user_sessions,
+        "funnel_conversion": Q.q_funnel_conversion,
+        "session_duration_p95": Q.q_session_duration_p95,
         # text analysis
         "top_tokens_exact": Q.q_top_tokens,
         "distinct_tokens_by_source": Q.q_distinct_tokens_by_source,

@@ -1465,3 +1465,50 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rnk <= 5
 ORDER BY query_id, rnk
 """
+
+# Ordered funnel: identical chained earliest-after-previous semantics.
+ORACLES["funnel_conversion"] = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM t1
+  UNION ALL
+  SELECT '2_click_after_view', COUNT(*) FROM t2
+  UNION ALL
+  SELECT '3_purchase_after_click', COUNT(*) FROM t3)
+ORDER BY stage
+"""
+
+# Session durations (30-min gap sessionization) fed into the DDSketch
+# quantile twin — epoch() keeps microseconds like the Spark double cast.
+ORACLES["session_duration_p95"] = duckdb_quantile_sql(
+    """(
+  WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ), sess AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM marked
+  )
+  SELECT MAX(epoch(ts)) - MIN(epoch(ts)) AS dur_secs
+  FROM sess GROUP BY user_id, sess_id
+  HAVING MAX(epoch(ts)) - MIN(epoch(ts)) > 0
+) t""", "dur_secs", [0.5, 0.95], alpha=0.01)

@@ -1587,3 +1587,60 @@ def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     return similarity.int8_topk(emb, queries, k=5)
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analytics (view → click → purchase): per user,
+    the earliest view, the earliest click strictly after it, and the
+    earliest purchase strictly after that; counts per reached stage.
+    Three small per-user aggregations chained on the user key — the fact
+    table is scanned once per stage with an early event-type filter, and
+    only (user, ts) pairs ever shuffle."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(etype, prev, colname):
+        j = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            j = (j.join(prev, "user_id")
+                 .where(F.col("ts") > F.col(prev.columns[1])))
+        return j.groupBy("user_id").agg(F.min("ts").alias(colname))
+
+    t1 = first_after("view", None, "t1")
+    t2 = first_after("click", t1, "t2")
+    t3 = first_after("purchase", t2, "t3")
+    rows = [("1_view", t1), ("2_click_after_view", t2),
+            ("3_purchase_after_click", t3)]
+    out = None
+    for name, df in rows:
+        r = df.agg(F.lit(name).alias("stage"),
+                   F.count("*").alias("n_users"))
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("stage")
+
+
+def q_session_duration_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration analytics: sessionize per user (30-min gap rule,
+    same as `user_sessions`), then p50/p95 of session durations in
+    seconds via the DDSketch Catalyst plan — sketch quantiles COMPOSED
+    over a windowed sessionization, both layers exactly replayed by the
+    twin. Zero-duration (single-event) sessions are excluded (log-bucket
+    domain is positive)."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.lag("ts").over(w).isNull() |
+               ((F.col("ts").cast("timestamp").cast("double") -
+                 F.lag(F.col("ts").cast("timestamp")).over(w).cast("double"))
+                > 1800.0), 1).otherwise(0).alias("new_sess"))
+    sess = marked.withColumn(
+        "sess_id", F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    dur = (sess.groupBy("user_id", "sess_id")
+           .agg((F.max(F.col("ts").cast("timestamp").cast("double")) -
+                 F.min(F.col("ts").cast("timestamp").cast("double")))
+                .alias("dur_secs"))
+           .where(F.col("dur_secs") > 0))
+    return ddsketch_quantile_plan(dur, "dur_secs", [0.5, 0.95], alpha=0.01)

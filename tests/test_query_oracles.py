@@ -84,6 +84,8 @@ SUBSET = [
     "zipf_slope",               # rank-frequency least squares, decimal sums
     "embedding_quantize",       # int8 quantizer, positional code checksum
     "ann_topk_int8",            # quantized ANN, exact integer dot ranking
+    "funnel_conversion",        # ordered-funnel chained earliest-after
+    "session_duration_p95",     # sessionization composed with DDSketch
 ]
 
 
