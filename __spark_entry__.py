@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": Q.q_user_sessions,
         "funnel_conversion": Q.q_funnel_conversion,
         "session_duration_p95": Q.q_session_duration_p95,
+        "cohort_retention": Q.q_cohort_retention,
         # text analysis
         "top_tokens_exact": Q.q_top_tokens,
         "distinct_tokens_by_source": Q.q_distinct_tokens_by_source,

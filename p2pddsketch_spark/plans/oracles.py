@@ -1512,3 +1512,18 @@ ORACLES["session_duration_p95"] = duckdb_quantile_sql(
   FROM sess GROUP BY user_id, sess_id
   HAVING MAX(epoch(ts)) - MIN(epoch(ts)) > 0
 ) t""", "dur_secs", [0.5, 0.95], alpha=0.01)
+
+# Weekly cohort retention: identical Monday-based week bucketing.
+ORACLES["cohort_retention"] = """
+WITH wkly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), first AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM wkly GROUP BY user_id
+)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_wk, wk) / 7 AS INTEGER) AS week_offset,
+       COUNT(*) AS n_users
+FROM wkly JOIN first USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""

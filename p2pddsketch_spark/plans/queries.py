@@ -1644,3 +1644,22 @@ def q_session_duration_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("dur_secs"))
            .where(F.col("dur_secs") > 0))
     return ddsketch_quantile_plan(dur, "dur_secs", [0.5, 0.95], alpha=0.01)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users belong to the ISO week of
+    their first event; each later active week increments that cohort's
+    (week_offset) cell. Two aggregations on the user key plus one
+    distinct — the standard product-analytics rollup, exactly SQL
+    replayable (Monday-based date_trunc('week') in both engines)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = ev.distinct()
+    return (active.join(first, "user_id")
+            .select(F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+                    (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+                    .cast("int").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count("*").alias("n_users"))
+            .orderBy("cohort_week", "week_offset"))

@@ -86,6 +86,7 @@ SUBSET = [
     "ann_topk_int8",            # quantized ANN, exact integer dot ranking
     "funnel_conversion",        # ordered-funnel chained earliest-after
     "session_duration_p95",     # sessionization composed with DDSketch
+    "cohort_retention",         # weekly cohort matrix, ISO week parity
 ]
 
 
