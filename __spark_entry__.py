@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming end-to-end (foreachBatch epoch state)
         "streaming_dds_hourly": Q.q_streaming_dds_hourly,
         "streaming_interval_join": Q.q_streaming_interval_join,
+        "streaming_stateful_quantiles": Q.q_streaming_stateful_quantiles,
         "theta_token_overlap": Q.q_theta_token_overlap,
         "theta_daily_retention": Q.q_theta_daily_retention,
         "stratified_sample": Q.q_stratified_sample,

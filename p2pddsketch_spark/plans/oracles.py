@@ -1527,3 +1527,16 @@ FROM wkly JOIN first USING (user_id)
 GROUP BY 1, 2
 ORDER BY cohort_week, week_offset
 """
+
+# Stateful streaming: the final per-key state equals the batch sketch
+# (order-invariant bucket counting), so the twin pivots the grouped
+# quantile SQL.
+ORACLES["streaming_stateful_quantiles"] = f"""
+WITH qe AS ({duckdb_quantile_sql("events", "value", [0.5, 0.95],
+                                 alpha=0.01, group_cols=("event_type",))})
+SELECT event_type,
+       CAST(MIN(n) AS BIGINT) AS n,
+       MIN(CASE WHEN q = 0.5 THEN estimate END) AS p5,
+       MIN(CASE WHEN q = 0.95 THEN estimate END) AS p95
+FROM qe GROUP BY event_type ORDER BY event_type
+"""

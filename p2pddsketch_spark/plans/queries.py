@@ -1663,3 +1663,47 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cohort_week", "week_offset")
             .agg(F.count("*").alias("n_users"))
             .orderBy("cohort_week", "week_offset"))
+
+
+def q_streaming_stateful_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState end-to-end with a HARD oracle: the events
+    table becomes a multi-file stream (maxFilesPerTrigger=2 → several
+    real micro-batches), one DDSketch per event_type lives in the state
+    store and re-emits estimates every trigger; the FINAL emission per
+    key (max n) must equal the batch quantile SQL — bucket counting is
+    order-invariant, so micro-batching cannot move it. The third
+    streaming API surface in the gate (windowed agg, foreachBatch,
+    stream-stream join, now arbitrary state)."""
+    import shutil
+    import tempfile
+    import uuid
+    from p2pddsketch_spark.streaming.sketch_stream import stateful_sketch_stream
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="p2pdds_state_gate_")
+    try:
+        src, sink, ck = f"{tmp}/src", f"{tmp}/sink", f"{tmp}/ck"
+        ev.repartition(6).write.parquet(src)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        out = stateful_sketch_stream(stream, "event_type", "value",
+                                     alpha=0.01, quantiles=(0.5, 0.95))
+        q = (out.writeStream.outputMode("update")
+             .option("checkpointLocation", ck)
+             .foreachBatch(lambda df, eid:
+                           df.write.mode("append").parquet(sink))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        emitted = spark.read.parquet(sink)
+        from pyspark.sql import Window
+        w = Window.partitionBy("event_type").orderBy(F.desc("n"))
+        final = (emitted.withColumn("_r", F.row_number().over(w))
+                 .where(F.col("_r") == 1)
+                 .select("event_type", "n",
+                         F.round("p5", 6).alias("p5"),
+                         F.round("p95", 6).alias("p95"))
+                 .orderBy("event_type").collect())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        final, "event_type string, n long, p5 double, p95 double") \
+        .orderBy("event_type")

@@ -87,6 +87,7 @@ SUBSET = [
     "funnel_conversion",        # ordered-funnel chained earliest-after
     "session_duration_p95",     # sessionization composed with DDSketch
     "cohort_retention",         # weekly cohort matrix, ISO week parity
+    "streaming_stateful_quantiles",  # applyInPandasWithState == batch SQL
 ]
 
 
