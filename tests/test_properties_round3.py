@@ -34,8 +34,12 @@ def test_scd2_merge_matches_replay(spark, changes, open_keys):
         "k long, v long, ts timestamp, event_id long")
     out = scd2_merge(current, updates, key="k", ts_col="ts",
                      payload_cols=["v"], tiebreak="event_id")
+    # None valid_to (open rows) is not orderable against datetimes —
+    # sort via a key that sends open rows last
+    sort_key = lambda r: (r[0], r[1], r[2],  # noqa: E731
+                          r[3] is None, r[3] or _t(0))
     got = sorted(map(tuple, out.select("k", "v", "valid_from", "valid_to")
-                     .collect()))
+                     .collect()), key=sort_key)
     # replay: per key, versions = open row (ts 0, first) + changes in
     # (ts, event_id) order; valid_to = next version's valid_from
     expect = []
@@ -46,7 +50,7 @@ def test_scd2_merge_matches_replay(spark, changes, open_keys):
         for j, (ts, _, v) in enumerate(vers):
             nxt = vers[j + 1][0] if j + 1 < len(vers) else None
             expect.append((k, v, ts, nxt))
-    assert got == sorted(expect)
+    assert got == sorted(expect, key=sort_key)
 
 
 @settings(max_examples=8, deadline=None)
