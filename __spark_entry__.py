@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": Q.q_funnel_conversion,
         "session_duration_p95": Q.q_session_duration_p95,
         "cohort_retention": Q.q_cohort_retention,
+        "bpe_top_pairs": Q.q_bpe_top_pairs,
         # text analysis
         "top_tokens_exact": Q.q_top_tokens,
         "distinct_tokens_by_source": Q.q_distinct_tokens_by_source,

@@ -1540,3 +1540,19 @@ SELECT event_type,
        MIN(CASE WHEN q = 0.95 THEN estimate END) AS p95
 FROM qe GROUP BY event_type ORDER BY event_type
 """
+
+# BPE step: identical weighted char-pair counting over distinct words.
+ORACLES["bpe_top_pairs"] = """
+WITH words AS (
+  SELECT w, COUNT(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT wc, substr(w, i, 2) AS pair
+  FROM (SELECT w, wc, unnest(range(1, length(w))) AS i FROM words)
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 20
+"""

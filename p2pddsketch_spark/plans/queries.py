@@ -1707,3 +1707,23 @@ def q_streaming_stateful_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         final, "event_type string, n long, p5 double, p95 double") \
         .orderBy("event_type")
+
+
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step: adjacent character-pair frequencies inside
+    words, weighted by word occurrence — the top-20 merge candidates by
+    (count DESC, pair ASC). Word counts aggregate FIRST (the corpus
+    shuffles once at word granularity), then each DISTINCT word explodes
+    into its pairs weighted by its count — the standard trick that makes
+    a BPE step scale with the vocabulary, not the raw character count."""
+    docs = load(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .where(F.length("w") >= 2)
+             .groupBy("w").agg(F.count("*").alias("wc")))
+    pairs = words.select(
+        "wc",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .alias("pair"))
+    return (pairs.groupBy("pair").agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "pair").limit(20))

@@ -88,6 +88,7 @@ SUBSET = [
     "session_duration_p95",     # sessionization composed with DDSketch
     "cohort_retention",         # weekly cohort matrix, ISO week parity
     "streaming_stateful_quantiles",  # applyInPandasWithState == batch SQL
+    "bpe_top_pairs",            # weighted char-pair BPE step over vocab
 ]
 
 
