@@ -97,3 +97,18 @@ def test_accepted_values_requires_nonempty_list(spark):
     df = spark.range(3).select(F.col("id").alias("c"))
     with pytest.raises(ValueError):
         validate(df, [Rule("r", "accepted_values", col="c")])
+
+
+def test_quality_unknown_rule_kind_rejected(spark):
+    from p2pddsketch_spark.operators.quality import Rule, validate
+    df = spark.range(3).select(F.col("id").alias("c"))
+    with pytest.raises(ValueError):
+        validate(df, [Rule("r", "no_such_kind", col="c")])
+
+
+def test_zorder_bits_bounds():
+    from p2pddsketch_spark.operators.layout import zorder_col
+    with pytest.raises(ValueError):
+        zorder_col("x", "y", bits=0)
+    with pytest.raises(ValueError):
+        zorder_col("x", "y", bits=32)
