@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_quantiles": Q.q_streaming_stateful_quantiles,
         "theta_token_overlap": Q.q_theta_token_overlap,
         "theta_daily_retention": Q.q_theta_daily_retention,
+        "theta_rolling_wau": Q.q_theta_rolling_wau,
         "stratified_sample": Q.q_stratified_sample,
         "weighted_sample": Q.q_weighted_sample,
         # runtime filters / robust stats / iterative graph / corpus LM

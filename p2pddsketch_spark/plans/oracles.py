@@ -1556,3 +1556,18 @@ FROM pairs GROUP BY pair
 ORDER BY pair_count DESC, pair
 LIMIT 20
 """
+
+# Rolling WAU from per-day theta unions (under-k exact) == the direct
+# 7-day COUNT(DISTINCT) window.
+ORACLES["theta_rolling_wau"] = """
+WITH days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS dd FROM events
+)
+SELECT strftime(ds.dd, '%Y-%m-%d') AS window_start,
+       COUNT(DISTINCT e.user_id) AS wau
+FROM days ds
+JOIN events e ON date_trunc('day', e.ts) >= ds.dd
+             AND date_trunc('day', e.ts) < ds.dd + INTERVAL 7 DAY
+GROUP BY ds.dd
+ORDER BY window_start
+"""

@@ -1727,3 +1727,34 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pair"))
     return (pairs.groupBy("pair").agg(F.sum("wc").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "pair").limit(20))
+
+
+def q_theta_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users (WAU) from the SAME per-day theta
+    state as `theta_daily_retention` — every window is a UNION of ≤ 7
+    daily summaries, never a re-scan of events. The rollup-for-
+    distinct-counts twin of `dds_daily_rollup`: HARD oracle because the
+    under-k regime keeps every hash, so each union cardinality is the
+    exact COUNT(DISTINCT) over the window."""
+    from datetime import date, timedelta
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+    ev = (load(spark, sf_dir, "events")
+          .withColumn("day", F.date_format(F.date_trunc("day", F.col("ts")),
+                                           "yyyy-MM-dd")))
+    out = build_sketches(
+        ev, [SketchSpec("theta", lambda: ThetaSketch(k=65536),
+                        scalar_int_extractor("user_id"))],
+        group_cols=("day",), salt_buckets=8)
+    sk = {key[0]: s for key, s in
+          collect_sketches(out, group_cols=("day",)).items()}
+    rows = []
+    for d in sorted(sk):
+        start = date.fromisoformat(d)
+        acc = ThetaSketch(k=65536)
+        for off in range(7):
+            dd = (start + timedelta(days=off)).isoformat()
+            if dd in sk:
+                acc.merge(ThetaSketch.from_bytes(sk[dd].to_bytes()))
+        rows.append((d, int(np.round(acc.cardinality()))))
+    return (spark.createDataFrame(rows, "window_start string, wau long")
+            .orderBy("window_start"))

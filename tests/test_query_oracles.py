@@ -89,6 +89,7 @@ SUBSET = [
     "cohort_retention",         # weekly cohort matrix, ISO week parity
     "streaming_stateful_quantiles",  # applyInPandasWithState == batch SQL
     "bpe_top_pairs",            # weighted char-pair BPE step over vocab
+    "theta_rolling_wau",        # 7-day WAU from per-day theta unions
 ]
 
 
