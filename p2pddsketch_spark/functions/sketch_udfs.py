@@ -154,8 +154,11 @@ def theta_cardinality_udf():
 
     @pandas_udf("double")
     def theta_cardinality(blobs: pd.Series) -> pd.Series:
+        # total over nullable binary: NULL blob (outer join / empty
+        # group) → NULL estimate, not a TypeError inside the worker
         return blobs.map(
-            lambda b: float(np.round(ThetaSketch.from_bytes(bytes(b))
-                                     .cardinality(), 1)))
+            lambda b: None if b is None else
+            float(np.round(ThetaSketch.from_bytes(bytes(b))
+                           .cardinality(), 1)))
 
     return theta_cardinality

@@ -34,6 +34,20 @@ __all__ = ["exact_dedup_stats", "exact_dedup", "word_shingles_col",
            "simhash128_keys", "simhash_neardup_pairs_wide"]
 
 
+def _nonempty_offsets(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """reduceat segment starts for the rows with lens > 0. The
+    concatenated per-shingle data contains only those rows' elements, so
+    `op.reduceat(flat, offs)` indexed by this mask is total — including
+    when TRAILING rows have zero shingles, where naive all-row cumsum
+    offsets hit index == len(flat), which reduceat rejects (a doc shorter
+    than n words at the end of an Arrow batch crashed the old path)."""
+    nz = lens > 0
+    cl = np.cumsum(lens[nz])
+    offs = np.zeros(len(cl), dtype=np.int64)
+    offs[1:] = cl[:-1]
+    return nz, offs
+
+
 # ------------------------------------------------------------- exact dedup
 
 def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -183,17 +197,16 @@ def minhash_band_hashes(df: DataFrame, num_perm: int = 128, bands: int = 32,
             lens = lists.map(len).to_numpy()
             h = (np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
                  if lens.sum() else np.empty(0, dtype=np.int64)).astype(np.uint64)
-            offs = np.zeros(len(pdf), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offs[1:])
-            with np.errstate(over="ignore"):
-                # all permutations in one matrix op: (num_perm, n_shingles)
-                hm = h % _MERSENNE
-                hp = (a_p[:, None] * hm[None, :] + b_p[:, None]) % _MERSENNE
-                sig = (np.minimum.reduceat(hp, offs, axis=1).T
-                       if h.size else np.zeros((len(pdf), num_perm), np.uint64))
-            empty = lens == 0
-            if empty.any():
-                sig[empty] = _MERSENNE
+            # empty docs (shorter than n words) get the identity signature
+            # _MERSENNE; reduceat runs only over the non-empty rows
+            sig = np.full((len(pdf), num_perm), _MERSENNE, dtype=np.uint64)
+            if h.size:
+                nz, offs = _nonempty_offsets(lens)
+                with np.errstate(over="ignore"):
+                    # all permutations in one matrix op: (num_perm, n_shingles)
+                    hm = h % _MERSENNE
+                    hp = (a_p[:, None] * hm[None, :] + b_p[:, None]) % _MERSENNE
+                    sig[nz] = np.minimum.reduceat(hp, offs, axis=1).T
             # little-endian u64 row bytes, sliced per band: bh[i][b] is the
             # 8·rows-byte digest of row i's band b
             raw = np.ascontiguousarray(sig.astype("<u8")).tobytes()
@@ -303,10 +316,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             h = _hash_shingles_uint64(flat)
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
             votes = bits * 2 - 1  # ±1 per bit
-            offs = np.zeros(len(pdf), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offs[1:])
-            seg = np.add.reduceat(votes, offs, axis=0)
-            seg[lens == 0] = -1
+            nz, offs = _nonempty_offsets(lens)
+            seg = np.full((len(pdf), 64), -1, dtype=np.int64)  # empty → all-zero fp
+            seg[nz] = np.add.reduceat(votes, offs, axis=0)
             fp = (seg > 0).astype(np.uint64)
             out = np.zeros(len(pdf), dtype=np.uint64)
             with np.errstate(over="ignore"):
@@ -455,10 +467,9 @@ def simhash128_keys(df: DataFrame, max_hamming: int = 8,
                 bits[:, :64] = ((h1[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
                 bits[:, 64:] = ((h2[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
                 votes = bits * 2 - 1
-                offs = np.zeros(n_rows, dtype=np.int64)
-                np.cumsum(lens[:-1], out=offs[1:])
-                seg = np.add.reduceat(votes, offs, axis=0)
-                seg[lens == 0] = -1
+                nz, offs = _nonempty_offsets(lens)
+                seg = np.full((n_rows, 128), -1, dtype=np.int64)  # empty → all-zero fp
+                seg[nz] = np.add.reduceat(votes, offs, axis=0)
                 fp = (seg > 0)                       # (n_rows, 128) bool
             else:
                 fp = np.zeros((n_rows, 128), dtype=bool)

@@ -72,8 +72,11 @@ def zorder_layout(df: DataFrame, x: str, y: str, bits: int = 16,
 
     def scaled(c: str, lo, hi) -> Column:
         span = max(1, int(hi) - int(lo))
-        return ((F.col(c) - F.lit(int(lo))) * F.lit(top) / F.lit(span)) \
-            .cast("long")
+        # cast to double BEFORE the multiply: (col - lo) * top in int64
+        # silently wraps for spans wider than ~2^47 at bits=16 (non-ANSI
+        # overflow), scrambling the z-values
+        return ((F.col(c) - F.lit(int(lo))).cast("double")
+                * F.lit(float(top)) / F.lit(float(span))).cast("long")
 
     z = df.withColumn("_z", zorder_col(scaled(x, mm["x0"], mm["x1"]),
                                        scaled(y, mm["y0"], mm["y1"]), bits))

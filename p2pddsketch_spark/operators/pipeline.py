@@ -117,9 +117,14 @@ def vocab_coverage(df: DataFrame, sizes: tuple[int, ...] = (64, 128, 256, 512),
                   Window.orderBy(F.desc("cnt"), F.asc("term")))))
     sizes_df = df.sparkSession.createDataFrame(
         [(int(s),) for s in sizes], "vocab_size int")
-    at = ranked.join(F.broadcast(sizes_df),
-                     ranked["rank"] == sizes_df["vocab_size"])
-    return (at.crossJoin(F.broadcast(totals))
+    # clamp each requested size to the distinct-term count: a size
+    # beyond the vocabulary covers everything (coverage = 1.0) rather
+    # than silently dropping out of the curve on a small corpus
+    at = (sizes_df.crossJoin(F.broadcast(totals))
+          .withColumn("eff_rank", F.least(
+              F.col("vocab_size"), F.col("n_terms_total").cast("int"))))
+    return (at.join(F.broadcast(ranked),
+                    at["eff_rank"] == ranked["rank"])
             .select("vocab_size",
                     F.round(F.col("cum").cast("double") /
                             F.col("total").cast("double"), 6).alias("coverage"),
@@ -162,10 +167,18 @@ def tokenize(df: DataFrame, vocab: DataFrame, text_col: str = "text",
     joined = (ex.join(F.broadcast(vocab), "term", "left")
               .withColumn("tid", F.coalesce(F.col("token_id"), F.lit(oov_id))
                           .cast("int")))
-    return (joined.groupBy(*keep)
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-                lambda s: s["tid"]).alias("tokens"))
+    assembled = (joined.groupBy(*keep)
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                     lambda s: s["tid"]).alias("tokens")))
+    # left-join back onto the full doc set: a doc with zero words emits
+    # no posexplode rows and would otherwise vanish from the sequences
+    # table — it must appear with tokens = [] / n_tok = 0 (keep columns
+    # are assumed non-null keys, as doc_id is)
+    return (df.select(*keep)
+            .join(assembled, keep, "left")
+            .withColumn("tokens", F.coalesce(
+                F.col("tokens"), F.array().cast("array<int>")))
             .withColumn("n_tok", F.size("tokens").cast("int")))
 
 

@@ -409,12 +409,20 @@ WITH counts AS (
 ), joined AS (
   SELECT w.doc_id, w.pos, COALESCE(v.token_id, -1)::BIGINT AS tid
   FROM w LEFT JOIN vocab v USING (term)
+), per_doc AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_tok,
+         COUNT(*) FILTER (WHERE tid = -1)::BIGINT AS n_oov,
+         SUM(tid * pos)::BIGINT AS tok_hash
+  FROM joined GROUP BY doc_id
 )
-SELECT doc_id,
-       COUNT(*)::BIGINT AS n_tok,
-       COUNT(*) FILTER (WHERE tid = -1)::BIGINT AS n_oov,
-       SUM(tid * pos)::BIGINT AS tok_hash
-FROM joined GROUP BY doc_id ORDER BY doc_id
+-- left join back onto documents: a zero-word doc appears with
+-- n_tok = 0 / tok_hash = 0 (mirrors operators/pipeline.py::tokenize)
+SELECT d.doc_id,
+       COALESCE(p.n_tok, 0)::BIGINT AS n_tok,
+       COALESCE(p.n_oov, 0)::BIGINT AS n_oov,
+       COALESCE(p.tok_hash, 0)::BIGINT AS tok_hash
+FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id
 """
 
 # next-fit packing replayed as a recursive CTE: one step per document
@@ -568,10 +576,14 @@ WITH counts AS (
                         ROWS UNBOUNDED PRECEDING) AS cum
   FROM counts
 )
-SELECT rank::INT AS vocab_size,
+-- each requested size clamps to the distinct-term count (coverage 1.0
+-- beyond the vocabulary), mirroring operators/pipeline.py::vocab_coverage
+SELECT s.vocab_size::INT AS vocab_size,
        ROUND(cum::DOUBLE / total::DOUBLE, 6) AS coverage,
        n_terms_total::BIGINT AS n_terms_total
-FROM ranked, tot WHERE rank IN (4, 8, 16, 24) ORDER BY vocab_size
+FROM (VALUES (4), (8), (16), (24)) s(vocab_size), tot, ranked
+WHERE ranked.rank = LEAST(s.vocab_size, n_terms_total)
+ORDER BY vocab_size
 """
 
 # the UDAF build is order-invariant (additive integer bucket counts), so

@@ -224,3 +224,61 @@ def test_ngram_hot_shingle_cap_keeps_exact_verify(spark):
     # jaccard uses full sets: docs have 4 shingles each; (1,2) share
     # 'x y','y alpha','alpha beta' -> 3/5
     assert abs(got[(1, 2)] - 0.6) < 1e-9
+
+
+# ------------------------------------------- trailing-empty-row regression
+
+def _short_tail_docs(spark):
+    """Single-partition frame whose LAST rows have zero 3-shingles (docs
+    shorter than n words) — the layout that crashed np.add.reduceat with
+    an offset == len(flat) before the non-empty-offsets fix."""
+    rows = [(1, "w0 w1 w2 w3 w4"), (2, "a b c d"),
+            (3, "too short"), (4, "")]
+    return (spark.createDataFrame(rows, "doc_id long, text string")
+            .coalesce(1))
+
+
+def test_minhash_signatures_trailing_empty_rows(spark):
+    df = _short_tail_docs(spark)
+    out = {r["id"]: r["sig"] for r in
+           dedup.minhash_signatures(df, num_perm=8, n=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # empty docs get the identity signature (all-Mersenne), equal to
+    # each other and distinct from real docs
+    assert out[3] == out[4] and out[1] != out[3]
+
+
+def test_simhash64_trailing_empty_rows(spark):
+    df = _short_tail_docs(spark)
+    out = {r["id"]: r["simhash"] for r in
+           dedup.simhash64(df, n=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] == 0 and out[4] == 0   # all-zero fingerprint
+
+
+def test_simhash128_trailing_empty_rows(spark):
+    df = _short_tail_docs(spark)
+    out = {r["id"]: (r["hi"], r["lo"]) for r in
+           dedup.simhash128_keys(df, max_hamming=8, n=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] == (0, 0) and out[4] == (0, 0)
+    # and the wide-radius pair path is total over the same frame
+    pairs = dedup.simhash_neardup_pairs_wide(df, max_hamming=8, n=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(3, 4)}
+
+
+def test_minhash_lsh_releases_cached_blocks(spark):
+    """Every explicit persist() inside minhash_lsh_pairs is matched by an
+    unpersist before the function returns: at most ONE new entry may
+    remain in the persistent-RDD registry — the eager localCheckpoint of
+    the candidate set, whose blocks are ContextCleaner-owned and die with
+    the returned DataFrame (documented lifetime). An unmatched persist
+    (the round-3 nit) shows up as a second leaked entry."""
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet())
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.3, num_perm=16, bands=8)
+    out.count()
+    after = set(jsc.getPersistentRDDs().keySet())
+    leaked = after - before
+    assert len(leaked) <= 1, f"unmatched persist() left RDDs: {leaked}"

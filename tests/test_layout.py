@@ -82,3 +82,18 @@ def test_zorder_layout_prunes_box_queries(spark, tmp_path):
     a = spark.read.parquet(zpath).groupBy().sum("l_quantity").collect()
     b = spark.read.parquet(xpath).groupBy().sum("l_quantity").collect()
     assert a == b
+
+
+def test_zorder_layout_wide_domain_no_overflow(spark):
+    """Min-max scaling must go through double before the multiply:
+    (col - lo) * top in int64 wraps for spans wider than ~2^47 at
+    bits=16, scrambling the z-order. With the double path, extreme-corner
+    rows keep their relative order."""
+    big = 1 << 55
+    rows = [(0, 0), (big, big), (big // 2, big // 2), (0, big), (big, 0)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = zorder_layout(df, "x", "y", bits=16, partitions=1)
+    got = [(r["x"], r["y"]) for r in out.collect()]
+    # z(0,0) < z(mid,mid) < z(big,big) under a correct Morton order
+    order = {v: i for i, v in enumerate(got)}
+    assert order[(0, 0)] < order[(big // 2, big // 2)] < order[(big, big)]

@@ -108,3 +108,30 @@ def test_contamination_planted(spark):
     assert got[1][0] == 3 and got[1][1]  # the 3 grams of a 10-word doc
     assert got[2] == (0, False)
     assert got[3] == (0, False)
+
+
+def test_tokenize_keeps_zero_word_docs(spark):
+    """A doc whose text yields no words (NULL text — split('', ' ') still
+    gives one empty-string word, but split(NULL) gives NULL and
+    posexplode emits no rows) must still appear in the sequences table
+    with tokens = [] / n_tok = 0, not silently vanish."""
+    rows = [(1, "a b c", "web"), (2, None, "web"), (3, None, "books")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    v = build_vocab(df.where(F.col("text").isNotNull()), 4)
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+           for r in tokenize(df, v).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == ([], 0) and got[3] == ([], 0)
+    assert got[1][1] == 3
+
+
+def test_vocab_coverage_clamps_oversized_requests(spark, docs):
+    """Requested sizes beyond the distinct-term count clamp to the full
+    vocabulary (coverage = 1.0) instead of dropping out of the curve."""
+    from p2pddsketch_spark.operators.pipeline import vocab_coverage
+    out = {r["vocab_size"]: (r["coverage"], r["n_terms_total"])
+           for r in vocab_coverage(docs, sizes=(2, 1000)).collect()}
+    assert set(out) == {2, 1000}          # nothing silently dropped
+    n_terms = out[2][1]
+    assert n_terms < 1000
+    assert out[1000][0] == pytest.approx(1.0)

@@ -82,3 +82,18 @@ def test_delete_batch_turnstile():
     for q in [0.1, 0.5, 0.9, 0.99]:
         exact = srt[int(np.floor(1 + q * (len(srt) - 1))) - 1]
         assert abs((s.quantile(q) - exact) / exact) <= 0.005 * (1 + 1e-9)
+
+
+def test_theta_cardinality_udf_null_total(spark):
+    """NULL sketch blobs (outer joins, empty groups) yield NULL
+    estimates, not a TypeError inside the pandas UDF."""
+    from p2pddsketch_spark.functions.sketch_udfs import (
+        theta_build_udaf, theta_cardinality_udf)
+    df = spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "g int, v int")
+    built = df.groupBy("g").agg(theta_build_udaf()(F.col("v")).alias("blob"))
+    allg = spark.createDataFrame([(1,), (2,), (3,)], "g int")
+    joined = allg.join(built, "g", "left")
+    got = {r["g"]: r["est"] for r in joined.select(
+        "g", theta_cardinality_udf()(F.col("blob")).alias("est")).collect()}
+    assert got[3] is None
+    assert got[1] == 2.0 and got[2] == 1.0
