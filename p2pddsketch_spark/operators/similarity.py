@@ -40,8 +40,15 @@ def cosine_sim_col(a, b):
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
-    """Exact top-k neighbors per query by cosine. Queries are broadcast;
-    the corpus is scanned once; per-query top-k via window rank."""
+    """Exact top-k neighbors per query by cosine — the LINEAR-SCAN
+    baseline. Scan cost contract: the query set is broadcast (must be
+    dimension-table sized) and the plan computes |corpus| × |queries|
+    similarities in one pass — no shuffle of the corpus, but every
+    query batch pays a full corpus scan. At 100 TB use the sublinear
+    paths instead: `ann_topk_lsh` (hyperplane-bucketed candidates),
+    `ann_topk_ivf` (coarse-quantizer cell probing), or the int8 variant
+    (`quantize_embeddings` + integer-dot rerank) — this form exists as
+    the exactness oracle those paths are measured against."""
     j = corpus.crossJoin(F.broadcast(queries))
     sim = F.round(cosine_sim_col(F.col(vec_col), F.col(qvec_col)), 6)
     scored = j.select(F.col(qid_col), F.col(id_col).alias("neighbor_id"),

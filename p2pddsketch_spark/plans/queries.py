@@ -621,23 +621,31 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dds_udaf_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DDSketch as a literal mergeable UDAF (north_rule wording): a
-    GROUPED_AGG pandas UDF aggregates l_quantity into sketch BYTES
-    inside a plain groupBy().agg(), and the quantiles are read from the
-    collected per-group blobs. Convenience/SQL-parity form of the
-    harness (grouped-agg UDFs can't partial-aggregate — the 10^12-row
-    path stays `operators/harness.py`; `sketch_merge_udaf` re-aggregates
-    its persisted partials). Bucket counts are order-invariant, so the
-    same quantile SQL is an exact oracle."""
-    from p2pddsketch_spark.functions.sketch_udfs import dds_build_udaf
+    """DDSketch as a literal mergeable UDAF (north_rule wording), in the
+    SCALE-SAFE composition: stage 1 builds per-partition partial sketches
+    through the mapInArrow harness (map-side combine — raw l_quantity
+    never shuffles), then `sketch_merge_udaf` — a GROUPED_AGG pandas
+    UDAF over sketch BLOBS — re-aggregates the partial table per group
+    inside a plain groupBy().agg(). Grouped-agg UDFs cannot
+    partial-aggregate, which is immaterial here because only tiny blobs
+    reach the reducer; merge is byte-identical to a single-shot build
+    (test_sketch_udfs.py). The raw-column `dds_build_udaf` convenience
+    form stays pytest-only — its plan full-shuffles raw rows, which dies
+    at 10^12. Bucket counts are order-invariant, so the plain quantile
+    SQL is an exact oracle."""
+    from p2pddsketch_spark.functions.sketch_udfs import sketch_merge_udaf
+    from p2pddsketch_spark.operators.harness import EMPTY_MARKER, build_partials
     alpha = 0.01
     gamma, _ = gamma_of_alpha(alpha)
     li = load(spark, sf_dir, "lineitem")
-    rows = (li.groupBy("l_returnflag")
-            .agg(dds_build_udaf(alpha, 1 << 22)("l_quantity").alias("sketch"))
-            .collect())
+    spec = [SketchSpec("dds", lambda: DDSketch(alpha=alpha, bin_limit=1 << 22),
+                       scalar_extractor("l_quantity"))]
+    partials = build_partials(li, spec, group_cols=("l_returnflag",))
+    merged = (partials.where(F.col("sketch_name") != EMPTY_MARKER)
+              .groupBy("l_returnflag")
+              .agg(sketch_merge_udaf()(F.col("sketch")).alias("sketch")))
     sketches = {(r["l_returnflag"], "dds"): DDSketch.from_bytes(bytes(r["sketch"]))
-                for r in rows}
+                for r in merged.collect()}
     return _ddsketch_quantile_rows(spark, li, sketches, [0.25, 0.75, 0.99],
                                    gamma, ("l_returnflag",))
 

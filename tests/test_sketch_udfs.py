@@ -97,3 +97,29 @@ def test_theta_cardinality_udf_null_total(spark):
         "g", theta_cardinality_udf()(F.col("blob")).alias("est")).collect()}
     assert got[3] is None
     assert got[1] == 2.0 and got[2] == 1.0
+
+
+def test_udaf_gate_row_aggregates_blobs_not_raw_rows(spark):
+    """The registered dds_udaf_by_flag composition must feed the
+    GROUPED_AGG UDAF with harness-partial sketch BLOBS — never raw
+    l_quantity (a raw-column grouped-agg UDAF full-shuffles the table,
+    the one plan shape that dies at 10^12 rows)."""
+    from p2pddsketch_spark.functions.sketch_udfs import sketch_merge_udaf
+    from p2pddsketch_spark.operators.harness import (EMPTY_MARKER,
+                                                     build_partials)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    spec = [SketchSpec("dds", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
+                       scalar_extractor("l_quantity"))]
+    partials = build_partials(li, spec, group_cols=("l_returnflag",))
+    merged = (partials.where(F.col("sketch_name") != EMPTY_MARKER)
+              .groupBy("l_returnflag")
+              .agg(sketch_merge_udaf()(F.col("sketch")).alias("sketch")))
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    agg_lines = [ln for ln in plan.splitlines()
+                 if "AggregateInPandas" in ln or "ArrowAggregatePython" in ln]
+    assert agg_lines, plan
+    for ln in agg_lines:
+        assert "sketch_merge" in ln and "l_quantity" not in ln, ln
+    # the one Exchange before the UDAF ships (group, blob) columns only
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex_lines and all("l_quantity" not in ln for ln in ex_lines), plan
