@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_token_overlap": Q.q_theta_token_overlap,
         "stratified_sample": Q.q_stratified_sample,
         "weighted_sample": Q.q_weighted_sample,
+        # -- new in round 4 ---------------------------------------------
+        "bpe_train_merges": Q.q_bpe_train_merges,
         # -- changed in round 4 (empty-row fix / clamped coverage) ------
         "tokenize_vocab": Q.q_tokenize_vocab,
         "vocab_coverage": Q.q_vocab_coverage,
@@ -103,9 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_quantiles_lineitem": Q.q_dds_lineitem,
         "dds_price_by_flag": Q.q_dds_price_by_flag,
         "tpch_q1": Q.q_tpch_q1,
-        "neardup_clusters": Q.q_neardup_clusters,
         # ======================= slot 51+ ==============================
         # (driver-green in r3; re-rotated into the window next round)
+        "neardup_clusters": Q.q_neardup_clusters,
         "dds_value_by_user_bucket": Q.q_dds_value_by_user_bucket,
         "dds_turnstile_lineitem": Q.q_dds_turnstile,
         "dds_events_catalyst": Q.q_dds_events_sql,

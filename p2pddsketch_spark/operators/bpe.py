@@ -1,0 +1,98 @@
+"""Iterated BPE tokenizer training — the merge loop.
+
+`bpe_top_pairs` (plans/queries.py) computes ONE merge step's pair
+statistics; this module runs the full training loop: k rounds of
+(count weighted adjacent symbol pairs → pick the best pair → apply the
+merge to every word), producing the ranked merge table a BPE tokenizer
+is defined by. Reference analog: the build→query driver loop of
+/root/reference/main.cpp:432-472 (fixed-iteration loop with per-round
+state), re-expressed as a DataFrame loop with per-iteration
+materialization like `operators/pagerank.py`.
+
+Scale shape: the corpus shuffles ONCE into the distinct-word-count
+table; every iteration thereafter runs over the vocabulary table
+(bounded by distinct words, not raw tokens) — the standard trick that
+makes BPE training corpus-size-independent after the first pass. The
+per-iteration driver round-trip is a single row (the argmax pair),
+mirroring PageRank's convergence probe.
+
+Cross-engine-stable merge application: a word's symbol sequence is
+carried as ONE string — single-space padded, DOUBLE-space joined
+(`' a  b  c '`). Applying merge (L, R) is then a plain literal
+`replace(s, ' L  R ', ' LR ')`: left-to-right non-overlapping scanning
+(identical in the JVM and DuckDB, no regex/lookbehind) reproduces
+greedy BPE exactly — in `a a a a` the first match consumes its
+trailing space but the DOUBLE space leaves the next pair's leading
+space intact, so `[aa, aa]` comes out, while overlapping `a a a`
+correctly yields `[aa, a]`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(s, wc): padded symbol string of every DISTINCT word + its corpus
+    occurrence count. The only pass over the raw corpus."""
+    chars = F.expr(f"transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+    return (df.select(F.explode(F.split(text_col, " ")).alias("w"))
+            .where(F.length("w") >= 1)
+            .groupBy("w").agg(F.count("*").alias("wc"))
+            .select("wc", F.concat(F.lit(" "),
+                                   F.array_join(chars, "  "),
+                                   F.lit(" ")).alias("s")))
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """(l, r, c): adjacent symbol pairs weighted by word count (sliding
+    window — overlapping occurrences all count, standard BPE
+    statistics)."""
+    arr = F.split(F.trim(F.col("s")), "  ")
+    pairs = (syms.select("wc", arr.alias("arr"))
+             .where(F.size("arr") >= 2)
+             .select("wc", F.explode(F.expr(
+                 "transform(sequence(1, size(arr) - 1),"
+                 " i -> struct(arr[i - 1] AS l, arr[i] AS r))")).alias("p")))
+    return (pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("c")))
+
+
+def bpe_train_merges(df: DataFrame, k: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Train k BPE merges over the corpus; returns one row per merge:
+    (iteration, left, right, merged, pair_count), iteration 1-based in
+    merge order. Deterministic: ties break on (count DESC, l ASC,
+    r ASC). Stops early if no pair remains (tiny corpora)."""
+    if k < 1:
+        from p2pddsketch_spark.errors import ParamError
+        raise ParamError(f"k must be >= 1, got {k}")
+    spark = df.sparkSession
+    # one corpus shuffle; each iteration re-reads the materialized
+    # vocab-sized table (persist + eager materialize via the argmax
+    # action, unpersist the previous round — bounded storage, O(k)
+    # not O(k²) recompute)
+    syms = word_symbol_table(df, text_col).persist()
+    merges = []
+    try:
+        for it in range(1, k + 1):
+            best = (_pair_counts(syms)
+                    .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                    .limit(1).collect())
+            if not best:
+                break
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            merges.append((it, l, r, l + r, c))
+            nxt = syms.select(
+                "wc",
+                F.replace(F.col("s"), F.lit(f" {l}  {r} "),
+                          F.lit(f" {l}{r} ")).alias("s")).persist()
+            nxt.count()          # materialize before dropping the parent
+            syms.unpersist()
+            syms = nxt
+    finally:
+        syms.unpersist()
+    return spark.createDataFrame(
+        merges, "iteration int, left string, right string, "
+                "merged string, pair_count long")

@@ -1569,6 +1569,47 @@ ORDER BY pair_count DESC, pair
 LIMIT 20
 """
 
+def duckdb_bpe_sql(k: int) -> str:
+    """Unrolled-iteration twin of `operators.bpe.bpe_train_merges`: one
+    (pair-count, argmax, replace) CTE trio per merge round over the same
+    padded double-space symbol encoding — plain literal `replace` scans
+    left-to-right non-overlapping in both engines, so every round's
+    vocabulary state is string-identical."""
+    parts = ["""
+WITH syms0 AS (
+  SELECT COUNT(*)::BIGINT AS wc,
+         ' ' || array_to_string(
+                  list_transform(range(1, length(w) + 1), i -> w[i]),
+                  '  ') || ' ' AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 1 GROUP BY w
+)"""]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(f""",
+pc{i} AS (
+  SELECT l, r, SUM(wc) AS c FROM (
+    SELECT wc, unnest(arr[1:len(arr)-1]) AS l, unnest(arr[2:len(arr)]) AS r
+    FROM (SELECT wc, string_split(trim(s), '  ') AS arr FROM syms{p})
+  ) GROUP BY l, r
+),
+b{i} AS (SELECT l, r, c FROM pc{i} ORDER BY c DESC, l, r LIMIT 1),
+syms{i} AS (
+  SELECT wc, replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                        ' ' || b.l || b.r || ' ') AS s
+  FROM syms{p}, b{i} b)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS iteration, l, r, c FROM b{i}" for i in range(1, k + 1))
+    parts.append(f"""
+SELECT CAST(iteration AS INT) AS iteration, l AS "left", r AS "right",
+       l || r AS merged, CAST(c AS BIGINT) AS pair_count
+FROM ({union})
+ORDER BY iteration""")
+    return "".join(parts)
+
+
+ORACLES["bpe_train_merges"] = duckdb_bpe_sql(5)
+
 # Rolling WAU from per-day theta unions (under-k exact) == the direct
 # 7-day COUNT(DISTINCT) window.
 ORACLES["theta_rolling_wau"] = """

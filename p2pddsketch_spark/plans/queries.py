@@ -1737,6 +1737,20 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pair_count"), "pair").limit(20))
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE tokenizer training (k = 5 merge rounds): each round
+    counts weighted adjacent symbol pairs over the DISTINCT-word table,
+    picks the argmax pair (count DESC, l ASC, r ASC), and applies the
+    merge to every word via the padded double-space literal-replace
+    encoding (`operators/bpe.py` — greedy non-overlapping semantics,
+    bit-identical in the JVM and DuckDB). The oracle replays the same 5
+    rounds as an unrolled CTE chain."""
+    from p2pddsketch_spark.operators.bpe import bpe_train_merges
+    return (bpe_train_merges(load(spark, sf_dir, "documents"), k=5)
+            .select("iteration", "left", "right", "merged", "pair_count")
+            .orderBy("iteration"))
+
+
 def q_theta_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling distinct users (WAU) from the SAME per-day theta
     state as `theta_daily_retention` — every window is a UNION of ≤ 7

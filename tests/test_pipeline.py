@@ -135,3 +135,24 @@ def test_vocab_coverage_clamps_oversized_requests(spark, docs):
     n_terms = out[2][1]
     assert n_terms < 1000
     assert out[1000][0] == pytest.approx(1.0)
+
+
+def test_bpe_train_merges_greedy_semantics(spark):
+    """The padded double-space replace implements greedy non-overlapping
+    BPE exactly: 'aaaa' merges to [aa, aa] (not [aa, a, a]), overlapping
+    'aaa' to [aa, a]; merge order is (count DESC, l ASC, r ASC); merged
+    symbols participate in later rounds."""
+    from p2pddsketch_spark.operators.bpe import bpe_train_merges
+    from p2pddsketch_spark.errors import ParamError
+    df = spark.createDataFrame(
+        [("aaaa aba low lower lowest",), ("low low newer newest",)],
+        "text string")
+    got = [(r["iteration"], r["left"], r["right"], r["merged"],
+            r["pair_count"]) for r in bpe_train_merges(df, k=5).collect()]
+    assert got[0] == (1, "l", "o", "lo", 5)       # l-o in all 5 low* words
+    assert got[1] == (2, "lo", "w", "low", 5)     # merged symbol re-merges
+    # 'aaaa' holds 3 overlapping (a,a) pairs — sliding-window statistics
+    assert got[2] == (3, "a", "a", "aa", 3)
+    assert [g[0] for g in got] == [1, 2, 3, 4, 5]
+    with pytest.raises(ParamError):
+        bpe_train_merges(df, k=0)
