@@ -1,0 +1,59 @@
+"""OPTIMIZE job: compact a parquet table into z-ordered, size-targeted
+files with a verified lineage manifest.
+
+    spark-submit --py-files p2pddsketch_spark jobs/optimize_table.py \
+        --input  /data/events --output /data/events_opt \
+        --zorder user_id,event_id --target-file-mb 128
+
+Reads the table once for layout bounds, shuffles once into Morton
+ranges, writes one file per range, then proves row-identity (count +
+order-independent content hash) before emitting `_manifest.json`.
+Exits non-zero if verification fails (the output is then NOT safe to
+swap in)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--zorder", required=True,
+                    help="two comma-separated integer columns, e.g. a,b")
+    ap.add_argument("--bits", type=int, default=16)
+    ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument("--hash-cols", default=None,
+                    help="comma-separated columns for the identity hash "
+                         "(default: all; exclude float/timestamp columns "
+                         "or pre-format them)")
+    args = ap.parse_args(argv)
+    cols = args.zorder.split(",")
+    if len(cols) != 2:
+        ap.error("--zorder needs exactly two columns")
+
+    from pyspark.sql import SparkSession
+    owns = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName("optimize-table").getOrCreate()
+    try:
+        from p2pddsketch_spark.operators.maintenance import compact_zorder
+        manifest = compact_zorder(
+            spark, args.input, args.output, cols[0], cols[1],
+            bits=args.bits,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+            hash_cols=args.hash_cols.split(",") if args.hash_cols else None)
+        print(json.dumps(manifest))
+        return 0
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    finally:
+        if owns:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,96 @@
+"""Table maintenance: compaction / OPTIMIZE-style rewrite.
+
+The write-path counterpart of `operators/layout.py`: rewrite a parquet
+table into z-ordered, size-targeted files plus a lineage manifest —
+the weekly job a 100 TB corpus runs to keep scan pruning effective as
+small append files accumulate. Reference analog: the persist path of
+`DDS_PrintCSV` (/root/reference/ddsketch.cc:913-954) writes state for
+later runs; here the state is the table layout itself.
+
+Scale shape: one pass computes the min/max scaling bounds (cheap
+aggregate — at 100 TB substitute known domain bounds), one
+`repartitionByRange` shuffle clusters rows by Morton value into
+`n_files` ranges sized to `target_file_bytes`, and the write is
+embarrassingly parallel (one file per range partition). Verification
+re-scans both layouts with the same order-independent content hash —
+two more scans, no shuffle (partial aggregation only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def content_checksum(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """Order-independent content hash: per row, 60 bits of
+    md5(concat_ws('|', cols)) reduced mod 1e9+7, summed. Engine-stable:
+    DuckDB twin is SUM(('0x' || substr(md5(...), 1, 15))::BIGINT % p) —
+    identical hex parse, and the mod keeps the BIGINT sum exact to
+    ~9·10⁹ rows. Timestamps must be pre-formatted and doubles
+    pre-quantized by the caller (cross-engine string rendering of both
+    is not stable)."""
+    cols = cols or df.columns
+    row = F.concat_ws("|", *[F.col(c) for c in cols])
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return F.sum(h % F.lit(1000000007)).alias("content_hash")
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of the parquet data files under path."""
+    if os.path.isfile(path):
+        return 1, os.path.getsize(path)
+    n = b = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                b += os.path.getsize(os.path.join(root, f))
+    return n, b
+
+
+def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
+                   x: str, y: str, bits: int = 16,
+                   target_file_bytes: int = 128 * 1024 * 1024,
+                   hash_cols: list[str] | None = None) -> dict:
+    """OPTIMIZE: rewrite `input_path` into z-ordered (x, y) parquet at
+    `output_path`, one file per Morton range sized to
+    `target_file_bytes`, verify row-identity (count + order-independent
+    content hash) and write a `_manifest.json` lineage record. Raises
+    ValueError if the rewrite lost or altered rows."""
+    from p2pddsketch_spark.operators.layout import zorder_layout
+    t0 = time.monotonic()
+    df = spark.read.parquet(input_path)
+    in_files, in_bytes = _dir_stats(input_path)
+    n_files = max(1, -(-in_bytes // target_file_bytes))
+    zorder_layout(df, x, y, bits=bits, partitions=int(n_files)) \
+        .write.mode("overwrite").parquet(output_path)
+
+    cols = hash_cols or df.columns
+    def identity(p: str):
+        d = spark.read.parquet(p).select(*cols)
+        return d.agg(F.count(F.lit(1)).alias("n_rows"),
+                     content_checksum(d, cols)).first()
+    before, after = identity(input_path), identity(output_path)
+    if (before["n_rows"], before["content_hash"]) != \
+            (after["n_rows"], after["content_hash"]):
+        raise ValueError(
+            f"compaction changed table content: {tuple(before)} -> {tuple(after)}")
+    out_files, out_bytes = _dir_stats(output_path)
+    manifest = {
+        "input_path": input_path, "output_path": output_path,
+        "zorder": [x, y], "bits": bits,
+        "target_file_bytes": int(target_file_bytes),
+        "rows": int(before["n_rows"]),
+        "content_hash": int(before["content_hash"]),
+        "files_in": in_files, "bytes_in": in_bytes,
+        "files_out": out_files, "bytes_out": out_bytes,
+        "secs": round(time.monotonic() - t0, 3),
+    }
+    with open(os.path.join(output_path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

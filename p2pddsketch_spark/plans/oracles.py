@@ -1610,6 +1610,28 @@ ORDER BY iteration""")
 
 ORACLES["bpe_train_merges"] = duckdb_bpe_sql(5)
 
+# Compaction identity proof: the twin computes the INPUT table's
+# (n_rows, order-independent content hash) once and emits it under both
+# phase labels — the 'after' row matching is the rewrite-preserves-
+# content contract. Same 60-bit md5 hex parse, same mod-1e9+7 sum, same
+# tz-free timestamp format and ×1e6 double quantization as the Spark
+# side (concat_ws on both engines skips NULLs identically).
+ORACLES["optimize_compact"] = """
+WITH base AS (
+  SELECT COUNT(*)::BIGINT AS n_rows,
+         CAST(SUM(('0x' || substr(md5(concat_ws('|',
+                event_id, user_id, event_type, props,
+                strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
+                CAST(floor(value * 1e6 + 0.5) AS BIGINT))), 1, 15))::BIGINT
+              % 1000000007) AS BIGINT) AS content_hash
+  FROM events
+)
+SELECT 'after' AS phase, n_rows, content_hash FROM base
+UNION ALL
+SELECT 'before' AS phase, n_rows, content_hash FROM base
+ORDER BY phase
+"""
+
 # Rolling WAU from per-day theta unions (under-k exact) == the direct
 # 7-day COUNT(DISTINCT) window.
 ORACLES["theta_rolling_wau"] = """

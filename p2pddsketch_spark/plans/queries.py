@@ -1737,6 +1737,47 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pair_count"), "pair").limit(20))
 
 
+def q_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction/OPTIMIZE write path (`jobs/optimize_table.py`):
+    rewrite the events table into z-ordered (user_id, event_id),
+    size-targeted files with a verified manifest, then prove
+    row-identity with an order-independent content hash over EVERY
+    column (timestamps formatted tz-free, doubles quantized ×1e6 —
+    the cross-engine-stable renderings) computed on both layouts.
+    The oracle emits the input table's (n_rows, hash) twice: equality
+    of the 'after' row IS the compaction-preserves-content contract."""
+    import shutil
+    import tempfile
+    from p2pddsketch_spark.operators.maintenance import (compact_zorder,
+                                                         content_checksum)
+    src = f"{sf_dir}/events.parquet"
+    tmp = tempfile.mkdtemp(prefix="optcompact_")
+    out = f"{tmp}/events_opt"
+    hash_cols = ["event_id", "user_id", "event_type", "props", "ts_s", "v_q"]
+
+    def proof(path: str, phase: str):
+        d = (spark.read.parquet(path)
+             .select("event_id", "user_id", "event_type", "props",
+                     F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                     .alias("ts_s"),
+                     F.floor(F.col("value") * 1e6 + F.lit(0.5))
+                     .cast("long").alias("v_q")))
+        r = d.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  content_checksum(d, hash_cols)).first()
+        return (phase, int(r["n_rows"]), int(r["content_hash"]))
+
+    try:
+        compact_zorder(spark, src, out, "user_id", "event_id", bits=12,
+                       target_file_bytes=64 * 1024,
+                       hash_cols=["event_id", "user_id", "event_type", "props"])
+        rows = [proof(src, "before"), proof(out, "after")]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (spark.createDataFrame(
+        rows, "phase string, n_rows long, content_hash long")
+        .orderBy("phase"))
+
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterated BPE tokenizer training (k = 5 merge rounds): each round
     counts weighted adjacent symbol pairs over the DISTINCT-word table,

@@ -1,0 +1,93 @@
+"""Compaction/OPTIMIZE job: verified rewrite, manifest lineage, and the
+re-measured pruning receipt on the rewritten layout."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.operators.maintenance import (compact_zorder,
+                                                     content_checksum)
+
+SRC = "/root/testdata/sf0.01/lineitem.parquet"
+
+
+def _groups_hit(path, xcol, ycol, box):
+    x0, x1, y0, y1 = box
+    hit = total = 0
+    for piece in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(piece).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            stats = {rg.column(c).path_in_schema: rg.column(c).statistics
+                     for c in range(rg.num_columns)}
+            total += 1
+            sx, sy = stats[xcol], stats[ycol]
+            if sx.max >= x0 and sx.min <= x1 and sy.max >= y0 and sy.min <= y1:
+                hit += 1
+    return hit, total
+
+
+def test_compact_zorder_verified_rewrite(spark, tmp_path):
+    out = str(tmp_path / "li_opt")
+    manifest = compact_zorder(
+        spark, SRC, out, "l_partkey", "l_suppkey", bits=11,
+        target_file_bytes=256 * 1024,
+        hash_cols=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                   "l_returnflag", "l_linestatus"])
+    # size-targeted multi-file output, all rows preserved
+    assert manifest["files_out"] >= 4
+    assert manifest["rows"] == spark.read.parquet(SRC).count()
+    # the on-disk manifest matches the returned one
+    disk = json.load(open(os.path.join(out, "_manifest.json")))
+    assert disk == manifest
+    # independent identity check on stable columns
+    cols = ["l_orderkey", "l_partkey", "l_linenumber"]
+    def h(p):
+        d = spark.read.parquet(p).select(*cols)
+        return tuple(d.agg(F.count(F.lit(1)), content_checksum(d, cols)).first())
+    assert h(SRC) == h(out)
+
+    # pruning receipt ON THE REWRITTEN LAYOUT: a box selective on either
+    # axis hits a minority of row groups (the payoff the job exists for)
+    big = 1 << 30
+    zx, ztot = _groups_hit(out, "l_partkey", "l_suppkey", (100, 300, 0, big))
+    zy, _ = _groups_hit(out, "l_partkey", "l_suppkey", (0, big, 10, 14))
+    assert ztot >= 4
+    assert zx < ztot and zy < ztot  # both axes prune after the rewrite
+
+
+def test_compact_zorder_detects_content_change(spark, tmp_path, monkeypatch):
+    """If the rewrite were lossy the job must fail loudly: simulate by
+    hashing a column the rewrite (legitimately) preserves, then corrupt
+    the comparison path by pointing verification at a filtered view."""
+    out = str(tmp_path / "bad_opt")
+    real_parquet = type(spark.read).parquet
+
+    def tampered(self, path):
+        df = real_parquet(self, path)
+        # drop a row on every read of the output path: the verification
+        # re-read then sees altered content and must raise
+        if path == out:
+            return df.where(F.col("l_orderkey") != 1)
+        return df
+
+    monkeypatch.setattr(type(spark.read), "parquet", tampered)
+    with pytest.raises(ValueError, match="compaction changed"):
+        compact_zorder(spark, SRC, out, "l_partkey", "l_suppkey",
+                       bits=8, target_file_bytes=1 << 20,
+                       hash_cols=["l_orderkey", "l_partkey"])
+
+
+def test_optimize_table_cli(spark, tmp_path):
+    from jobs.optimize_table import main
+    out = str(tmp_path / "cli_opt")
+    rc = main(["--input", SRC, "--output", out,
+               "--zorder", "l_partkey,l_suppkey",
+               "--target-file-mb", "1",
+               "--hash-cols", "l_orderkey,l_partkey,l_linenumber"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "_manifest.json"))
