@@ -110,6 +110,60 @@ def sketch_build_throughput(spark, path: str, total_tokens: int) -> dict:
     }
 
 
+def bloom_join_receipt(spark, sf_dir: str, reps: int) -> dict:
+    """Measured receipt for the Bloom runtime join filter: the same
+    shuffle-hash join (lineitem ⋈ 10%-selective orders) with and without
+    the pre-shuffle Bloom prune, plus the fact-row count entering the
+    exchange each way. The SHUFFLE-VOLUME cut is the scale receipt (at
+    100 TB the fact shuffle dominates); wall-clock at this SF also prices
+    the Python probe stage, whose fixed cost exceeds the tiny shuffle
+    saved on 600k rows — both numbers are reported so the crossover is
+    explicit."""
+    from pyspark.sql import functions as F
+    from p2pddsketch_spark.operators.runtime_filter import bloom_semi_filter
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_totalprice") > 450000.0)
+              .select("o_orderkey", "o_orderpriority"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,6)")
+
+    def agg(j):
+        return (j.groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n"), F.sum(rev).alias("r")).count())
+
+    def best(f):
+        b = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            f()
+            dt = time.monotonic() - t0
+            b = dt if b is None else min(b, dt)
+        return b
+
+    def plain():
+        return agg(li.hint("shuffle_hash")
+                   .join(orders, li["l_orderkey"] == F.col("o_orderkey")))
+
+    def bloomed():
+        pr = bloom_semi_filter(li, "l_orderkey",
+                               orders.select("o_orderkey"), "o_orderkey")
+        return agg(pr.hint("shuffle_hash")
+                   .join(orders, pr["l_orderkey"] == F.col("o_orderkey")))
+
+    tp, tb = best(plain), best(bloomed)
+    n_fact = li.count()
+    n_after = bloom_semi_filter(li, "l_orderkey",
+                                orders.select("o_orderkey"), "o_orderkey").count()
+    return {
+        "plain_secs": round(tp, 3), "bloom_secs": round(tb, 3),
+        "fact_rows_shuffled_plain": int(n_fact),
+        "fact_rows_shuffled_bloom": int(n_after),
+        "pruned_rows": int(n_fact - n_after),
+        "pruned_pct": round(100.0 * (1 - n_after / n_fact), 2),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -175,6 +229,11 @@ def main():
     tp["catalyst_quantile_secs"] = round(cq, 3)
     tp["catalyst_rows_per_sec"] = round(bench_rows / tp["catalyst_quantile_secs"], 1)
     print(f"# catalyst quantile: {tp['catalyst_quantile_secs']}s", file=sys.stderr)
+
+    if not skip_queries:
+        br = bloom_join_receipt(spark, sf_dir, reps)
+        tp["bloom_join"] = br
+        print(f"# bloom join receipt: {br}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
