@@ -49,6 +49,7 @@ from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
 from p2pddsketch_spark.sketches.tdigest import TDigest
 from p2pddsketch_spark.sketches.theta import ThetaSketch
 from p2pddsketch_spark.sketches.fd import FrequentDirections
+from p2pddsketch_spark.sketches.moments import MomentSketch
 from p2pddsketch_spark.sketches.weightedk import WeightedTopK
 
 __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
@@ -79,6 +80,7 @@ SKETCH_TYPES = {
     b"THT1": ThetaSketch,
     b"FRD1": FrequentDirections,
     b"WTK1": WeightedTopK,
+    b"MOM1": MomentSketch,
 }
 
 

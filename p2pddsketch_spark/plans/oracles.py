@@ -1610,6 +1610,27 @@ ORDER BY iteration""")
 
 ORACLES["bpe_train_merges"] = duckdb_bpe_sql(5)
 
+# Moment sketch deterministic state: z = ln(x + sqrt(x²+1)) (asinh in
+# engine-identical libm ops), per-row (z/8)^j floor-quantized at 2^40
+# then integer-summed — associative, so the harness merge tree and this
+# single GROUP BY agree exactly. 2^40 = 1099511627776.
+_MQ = "1099511627776"
+ORACLES["moments_by_flag"] = f"""
+WITH z AS (
+  SELECT l_returnflag,
+         ln(l_quantity + sqrt(l_quantity * l_quantity + 1)) AS z
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*)::BIGINT AS n,
+       CAST(floor(MIN(z) * {_MQ} + 0.5) AS BIGINT) AS zq_min,
+       CAST(floor(MAX(z) * {_MQ} + 0.5) AS BIGINT) AS zq_max,
+       {", ".join(
+           f"CAST(SUM(CAST(floor(power(z / 8, CAST({j} AS DOUBLE)) * {_MQ}"
+           f" + 0.5) AS BIGINT)) AS BIGINT) AS s{j}" for j in range(1, 7))}
+FROM z GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
 # Compaction identity proof: the twin computes the INPUT table's
 # (n_rows, order-independent content hash) once and emits it under both
 # phase labels — the 'after' row matching is the rewrite-preserves-

@@ -1737,6 +1737,33 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pair_count"), "pair").limit(20))
 
 
+def q_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment sketch (Gan et al. VLDB'18) built per l_returnflag through
+    the harness: the gate row emits the DETERMINISTIC integer state —
+    n, quantized z-min/max, and the six quantized asinh power sums —
+    which the DuckDB twin reproduces bit-for-bit (ln/sqrt/pow are
+    engine-identical; floor-quantized int sums are associative). The
+    solver-based quantile ESTIMATES from the same sketches are
+    bound-verified in pytest (tests/test_moments.py), mirroring the
+    HLL/CMS estimate-vs-counter split."""
+    from p2pddsketch_spark.sketches.moments import QUANT, MomentSketch
+    li = load(spark, sf_dir, "lineitem")
+    out = build_sketches(
+        li, [SketchSpec("mom", lambda: MomentSketch(k=6, zscale=8.0),
+                        scalar_extractor("l_quantity"))],
+        group_cols=("l_returnflag",))
+    sketches = collect_sketches(out, group_cols=("l_returnflag",))
+    rows = []
+    for key, sk in sketches.items():
+        rows.append((key[0], int(sk.n),
+                     int(np.floor(sk.zmin * QUANT + 0.5)),
+                     int(np.floor(sk.zmax * QUANT + 0.5)),
+                     *[int(s) for s in sk.sums]))
+    schema = ("l_returnflag string, n long, zq_min long, zq_max long, "
+              + ", ".join(f"s{j} long" for j in range(1, 7)))
+    return spark.createDataFrame(rows, schema).orderBy("l_returnflag")
+
+
 def q_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction/OPTIMIZE write path (`jobs/optimize_table.py`):
     rewrite the events table into z-ordered (user_id, event_id),
