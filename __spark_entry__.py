@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": Q.q_weighted_sample,
         # -- new in round 4 ---------------------------------------------
         "bpe_train_merges": Q.q_bpe_train_merges,
+        "bpe_encode": Q.q_bpe_encode,
         "optimize_compact": Q.q_optimize_compact,
         "moments_by_flag": Q.q_moments_by_flag,
         # -- changed in round 4 (empty-row fix / clamped coverage) ------
@@ -104,9 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_prod": Q.q_minhash_lsh_prod,
         "simhash_neardup_pairs": Q.q_simhash_neardup,
         # -- representative core rows kept in-window --------------------
-        "dds_quantiles_lineitem": Q.q_dds_lineitem,
         # ======================= slot 51+ ==============================
         # (driver-green in r3; re-rotated into the window next round)
+        "dds_quantiles_lineitem": Q.q_dds_lineitem,
         "dds_price_by_flag": Q.q_dds_price_by_flag,
         "tpch_q1": Q.q_tpch_q1,
         "neardup_clusters": Q.q_neardup_clusters,

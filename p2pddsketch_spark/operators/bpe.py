@@ -34,15 +34,15 @@ from pyspark.sql import functions as F
 
 
 def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(s, wc): padded symbol string of every DISTINCT word + its corpus
-    occurrence count. The only pass over the raw corpus."""
-    chars = F.expr(f"transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+    """(w, wc, s): every DISTINCT word with its corpus occurrence count
+    and padded symbol string. The only pass over the raw corpus."""
+    chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
     return (df.select(F.explode(F.split(text_col, " ")).alias("w"))
             .where(F.length("w") >= 1)
             .groupBy("w").agg(F.count("*").alias("wc"))
-            .select("wc", F.concat(F.lit(" "),
-                                   F.array_join(chars, "  "),
-                                   F.lit(" ")).alias("s")))
+            .select("w", "wc", F.concat(F.lit(" "),
+                                        F.array_join(chars, "  "),
+                                        F.lit(" ")).alias("s")))
 
 
 def _pair_counts(syms: DataFrame) -> DataFrame:
@@ -59,40 +59,83 @@ def _pair_counts(syms: DataFrame) -> DataFrame:
             .agg(F.sum("wc").alias("c")))
 
 
+def _train(df: DataFrame, k: int, text_col: str):
+    """Run the k-round merge loop; returns (merges, final_syms) where
+    merges = [(iteration, l, r, merged, count)] and final_syms is the
+    PERSISTED (w, wc, s) vocabulary after all merges (caller
+    unpersists). One corpus shuffle; each iteration re-reads the
+    materialized vocab-sized table (persist + eager materialize via the
+    argmax action, unpersist the previous round — bounded storage, O(k)
+    not O(k²) recompute)."""
+    if k < 1:
+        from p2pddsketch_spark.errors import ParamError
+        raise ParamError(f"k must be >= 1, got {k}")
+    syms = word_symbol_table(df, text_col).persist()
+    merges = []
+    for it in range(1, k + 1):
+        best = (_pair_counts(syms)
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1).collect())
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((it, l, r, l + r, c))
+        nxt = syms.select(
+            "w", "wc",
+            F.replace(F.col("s"), F.lit(f" {l}  {r} "),
+                      F.lit(f" {l}{r} ")).alias("s")).persist()
+        nxt.count()              # materialize before dropping the parent
+        syms.unpersist()
+        syms = nxt
+    return merges, syms
+
+
 def bpe_train_merges(df: DataFrame, k: int = 5,
                      text_col: str = "text") -> DataFrame:
     """Train k BPE merges over the corpus; returns one row per merge:
     (iteration, left, right, merged, pair_count), iteration 1-based in
     merge order. Deterministic: ties break on (count DESC, l ASC,
     r ASC). Stops early if no pair remains (tiny corpora)."""
-    if k < 1:
-        from p2pddsketch_spark.errors import ParamError
-        raise ParamError(f"k must be >= 1, got {k}")
     spark = df.sparkSession
-    # one corpus shuffle; each iteration re-reads the materialized
-    # vocab-sized table (persist + eager materialize via the argmax
-    # action, unpersist the previous round — bounded storage, O(k)
-    # not O(k²) recompute)
-    syms = word_symbol_table(df, text_col).persist()
-    merges = []
-    try:
-        for it in range(1, k + 1):
-            best = (_pair_counts(syms)
-                    .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-                    .limit(1).collect())
-            if not best:
-                break
-            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
-            merges.append((it, l, r, l + r, c))
-            nxt = syms.select(
-                "wc",
-                F.replace(F.col("s"), F.lit(f" {l}  {r} "),
-                          F.lit(f" {l}{r} ")).alias("s")).persist()
-            nxt.count()          # materialize before dropping the parent
-            syms.unpersist()
-            syms = nxt
-    finally:
-        syms.unpersist()
+    merges, syms = _train(df, k, text_col)
+    syms.unpersist()
     return spark.createDataFrame(
         merges, "iteration int, left string, right string, "
                 "merged string, pair_count long")
+
+
+def bpe_encode(df: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Train k merges, then ENCODE every document with the trained
+    vocabulary — the apply half of the tokenizer loop. Returns one row
+    per doc with at least one word: (id, n_words, n_sym, enc_hash)
+    where enc_hash fingerprints the full symbol sequence in word order
+    (md5 of the per-word symbol strings joined positionally), pinning
+    every symbol at every position without shipping arrays.
+
+    Scale shape: the trained word→symbols mapping is vocabulary-sized;
+    encoding is ONE equi-join of the posexploded corpus against it on
+    the word key (hot words are high-fanout build rows — Spark's AQE
+    skew split applies), then one doc-keyed shuffle to re-assemble.
+    Zero Python stages."""
+    merges, syms = _train(df, k, text_col)
+    try:
+        mapping = syms.select(
+            "w", F.trim(F.col("s")).alias("sym_str"),
+            F.size(F.split(F.trim(F.col("s")), "  ")).alias("ns"))
+        words = (df.select(id_col, F.posexplode(F.split(text_col, " "))
+                           .alias("pos", "w"))
+                 .where(F.length("w") >= 1))
+        enc = words.join(mapping, "w")
+        ordered = F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sym_str"))),
+            lambda x: x["sym_str"])
+        out = (enc.groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_words"),
+                    F.sum("ns").cast("long").alias("n_sym"),
+                    F.md5(F.concat_ws(" / ", ordered)).alias("enc_hash")))
+        # materialize before unpersisting the mapping the plan reads
+        out = out.localCheckpoint(eager=True)
+    finally:
+        syms.unpersist()
+    return out

@@ -1569,15 +1569,18 @@ ORDER BY pair_count DESC, pair
 LIMIT 20
 """
 
-def duckdb_bpe_sql(k: int) -> str:
-    """Unrolled-iteration twin of `operators.bpe.bpe_train_merges`: one
-    (pair-count, argmax, replace) CTE trio per merge round over the same
-    padded double-space symbol encoding — plain literal `replace` scans
-    left-to-right non-overlapping in both engines, so every round's
-    vocabulary state is string-identical."""
+def duckdb_bpe_sql(k: int, mode: str = "merges") -> str:
+    """Unrolled-iteration twin of `operators.bpe.bpe_train_merges` /
+    `bpe_encode`: one (pair-count, argmax, replace) CTE trio per merge
+    round over the same padded double-space symbol encoding — plain
+    literal `replace` scans left-to-right non-overlapping in both
+    engines, so every round's vocabulary state is string-identical.
+    mode='merges' emits the merge table; mode='encode' joins the final
+    word→symbols mapping back onto the posexploded corpus and emits the
+    per-doc (n_words, n_sym, positional md5) fingerprint."""
     parts = ["""
 WITH syms0 AS (
-  SELECT COUNT(*)::BIGINT AS wc,
+  SELECT w, COUNT(*)::BIGINT AS wc,
          ' ' || array_to_string(
                   list_transform(range(1, length(w) + 1), i -> w[i]),
                   '  ') || ' ' AS s
@@ -1595,9 +1598,28 @@ pc{i} AS (
 ),
 b{i} AS (SELECT l, r, c FROM pc{i} ORDER BY c DESC, l, r LIMIT 1),
 syms{i} AS (
-  SELECT wc, replace(s, ' ' || b.l || '  ' || b.r || ' ',
-                        ' ' || b.l || b.r || ' ') AS s
+  SELECT w, wc, replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                           ' ' || b.l || b.r || ' ') AS s
   FROM syms{p}, b{i} b)""")
+    if mode == "encode":
+        parts.append(f""",
+mapping AS (
+  SELECT w, trim(s) AS sym_str,
+         len(string_split(trim(s), '  '))::BIGINT AS ns
+  FROM syms{k}
+),
+docwords AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+)
+SELECT d.doc_id,
+       COUNT(*)::BIGINT AS n_words,
+       CAST(SUM(m.ns) AS BIGINT) AS n_sym,
+       md5(string_agg(m.sym_str, ' / ' ORDER BY d.pos)) AS enc_hash
+FROM docwords d JOIN mapping m USING (w)
+WHERE length(d.w) >= 1
+GROUP BY d.doc_id ORDER BY d.doc_id""")
+        return "".join(parts)
     union = "\nUNION ALL ".join(
         f"SELECT {i} AS iteration, l, r, c FROM b{i}" for i in range(1, k + 1))
     parts.append(f"""
@@ -1609,6 +1631,7 @@ ORDER BY iteration""")
 
 
 ORACLES["bpe_train_merges"] = duckdb_bpe_sql(5)
+ORACLES["bpe_encode"] = duckdb_bpe_sql(5, mode="encode")
 
 # Moment sketch deterministic state: z = ln(x + sqrt(x²+1)) (asinh in
 # engine-identical libm ops), per-row (z/8)^j floor-quantized at 2^40

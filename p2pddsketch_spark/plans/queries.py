@@ -1819,6 +1819,17 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("iteration"))
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of tokenizer training: encode every document with
+    the 5 trained merges. One vocab-keyed join + one doc-keyed
+    re-assembly; enc_hash (positional md5 over per-word symbol strings)
+    pins every symbol at every position."""
+    from p2pddsketch_spark.operators.bpe import bpe_encode
+    return (bpe_encode(load(spark, sf_dir, "documents"), k=5)
+            .select("doc_id", "n_words", "n_sym", "enc_hash")
+            .orderBy("doc_id"))
+
+
 def q_theta_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling distinct users (WAU) from the SAME per-day theta
     state as `theta_daily_retention` — every window is a UNION of ≤ 7

@@ -156,3 +156,22 @@ def test_bpe_train_merges_greedy_semantics(spark):
     assert [g[0] for g in got] == [1, 2, 3, 4, 5]
     with pytest.raises(ParamError):
         bpe_train_merges(df, k=0)
+
+
+def test_bpe_encode_applies_trained_merges(spark):
+    """Encoding uses the trained vocabulary: merged symbols shrink the
+    per-doc symbol count below the character count, every non-empty doc
+    appears, and the fingerprint is deterministic."""
+    from p2pddsketch_spark.operators.bpe import bpe_encode
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "aaaa aba"), (3, "x")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_words"], r["n_sym"], r["enc_hash"])
+           for r in bpe_encode(df, k=3).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1: 16 chars in 3 words; merges (l,o)->(lo,w)->(a,a) leave
+    # low=1 sym, lower=3, lowest=4 -> 8 symbols < 14 chars
+    assert out[1][0] == 3 and out[1][1] < 14
+    assert out[3] == (1, 1, out[3][2])       # single char stays one symbol
+    again = {r["doc_id"]: r["enc_hash"] for r in bpe_encode(df, k=3).collect()}
+    assert {k: v[2] for k, v in out.items()} == again
