@@ -100,3 +100,31 @@ def test_harness_build_matches_local(spark):
         exact = float(np.quantile(grp["l_quantity"].to_numpy(), 0.5))
         rank = float((grp["l_quantity"].to_numpy() < est).mean())
         assert abs(rank - 0.5) <= 0.05, (flag, est, exact)
+
+
+def test_moment_blobs_through_sql_udafs(spark):
+    """The generic blob UDAFs dispatch on the MOM1 magic: sketch_merge
+    re-aggregates persisted moment partials and dds_quantile (the
+    generic quantile-of-blob UDF) answers from the merged state — the
+    whole SQL surface works for the new sketch with zero new UDFs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from p2pddsketch_spark.functions.sketch_udfs import (dds_quantile_udf,
+                                                         sketch_merge_udaf)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = ev.select("event_type", "user_id", "value").toPandas()
+    rows = []
+    for (et, b), grp in pdf.groupby(["event_type",
+                                     pdf["user_id"] % 4]):
+        sk = MomentSketch(k=8).update_batch(grp["value"].to_numpy())
+        rows.append((et, sk.to_bytes()))
+    partials = spark.createDataFrame(rows, "event_type string, sketch binary")
+    merged = (partials.groupBy("event_type")
+              .agg(sketch_merge_udaf()(F.col("sketch")).alias("sketch")))
+    got = {r["event_type"]: r["p50"] for r in merged.select(
+        "event_type",
+        dds_quantile_udf()(F.col("sketch"), F.lit(0.5)).alias("p50")).collect()}
+    for et, grp in pdf.groupby("event_type"):
+        vals = grp["value"].to_numpy()
+        rank = float((vals < got[et]).mean())
+        assert abs(rank - 0.5) <= 0.05, (et, got[et], rank)
