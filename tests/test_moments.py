@@ -128,3 +128,46 @@ def test_moment_blobs_through_sql_udafs(spark):
         vals = grp["value"].to_numpy()
         rank = float((vals < got[et]).mean())
         assert abs(rank - 0.5) <= 0.05, (et, got[et], rank)
+
+
+# ------------------------------------------------------------- properties
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(min_value=-1e5, max_value=1e5,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=400),
+       st.integers(2, 5))
+def test_property_split_merge_equals_single_shot(values, nsplit):
+    """For ANY data and ANY split, merging shard sketches equals the
+    single-shot build byte-for-byte, and n is conserved."""
+    data = np.asarray(values, dtype=np.float64)
+    whole = MomentSketch(k=6, zscale=16.0).update_batch(data)
+    parts = np.array_split(data, nsplit)
+    acc = MomentSketch(k=6, zscale=16.0)
+    for p in parts:
+        acc.merge(MomentSketch(k=6, zscale=16.0).update_batch(p))
+    assert acc.to_bytes() == whole.to_bytes()
+    assert acc.n == len(data)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.floats(min_value=0.001, max_value=1e4,
+                          allow_nan=False, allow_infinity=False),
+                min_size=50, max_size=400, unique=True))
+def test_property_quantiles_bracketed_and_monotone(values):
+    """Estimates stay inside [min, max] and are non-decreasing in q —
+    for arbitrary (possibly adversarial) inputs, via whatever solver
+    path (full k, fallback k, or range fallback) engages."""
+    data = np.asarray(values, dtype=np.float64)
+    sk = MomentSketch(k=8, zscale=16.0).update_batch(data)
+    lo, hi = float(data.min()), float(data.max())
+    prev = None
+    for q in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0):
+        est = sk.quantile(q)
+        assert lo - 1e-6 <= est <= hi + 1e-6, (q, est, lo, hi)
+        if prev is not None:
+            assert est >= prev - 1e-9 * max(1, abs(prev)), (q, est, prev)
+        prev = est
