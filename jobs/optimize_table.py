@@ -1,7 +1,7 @@
 """OPTIMIZE job: compact a parquet table into z-ordered, size-targeted
 files with a verified lineage manifest.
 
-    spark-submit --py-files p2pddsketch_spark jobs/optimize_table.py \
+    spark-submit --py-files p2pddsketch_spark.zip jobs/optimize_table.py \
         --input  /data/events --output /data/events_opt \
         --zorder user_id,event_id --target-file-mb 128
 

@@ -119,23 +119,22 @@ def bpe_encode(df: DataFrame, k: int = 5, text_col: str = "text",
     skew split applies), then one doc-keyed shuffle to re-assemble.
     Zero Python stages."""
     merges, syms = _train(df, k, text_col)
-    try:
-        mapping = syms.select(
-            "w", F.trim(F.col("s")).alias("sym_str"),
-            F.size(F.split(F.trim(F.col("s")), "  ")).alias("ns"))
-        words = (df.select(id_col, F.posexplode(F.split(text_col, " "))
-                           .alias("pos", "w"))
-                 .where(F.length("w") >= 1))
-        enc = words.join(mapping, "w")
-        ordered = F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "sym_str"))),
-            lambda x: x["sym_str"])
-        out = (enc.groupBy(id_col)
-               .agg(F.count("*").cast("long").alias("n_words"),
-                    F.sum("ns").cast("long").alias("n_sym"),
-                    F.md5(F.concat_ws(" / ", ordered)).alias("enc_hash")))
-        # materialize before unpersisting the mapping the plan reads
-        out = out.localCheckpoint(eager=True)
-    finally:
-        syms.unpersist()
-    return out
+    # pin the VOCAB-sized mapping (not the corpus-sized output): the
+    # checkpoint severs lineage from the training chain so the trained
+    # state is released, at dimension-table materialization cost
+    mapping = syms.select(
+        "w", F.trim(F.col("s")).alias("sym_str"),
+        F.size(F.split(F.trim(F.col("s")), "  ")).alias("ns")) \
+        .localCheckpoint(eager=True)
+    syms.unpersist()
+    words = (df.select(id_col, F.posexplode(F.split(text_col, " "))
+                       .alias("pos", "w"))
+             .where(F.length("w") >= 1))
+    enc = words.join(mapping, "w")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "sym_str"))),
+        lambda x: x["sym_str"])
+    return (enc.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("ns").cast("long").alias("n_sym"),
+                 F.md5(F.concat_ws(" / ", ordered)).alias("enc_hash")))

@@ -72,10 +72,12 @@ def zorder_layout(df: DataFrame, x: str, y: str, bits: int = 16,
 
     def scaled(c: str, lo, hi) -> Column:
         span = max(1, int(hi) - int(lo))
-        # cast to double BEFORE the multiply: (col - lo) * top in int64
-        # silently wraps for spans wider than ~2^47 at bits=16 (non-ANSI
-        # overflow), scrambling the z-values
-        return ((F.col(c) - F.lit(int(lo))).cast("double")
+        # ALL arithmetic in double: int64 subtraction alone can wrap for
+        # mixed-sign domains spanning >= 2^63, and (col - lo) * top wraps
+        # for spans wider than ~2^47 at bits=16 (non-ANSI overflow) —
+        # either silently scrambles the z-values; double rounding merely
+        # coarsens the clustering, which layout can tolerate
+        return ((F.col(c).cast("double") - F.lit(float(int(lo))))
                 * F.lit(float(top)) / F.lit(float(span))).cast("long")
 
     z = df.withColumn("_z", zorder_col(scaled(x, mm["x0"], mm["x1"]),

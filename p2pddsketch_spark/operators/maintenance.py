@@ -27,15 +27,27 @@ from pyspark.sql import functions as F
 
 
 def content_checksum(df: DataFrame, cols: list[str] | None = None) -> Column:
-    """Order-independent content hash: per row, 60 bits of
-    md5(concat_ws('|', cols)) reduced mod 1e9+7, summed. Engine-stable:
-    DuckDB twin is SUM(('0x' || substr(md5(...), 1, 15))::BIGINT % p) —
-    identical hex parse, and the mod keeps the BIGINT sum exact to
-    ~9·10⁹ rows. Timestamps must be pre-formatted and doubles
-    pre-quantized by the caller (cross-engine string rendering of both
-    is not stable)."""
+    """Order-independent content hash: per row, 60 bits of md5 over an
+    UNAMBIGUOUS row encoding, reduced mod 1e9+7 and summed. Each column
+    is length-prefixed (`len:value`) so separator characters inside
+    values cannot shift content across column boundaries, and NULL
+    encodes as the bare token `N` (distinct from every `len:value`).
+    Engine-stable: the DuckDB twin is
+    SUM(('0x' || substr(md5(...), 1, 15))::BIGINT % p) over the same
+    encoding with NULL-propagating `||` concatenation; the mod keeps
+    the BIGINT sum exact to ~9·10⁹ rows. Timestamps must be
+    pre-formatted and doubles pre-quantized by the caller (cross-engine
+    string rendering of both is not stable)."""
     cols = cols or df.columns
-    row = F.concat_ws("|", *[F.col(c) for c in cols])
+
+    def enc(c: str) -> Column:
+        s = F.col(c).cast("string")
+        # F.concat propagates NULL, so a NULL value yields 'N', while a
+        # literal string 'N' yields '1:N'
+        return F.coalesce(F.concat(F.length(s).cast("string"),
+                                   F.lit(":"), s), F.lit("N"))
+
+    row = F.concat_ws("|", *[enc(c) for c in cols])
     h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
     return F.sum(h % F.lit(1000000007)).alias("content_hash")
 
@@ -63,6 +75,16 @@ def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
     content hash) and write a `_manifest.json` lineage record. Raises
     ValueError if the rewrite lost or altered rows."""
     from p2pddsketch_spark.operators.layout import zorder_layout
+    for p in (input_path, output_path):
+        if "://" in p and not p.startswith("file://"):
+            # file sizing (os.walk) and the manifest write are driver-
+            # local-filesystem operations in this build; failing here is
+            # better than rewriting a remote table into one giant file
+            # and crashing on the manifest afterwards
+            raise NotImplementedError(
+                f"compact_zorder handles local paths only, got {p!r}; "
+                "object-store tables need a Hadoop-FS sizing/manifest "
+                "backend")
     t0 = time.monotonic()
     df = spark.read.parquet(input_path)
     in_files, in_bytes = _dir_stats(input_path)

@@ -1598,9 +1598,14 @@ pc{i} AS (
 ),
 b{i} AS (SELECT l, r, c FROM pc{i} ORDER BY c DESC, l, r LIMIT 1),
 syms{i} AS (
-  SELECT w, wc, replace(s, ' ' || b.l || '  ' || b.r || ' ',
-                           ' ' || b.l || b.r || ' ') AS s
-  FROM syms{p}, b{i} b)""")
+  -- LEFT JOIN ON TRUE (b{i} has <= 1 row): when merges exhaust before
+  -- round {i}, the vocabulary passes through unchanged instead of being
+  -- annihilated by a cross join against an empty argmax
+  SELECT w, wc,
+         CASE WHEN b.l IS NULL THEN s
+              ELSE replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                              ' ' || b.l || b.r || ' ') END AS s
+  FROM syms{p} LEFT JOIN b{i} b ON TRUE)""")
     if mode == "encode":
         parts.append(f""",
 mapping AS (
@@ -1658,15 +1663,21 @@ FROM z GROUP BY l_returnflag ORDER BY l_returnflag
 # (n_rows, order-independent content hash) once and emits it under both
 # phase labels — the 'after' row matching is the rewrite-preserves-
 # content contract. Same 60-bit md5 hex parse, same mod-1e9+7 sum, same
-# tz-free timestamp format and ×1e6 double quantization as the Spark
-# side (concat_ws on both engines skips NULLs identically).
-ORACLES["optimize_compact"] = """
+# tz-free timestamp format and ×1e6 double quantization, and the same
+# unambiguous `len:value`/`N` column encoding as
+# operators/maintenance.py::content_checksum (`||` propagates NULL in
+# DuckDB the way Spark's concat does — concat() there would skip it).
+_ENC = ("coalesce(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' || "
+        "CAST({c} AS VARCHAR), 'N')")
+_OPT_COLS = ["event_id", "user_id", "event_type", "props",
+             "strftime(ts, '%Y-%m-%d %H:%M:%S.%f')",
+             "CAST(floor(value * 1e6 + 0.5) AS BIGINT)"]
+ORACLES["optimize_compact"] = f"""
 WITH base AS (
   SELECT COUNT(*)::BIGINT AS n_rows,
          CAST(SUM(('0x' || substr(md5(concat_ws('|',
-                event_id, user_id, event_type, props,
-                strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
-                CAST(floor(value * 1e6 + 0.5) AS BIGINT))), 1, 15))::BIGINT
+                {", ".join(_ENC.format(c=c) for c in _OPT_COLS)})),
+                1, 15))::BIGINT
               % 1000000007) AS BIGINT) AS content_hash
   FROM events
 )

@@ -75,10 +75,11 @@ class MomentSketch:
                      counts: np.ndarray | None = None) -> "MomentSketch":
         """Ingest values, optionally weighted by integer `counts` (the
         harness feeds (uniques, counts) — identical rows quantize
-        identically, so the weighted sum equals the per-row sum). The
-        in-batch Σ qⱼ·c is int64-safe for batches under ~8M rows
-        (|q| ≤ 2^40 since |z/zscale| ≤ 1); cross-batch accumulation is
-        exact Python ints."""
+        identically, so the weighted sum equals the per-row sum).
+        |q| ≤ 2^40 since |z/zscale| ≤ 1, so the in-batch Σ qⱼ·c stays
+        int64-exact while Σc < 2^22; heavier weighted batches switch to
+        exact Python-int accumulation (see guard below). Cross-batch
+        accumulation is always exact Python ints."""
         v = np.asarray(values, dtype=np.float64)
         fin = np.isfinite(v)
         if counts is not None:
@@ -95,10 +96,21 @@ class MomentSketch:
         self.zmin = min(self.zmin, float(z.min()))
         self.zmax = max(self.zmax, float(z.max()))
         self.n += int(v.size) if counts is None else int(counts.sum())
+        # int64 wrap guard for the weighted path: |q| <= 2^40, so the
+        # batch sum is bounded by 2^40 · Σcounts — exact int64 while
+        # Σcounts < 2^22 (any Arrow-batch-sized input); beyond that
+        # (pre-aggregated frequency tables) fall back to exact Python
+        # ints instead of wrapping silently
+        total_w = int(v.size) if counts is None else int(counts.sum())
+        exact = counts is not None and total_w >= (1 << 22)
         for j in range(1, self.k + 1):
             # libm pow keeps the per-row doubles engine-identical
             q = np.floor(np.power(zs, float(j)) * QUANT + 0.5).astype(np.int64)
             if counts is not None:
+                if exact:
+                    self.sums[j - 1] += int(
+                        sum(int(a) * int(c) for a, c in zip(q, counts)))
+                    continue
                 q = q * counts
             self.sums[j - 1] += int(q.sum(dtype=np.int64))
         return self
@@ -128,6 +140,12 @@ class MomentSketch:
         magic, k, zscale, zmin, n, zmax = struct.unpack_from("<4siddqd", blob)
         if magic != _MAGIC:
             raise ValueError("not a MomentSketch blob")
+        want = struct.calcsize("<4siddqd") + 16 * k
+        if len(blob) != want:
+            # a truncated blob would otherwise deserialize to silent
+            # zero power sums (int.from_bytes over short slices)
+            raise ValueError(
+                f"truncated MomentSketch blob: {len(blob)} != {want} bytes")
         sk = cls(k=k, zscale=zscale)
         sk.n, sk.zmin, sk.zmax = int(n), float(zmin), float(zmax)
         off = struct.calcsize("<4siddqd")

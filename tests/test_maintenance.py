@@ -91,3 +91,22 @@ def test_optimize_table_cli(spark, tmp_path):
                "--hash-cols", "l_orderkey,l_partkey,l_linenumber"])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "_manifest.json"))
+
+
+def test_content_checksum_unambiguous_encoding(spark):
+    """Distinct row contents must hash differently: separator injection
+    ('a|b','c') vs ('a','b|c') and NULL-position swaps ('a',NULL) vs
+    (NULL,'a') are the ambiguity classes of naive concat_ws."""
+    def h(rows):
+        df = spark.createDataFrame(rows, "c1 string, c2 string")
+        return df.agg(content_checksum(df, ["c1", "c2"])).first()[0]
+    assert h([("a|b", "c")]) != h([("a", "b|c")])
+    assert h([("a", None)]) != h([(None, "a")])
+    assert h([("N", "x")]) != h([(None, "x")])   # literal 'N' vs NULL
+    assert h([("1:N", "x")]) != h([("N", "x")])
+
+
+def test_compact_rejects_remote_paths(spark):
+    with pytest.raises(NotImplementedError, match="local paths only"):
+        compact_zorder(spark, "s3://bucket/events", "/tmp/out",
+                       "a", "b")

@@ -171,3 +171,24 @@ def test_property_quantiles_bracketed_and_monotone(values):
         if prev is not None:
             assert est >= prev - 1e-9 * max(1, abs(prev)), (q, est, prev)
         prev = est
+
+
+def test_from_bytes_rejects_truncated_blob():
+    sk = MomentSketch(k=6).update_batch(np.arange(1.0, 100.0))
+    blob = sk.to_bytes()
+    with pytest.raises(ValueError, match="truncated"):
+        MomentSketch.from_bytes(blob[:40])
+    with pytest.raises(ValueError, match="truncated"):
+        MomentSketch.from_bytes(blob + b"\x00")
+
+
+def test_weighted_update_heavy_counts_exact():
+    """Pre-aggregated frequency tables with huge counts must not wrap
+    int64: the heavy path (sum(counts) >= 2^22) accumulates in exact
+    Python ints and equals the scaled light path."""
+    vals = np.array([2.0, 5.0, 9.0])
+    heavy = np.array([10**9, 2 * 10**9, 3 * 10**9], dtype=np.int64)
+    sk = MomentSketch(k=6).update_batch(vals, heavy)
+    light = MomentSketch(k=6).update_batch(vals, heavy // 10**9)
+    assert sk.n == int(heavy.sum())
+    assert sk.sums == [s * 10**9 for s in light.sums]

@@ -175,3 +175,20 @@ def test_bpe_encode_applies_trained_merges(spark):
     assert out[3] == (1, 1, out[3][2])       # single char stays one symbol
     again = {r["doc_id"]: r["enc_hash"] for r in bpe_encode(df, k=3).collect()}
     assert {k: v[2] for k, v in out.items()} == again
+
+
+def test_bpe_oracle_survives_merge_exhaustion():
+    """When the corpus runs out of pairs before k rounds, the DuckDB
+    twin must pass the vocabulary through unchanged (not annihilate it
+    via a cross join against the empty argmax) so encode-mode still
+    emits one row per doc — matching Spark's early break."""
+    import duckdb
+    from p2pddsketch_spark.plans.oracles import duckdb_bpe_sql
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(1, 'ab ab'), (2, 'ab')) t(doc_id, text)")
+    merges = con.execute(duckdb_bpe_sql(3)).df()
+    assert len(merges) == 1                       # only (a,b) exists
+    enc = con.execute(duckdb_bpe_sql(3, mode="encode")).df()
+    assert list(enc["doc_id"]) == [1, 2]
+    assert list(enc["n_sym"]) == [2, 1]           # 'ab' merged to 1 symbol
