@@ -41,6 +41,14 @@ def parse_args(argv):
                    choices=["first", "last", "uniform"])
     p.add_argument("--quantiles", type=float, nargs="+",
                    default=[0.01, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.99])
+    p.add_argument("--moments", action="store_true",
+                   help="also build a Moment sketch over --value-col "
+                        "(second, O(k)-state quantile estimator in the "
+                        "same pass)")
+    p.add_argument("--moments-k", type=int, default=10)
+    p.add_argument("--moments-zscale", type=float, default=24.0,
+                   help="domain bound: values must satisfy |v| < "
+                        "sinh(zscale) (24 covers |v| < 1.3e10)")
     p.add_argument("--salt-buckets", type=int, default=32)
     p.add_argument("--shuffle-partitions", type=int, default=64)
     p.add_argument("--checkpoint-dir", default="")
@@ -83,6 +91,12 @@ def main(argv=None):
             "dds", lambda: DDSketch(alpha=args.alpha, bin_limit=args.bin_limit,
                                     strategy=args.strategy),
             scalar_extractor(args.value_col))]
+        if args.moments:
+            from p2pddsketch_spark.sketches.moments import MomentSketch
+            specs += [SketchSpec(
+                "moments", lambda: MomentSketch(k=args.moments_k,
+                                                zscale=args.moments_zscale),
+                scalar_extractor(args.value_col))]
     if args.tokens_col:
         specs += [
             SketchSpec("hll", lambda: HyperLogLog(p=14), array_extractor(args.tokens_col)),
@@ -118,6 +132,11 @@ def main(argv=None):
             }
         elif isinstance(sk, HyperLogLog):
             manifest["results"][name] = {"cardinality": sk.cardinality()}
+        elif type(sk).__name__ == "MomentSketch":
+            manifest["results"][name] = {
+                "n": sk.n, "k": sk.k,
+                "quantiles": {str(q): sk.quantile(q) for q in args.quantiles},
+            }
         else:
             manifest["results"][name] = {"type": type(sk).__name__}
 

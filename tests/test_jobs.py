@@ -85,3 +85,24 @@ def test_prepare_sequences_feeds_the_harness(spark, tmp_path, capsys):
     assert sk.n == len(ntok)
     exact = ntok[int(np.floor(1 + 0.95 * (len(ntok) - 1))) - 1]
     assert abs(sk.quantile(0.95) - exact) / exact <= 0.01 * (1 + 1e-9)
+
+
+def test_build_and_query_moments_estimator(spark, tmp_path, capsys):
+    """--moments builds a second, O(k)-state quantile estimator in the
+    same pass; its p50 agrees with DDSketch's within a loose rank
+    tolerance (two independent estimators cross-checking)."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import build_and_query
+    rc = build_and_query.main([
+        "--input", "/root/testdata/sf0.001/lineitem.parquet",
+        "--value-col", "l_quantity", "--tokens-col", "",
+        "--alpha", "0.005", "--moments", "--quantiles", "0.5", "0.95",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    manifest = json.loads(out[out.index("{"):])
+    dds = manifest["results"]["dds"]["quantiles"]
+    mom = manifest["results"]["moments"]["quantiles"]
+    assert manifest["results"]["moments"]["n"] == manifest["results"]["dds"]["n"]
+    for q in ("0.5", "0.95"):
+        assert abs(mom[q] - dds[q]) / dds[q] < 0.10, (q, mom[q], dds[q])
