@@ -80,11 +80,15 @@ def _train(df: DataFrame, k: int, text_col: str):
             break
         l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((it, l, r, l + r, c))
+        # eager localCheckpoint = materialize + lineage cut in ONE
+        # action (vs persist + count + later recompute risk); the
+        # parent's cache/blocks are released immediately since the
+        # child no longer references them
         nxt = syms.select(
             "w", "wc",
             F.replace(F.col("s"), F.lit(f" {l}  {r} "),
-                      F.lit(f" {l}{r} ")).alias("s")).persist()
-        nxt.count()              # materialize before dropping the parent
+                      F.lit(f" {l}{r} ")).alias("s")) \
+            .localCheckpoint(eager=True)
         syms.unpersist()
         syms = nxt
     return merges, syms
