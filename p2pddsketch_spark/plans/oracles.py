@@ -958,12 +958,23 @@ ORDER BY doc_id
 """
 
 
-from p2pddsketch_spark.operators.layout import duckdb_zorder_expr
+from p2pddsketch_spark.operators.layout import (duckdb_zorder_expr,
+                                                 duckdb_zorder_expr_nd)
 
 ORACLES["zorder_index"] = f"""
 SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
        l_partkey, l_suppkey,
        {duckdb_zorder_expr("l_partkey", "l_suppkey", bits=11)} AS z
+FROM lineitem
+ORDER BY z, l_orderkey, l_linenumber
+LIMIT 200
+"""
+
+ORACLES["zorder3_index"] = f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_partkey, l_suppkey,
+       {duckdb_zorder_expr_nd(["l_partkey", "l_suppkey", "l_orderkey"],
+                              bits=10)} AS z
 FROM lineitem
 ORDER BY z, l_orderkey, l_linenumber
 LIMIT 200

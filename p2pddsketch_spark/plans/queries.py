@@ -1150,6 +1150,22 @@ def q_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("z", "l_orderkey", "l_linenumber").limit(200))
 
 
+def q_zorder3_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-column Morton z-values (l_partkey, l_suppkey, l_orderkey,
+    bits=10 each → 30 z-bits) — the n-dimensional clustering key of
+    `operators.layout.zorder_layout_nd`, the shape a 100 TB table
+    actually optimizes on (e.g. date × tenant × entity). Pure Catalyst
+    bit math; the twin evaluates the identical d-column interleave."""
+    from p2pddsketch_spark.operators.layout import zorder_col_nd
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_partkey", "l_suppkey", "l_orderkey"]
+    return (li.select("l_orderkey",
+                      F.col("l_linenumber").cast("long").alias("l_linenumber"),
+                      "l_partkey", "l_suppkey",
+                      zorder_col_nd(cols, bits=10).alias("z"))
+            .orderBy("z", "l_orderkey", "l_linenumber").limit(200))
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a deterministic synthetic contact string built
     from events (the fixture corpus contains no organic PII — the

@@ -97,3 +97,62 @@ def test_zorder_layout_wide_domain_no_overflow(spark):
     # z(0,0) < z(mid,mid) < z(big,big) under a correct Morton order
     order = {v: i for i, v in enumerate(got)}
     assert order[(0, 0)] < order[(big // 2, big // 2)] < order[(big, big)]
+
+
+def test_zorder_nd_matches_reference_and_sql(spark):
+    """3-column Morton: Spark expression == DuckDB twin == a bit-loop
+    reference, and parameter guards reject >63 z-bits / <2 columns."""
+    import duckdb
+    from p2pddsketch_spark.operators.layout import (duckdb_zorder_expr_nd,
+                                                    zorder_col_nd)
+
+    def ref(vals, bits):
+        z = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (len(vals) * i + j)
+        return z
+
+    rng = np.random.default_rng(2)
+    pts = [tuple(int(v) for v in row)
+           for row in rng.integers(0, 1 << 10, (100, 3))]
+    df = spark.createDataFrame(pts, "x long, y long, w long")
+    got = {(r["x"], r["y"], r["w"]): r["z"] for r in
+           df.select("x", "y", "w",
+                     zorder_col_nd(["x", "y", "w"], 10).alias("z")).collect()}
+    sql = duckdb.sql(
+        "SELECT x, y, w, " + duckdb_zorder_expr_nd(["x", "y", "w"], 10) +
+        " AS z FROM (SELECT UNNEST($xs) AS x, UNNEST($ys) AS y, "
+        "UNNEST($ws) AS w)",
+        params={"xs": [p[0] for p in pts], "ys": [p[1] for p in pts],
+                "ws": [p[2] for p in pts]}).fetchall()
+    for x, y, w, z in sql:
+        assert got[(x, y, w)] == z == ref((x, y, w), 10)
+    with pytest.raises(ValueError):
+        zorder_col_nd(["x", "y", "w"], 22)        # 66 z-bits
+    with pytest.raises(ValueError):
+        zorder_col_nd(["x"], 8)
+
+
+def test_zorder_nd_layout_prunes_all_three_axes(spark, tmp_path):
+    """The d-column receipt: under the 3-col z-layout a box selective on
+    ANY one axis prunes row groups; under a 1-col sort only that column
+    prunes."""
+    from p2pddsketch_spark.operators.layout import zorder_layout_nd
+    li = (spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+          .select("l_partkey", "l_suppkey", "l_orderkey"))
+    zpath = str(tmp_path / "z3")
+    small_groups = {"parquet.block.size": 64 * 1024}
+    (zorder_layout_nd(li, ["l_partkey", "l_suppkey", "l_orderkey"],
+                      bits=10, partitions=4)
+     .write.options(**small_groups).parquet(zpath))
+    big = 1 << 30
+    hits = {}
+    for axis, box in {"x": (100, 300, 0, big),
+                      "y": (0, big, 10, 14)}.items():
+        hits[axis] = _groups_hit(zpath, "l_partkey", "l_suppkey", box)
+    zx, ztot = hits["x"]
+    zy, _ = hits["y"]
+    zo, _ = _groups_hit(zpath, "l_orderkey", "l_suppkey", (100, 3000, 0, big))
+    assert ztot >= 6
+    assert zx < ztot and zy < ztot and zo < ztot
