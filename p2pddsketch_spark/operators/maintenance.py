@@ -68,13 +68,15 @@ def _dir_stats(path: str) -> tuple[int, int]:
 def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
                    x: str, y: str, bits: int = 16,
                    target_file_bytes: int = 128 * 1024 * 1024,
-                   hash_cols: list[str] | None = None) -> dict:
-    """OPTIMIZE: rewrite `input_path` into z-ordered (x, y) parquet at
-    `output_path`, one file per Morton range sized to
+                   hash_cols: list[str] | None = None,
+                   extra_zorder_cols: list[str] | None = None) -> dict:
+    """OPTIMIZE: rewrite `input_path` into z-ordered parquet at
+    `output_path` — clustered on (x, y) plus any `extra_zorder_cols`
+    (d-column Morton; d·bits ≤ 63) — one file per Morton range sized to
     `target_file_bytes`, verify row-identity (count + order-independent
     content hash) and write a `_manifest.json` lineage record. Raises
     ValueError if the rewrite lost or altered rows."""
-    from p2pddsketch_spark.operators.layout import zorder_layout
+    from p2pddsketch_spark.operators.layout import zorder_layout_nd
     for p in (input_path, output_path):
         if "://" in p and not p.startswith("file://"):
             # file sizing (os.walk) and the manifest write are driver-
@@ -86,10 +88,11 @@ def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
                 "object-store tables need a Hadoop-FS sizing/manifest "
                 "backend")
     t0 = time.monotonic()
+    zcols = [x, y] + list(extra_zorder_cols or [])
     df = spark.read.parquet(input_path)
     in_files, in_bytes = _dir_stats(input_path)
     n_files = max(1, -(-in_bytes // target_file_bytes))
-    zorder_layout(df, x, y, bits=bits, partitions=int(n_files)) \
+    zorder_layout_nd(df, zcols, bits=bits, partitions=int(n_files)) \
         .write.mode("overwrite").parquet(output_path)
 
     cols = hash_cols or df.columns
@@ -105,7 +108,7 @@ def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
     out_files, out_bytes = _dir_stats(output_path)
     manifest = {
         "input_path": input_path, "output_path": output_path,
-        "zorder": [x, y], "bits": bits,
+        "zorder": zcols, "bits": bits,
         "target_file_bytes": int(target_file_bytes),
         "rows": int(before["n_rows"]),
         "content_hash": int(before["content_hash"]),

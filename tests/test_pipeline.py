@@ -192,3 +192,18 @@ def test_bpe_oracle_survives_merge_exhaustion():
     enc = con.execute(duckdb_bpe_sql(3, mode="encode")).df()
     assert list(enc["doc_id"]) == [1, 2]
     assert list(enc["n_sym"]) == [2, 1]           # 'ab' merged to 1 symbol
+
+
+def test_bpe_handles_special_characters(spark):
+    """Symbols may be regex metacharacters, pipes, slashes, or
+    multi-byte unicode — the literal replace and the fingerprint
+    assembly must treat them verbatim."""
+    from p2pddsketch_spark.operators.bpe import bpe_encode, bpe_train_merges
+    df = spark.createDataFrame(
+        [(1, "a|b a|b a|b (x) (x) ééé"), (2, "a/b a|b ééé")],
+        "doc_id long, text string")
+    merges = bpe_train_merges(df, k=4).collect()
+    assert merges[0]["left"] == "a" and merges[0]["right"] == "|"
+    enc = {r["doc_id"]: r["n_sym"] for r in bpe_encode(df, k=4).collect()}
+    assert set(enc) == {1, 2}
+    assert enc[1] < 3 * 3 + 2 * 3 + 3  # merges shrank the symbol count
