@@ -50,6 +50,7 @@ from p2pddsketch_spark.sketches.tdigest import TDigest
 from p2pddsketch_spark.sketches.theta import ThetaSketch
 from p2pddsketch_spark.sketches.fd import FrequentDirections
 from p2pddsketch_spark.sketches.moments import MomentSketch
+from p2pddsketch_spark.sketches.req import ReqSketch
 from p2pddsketch_spark.sketches.weightedk import WeightedTopK
 
 __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
@@ -81,6 +82,7 @@ SKETCH_TYPES = {
     b"FRD1": FrequentDirections,
     b"WTK1": WeightedTopK,
     b"MOM1": MomentSketch,
+    b"REQ1": ReqSketch,
 }
 
 
