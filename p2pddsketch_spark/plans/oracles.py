@@ -630,7 +630,11 @@ SELECT metric, value FROM (
   UNION ALL
   SELECT 'kll_value_n', COUNT(value)::DOUBLE FROM events
   UNION ALL
+  SELECT 'mom_value_n', COUNT(value)::DOUBLE FROM events
+  UNION ALL
   SELECT 'n_rows', COUNT(value)::DOUBLE FROM events
+  UNION ALL
+  SELECT 'req_value_n', COUNT(value)::DOUBLE FROM events
 ) ORDER BY metric
 """
 

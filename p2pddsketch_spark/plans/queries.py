@@ -881,6 +881,10 @@ def q_sketch_estimates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SketchSpec("cms_users", lambda: CountMinSketch(depth=5, width=1 << 15), scalar_int_extractor("user_id")),
         SketchSpec("bloom_users", lambda: BloomFilter(m_bits=1 << 20, k=5), scalar_int_extractor("user_id")),
         SketchSpec("kll_value", lambda: KLLSketch(k=256), scalar_extractor("value")),
+        SketchSpec("req_value", lambda: _ReqSketch(k=32),
+                   scalar_extractor("value")),
+        SketchSpec("mom_value", lambda: _MomentSketch(k=6, zscale=24.0),
+                   scalar_extractor("value")),
         SketchSpec("kllpm_value", lambda: TurnstileKLL(k=256), scalar_extractor("value")),
         SketchSpec("tdigest_value", lambda: TDigest(delta=200), scalar_extractor("value")),
         SketchSpec("dds_value", lambda: DDSketch(alpha=0.01, bin_limit=1 << 22), scalar_extractor("value")),
@@ -950,11 +954,17 @@ def q_sketch_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts) are bound-verified in pytest (tests/test_sketches.py,
     tests/test_estimates_bounds.py)."""
     import pandas as pd
+    from p2pddsketch_spark.sketches.moments import MomentSketch as _MomentSketch
+    from p2pddsketch_spark.sketches.req import ReqSketch as _ReqSketch
     ev = load(spark, sf_dir, "events")
     specs = [
         SketchSpec("dds_value", lambda: DDSketch(alpha=0.01, bin_limit=1 << 22),
                    scalar_extractor("value")),
         SketchSpec("kll_value", lambda: KLLSketch(k=256), scalar_extractor("value")),
+        SketchSpec("req_value", lambda: _ReqSketch(k=32),
+                   scalar_extractor("value")),
+        SketchSpec("mom_value", lambda: _MomentSketch(k=6, zscale=24.0),
+                   scalar_extractor("value")),
         SketchSpec("cms_users", lambda: CountMinSketch(depth=5, width=1 << 15),
                    scalar_int_extractor("user_id")),
         SketchSpec("bloom_users", lambda: BloomFilter(m_bits=1 << 20, k=5),
@@ -980,7 +990,9 @@ def q_sketch_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("bloom_hits_on_inserted", float(bloom_hits)),
         ("cms_users_total", float(sk["cms_users"].total)),
         ("kll_value_n", float(sk["kll_value"].n)),
+        ("mom_value_n", float(sk["mom_value"].n)),
         ("n_rows", float(sk["dds_value"].n)),
+        ("req_value_n", float(sk["req_value"].n)),
     ]
     return spark.createDataFrame(rows, "metric string, value double").orderBy("metric")
 
