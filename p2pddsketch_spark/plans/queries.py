@@ -871,10 +871,13 @@ def q_theta_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------ estimate queries (weaker rows-only)
 
 def q_sketch_estimates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL/CMS/Bloom/KLL/t-digest estimates over events in ONE pass —
-    estimates are hash-dependent, so the driver records a rows-only check;
-    pytest verifies them against exact oracles within published bounds."""
+    """HLL/CMS/Bloom/KLL/REQ/moments/t-digest estimates over events in
+    ONE pass — estimates are hash/solver-dependent, so the driver
+    records a rows-only check; pytest verifies them against exact
+    oracles within published bounds."""
     from p2pddsketch_spark.sketches.kll_turnstile import TurnstileKLL
+    from p2pddsketch_spark.sketches.moments import MomentSketch as _MomentSketch
+    from p2pddsketch_spark.sketches.req import ReqSketch as _ReqSketch
     ev = load(spark, sf_dir, "events")
     specs = [
         SketchSpec("hll_users", lambda: HyperLogLog(p=14), scalar_int_extractor("user_id")),
@@ -899,6 +902,8 @@ def q_sketch_estimates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("kll_value_p50", float(sk["kll_value"].quantile(0.5))),
         ("kll_value_p99", float(sk["kll_value"].quantile(0.99))),
         ("kllpm_value_p50", float(sk["kllpm_value"].quantile(0.5))),
+        ("req_value_p99", float(sk["req_value"].quantile(0.99))),
+        ("mom_value_p50", float(sk["mom_value"].quantile(0.5))),
         ("tdigest_value_p50", float(sk["tdigest_value"].quantile(0.5))),
         ("tdigest_value_p99", float(sk["tdigest_value"].quantile(0.99))),
         ("dds_value_p99", float(sk["dds_value"].quantile(0.99))),
