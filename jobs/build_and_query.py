@@ -76,6 +76,7 @@ def main(argv=None):
     from p2pddsketch_spark.sketches.cms import CountMinSketch
     from p2pddsketch_spark.sketches.ddsketch import DDSketch
     from p2pddsketch_spark.sketches.hll import HyperLogLog
+    from p2pddsketch_spark.sketches.moments import MomentSketch
 
     from p2pddsketch_spark.errors import ConflictingOptions, UsageError
     if not args.value_col and not args.tokens_col:
@@ -92,7 +93,6 @@ def main(argv=None):
                                     strategy=args.strategy),
             scalar_extractor(args.value_col))]
         if args.moments:
-            from p2pddsketch_spark.sketches.moments import MomentSketch
             specs += [SketchSpec(
                 "moments", lambda: MomentSketch(k=args.moments_k,
                                                 zscale=args.moments_zscale),
@@ -132,7 +132,7 @@ def main(argv=None):
             }
         elif isinstance(sk, HyperLogLog):
             manifest["results"][name] = {"cardinality": sk.cardinality()}
-        elif type(sk).__name__ == "MomentSketch":
+        elif isinstance(sk, MomentSketch):
             manifest["results"][name] = {
                 "n": sk.n, "k": sk.k,
                 "quantiles": {str(q): sk.quantile(q) for q in args.quantiles},

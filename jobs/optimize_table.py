@@ -23,7 +23,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--zorder", required=True,
-                    help="two comma-separated integer columns, e.g. a,b")
+                    help="2+ comma-separated integer columns, e.g. a,b,c "
+                         "(bits auto-clamp to 63 // n_cols)")
     ap.add_argument("--bits", type=int, default=16)
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument("--hash-cols", default=None,
@@ -32,8 +33,8 @@ def main(argv: list[str] | None = None) -> int:
                          "or pre-format them)")
     args = ap.parse_args(argv)
     cols = args.zorder.split(",")
-    if len(cols) != 2:
-        ap.error("--zorder needs exactly two columns")
+    if len(cols) < 2:
+        ap.error("--zorder needs at least two columns")
 
     from pyspark.sql import SparkSession
     owns = SparkSession.getActiveSession() is None
@@ -44,7 +45,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.output, cols[0], cols[1],
             bits=args.bits,
             target_file_bytes=args.target_file_mb * 1024 * 1024,
-            hash_cols=args.hash_cols.split(",") if args.hash_cols else None)
+            hash_cols=args.hash_cols.split(",") if args.hash_cols else None,
+            extra_zorder_cols=cols[2:] or None)
         print(json.dumps(manifest))
         return 0
     except ValueError as e:

@@ -62,11 +62,12 @@ def _pair_counts(syms: DataFrame) -> DataFrame:
 def _train(df: DataFrame, k: int, text_col: str):
     """Run the k-round merge loop; returns (merges, final_syms) where
     merges = [(iteration, l, r, merged, count)] and final_syms is the
-    PERSISTED (w, wc, s) vocabulary after all merges (caller
-    unpersists). One corpus shuffle; each iteration re-reads the
-    materialized vocab-sized table (persist + eager materialize via the
-    argmax action, unpersist the previous round — bounded storage, O(k)
-    not O(k²) recompute)."""
+    MATERIALIZED (w, wc, s) vocabulary after all merges (persisted in
+    round 0, localCheckpoint'ed thereafter; the caller's unpersist is a
+    cache-drop for the former and a no-op for the latter — checkpoint
+    blocks are ContextCleaner-owned and die with the DataFrame). One
+    corpus shuffle; each iteration re-reads the materialized vocab-sized
+    table — bounded storage, O(k) not O(k²) recompute."""
     if k < 1:
         from p2pddsketch_spark.errors import ParamError
         raise ParamError(f"k must be >= 1, got {k}")
@@ -81,9 +82,11 @@ def _train(df: DataFrame, k: int, text_col: str):
         l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((it, l, r, l + r, c))
         # eager localCheckpoint = materialize + lineage cut in ONE
-        # action (vs persist + count + later recompute risk); the
-        # parent's cache/blocks are released immediately since the
-        # child no longer references them
+        # action. Tradeoffs vs persist+count: previous rounds' blocks
+        # are ContextCleaner-owned and freed at driver GC (bounded by
+        # k vocab-sized tables meanwhile), and truncated lineage means
+        # an executor loss mid-round re-runs the round rather than
+        # recomputing — acceptable for a vocabulary-sized table
         nxt = syms.select(
             "w", "wc",
             F.replace(F.col("s"), F.lit(f" {l}  {r} "),

@@ -89,10 +89,14 @@ def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
                 "backend")
     t0 = time.monotonic()
     zcols = [x, y] + list(extra_zorder_cols or [])
+    # d·bits must fit a positive BIGINT: clamp and record the effective
+    # resolution rather than failing after the input scan (the default
+    # bits=16 with 2 extra columns would otherwise always raise)
+    bits_eff = min(bits, 63 // len(zcols))
     df = spark.read.parquet(input_path)
     in_files, in_bytes = _dir_stats(input_path)
     n_files = max(1, -(-in_bytes // target_file_bytes))
-    zorder_layout_nd(df, zcols, bits=bits, partitions=int(n_files)) \
+    zorder_layout_nd(df, zcols, bits=bits_eff, partitions=int(n_files)) \
         .write.mode("overwrite").parquet(output_path)
 
     cols = hash_cols or df.columns
@@ -108,7 +112,7 @@ def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
     out_files, out_bytes = _dir_stats(output_path)
     manifest = {
         "input_path": input_path, "output_path": output_path,
-        "zorder": zcols, "bits": bits,
+        "zorder": zcols, "bits": bits_eff,
         "target_file_bytes": int(target_file_bytes),
         "rows": int(before["n_rows"]),
         "content_hash": int(before["content_hash"]),

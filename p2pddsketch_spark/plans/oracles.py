@@ -630,11 +630,16 @@ SELECT metric, value FROM (
   UNION ALL
   SELECT 'kll_value_n', COUNT(value)::DOUBLE FROM events
   UNION ALL
-  SELECT 'mom_value_n', COUNT(value)::DOUBLE FROM events
+  -- REQ/moments skip non-finite values by documented policy, so their
+  -- weight counters count FINITE values (KLL keeps inf, hence plain
+  -- COUNT there); identical on inf-free data, exact on any data
+  SELECT 'mom_value_n', (COUNT(*) FILTER (WHERE isfinite(value)))::DOUBLE
+  FROM events
   UNION ALL
   SELECT 'n_rows', COUNT(value)::DOUBLE FROM events
   UNION ALL
-  SELECT 'req_value_n', COUNT(value)::DOUBLE FROM events
+  SELECT 'req_value_n', (COUNT(*) FILTER (WHERE isfinite(value)))::DOUBLE
+  FROM events
 ) ORDER BY metric
 """
 

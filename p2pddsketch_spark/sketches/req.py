@@ -66,27 +66,37 @@ class _Compactor:
         return 2 * self.num_sections * self.section_size
 
     def compact(self) -> np.ndarray:
-        """Compact the LOW end (HRA: high ranks are protected), promote
-        every other item of the compacted region; returns the promoted
-        items. Deterministic: sections-to-compact = trailing_ones(state)
-        + 1, offset = state's low bit."""
+        """Compact the LOW end (HRA: high ranks are protected) until the
+        buffer drops below capacity, promoting every other item of each
+        compacted region; returns all promoted items. ONE sort per call
+        — the carve loop walks the already-sorted buffer, so a large
+        appended batch costs O(B log B), not O(B²) (each carve removes
+        only ~sections·section_size items; re-sorting per carve made
+        ingestion quadratic). Deterministic: sections-to-compact =
+        trailing_ones(state) + 1, offset = state's low bit; compacted
+        regions are forced EVEN so every promotion conserves weight
+        exactly (2m items of weight w → m items of weight 2w)."""
         self.buf = np.sort(self.buf)
-        secs = min(_trailing_ones(self.state) + 1, self.num_sections - 1)
-        compact_len = secs * self.section_size
-        # always leave at least one section protected, compact at least
-        # half a section so progress is guaranteed
-        compact_len = min(max(compact_len, 2), len(self.buf) - self.section_size)
-        if compact_len < 2:
-            compact_len = 2
-        region = self.buf[:compact_len]
-        offset = self.state & 1
-        promoted = region[offset::2].copy()
-        self.buf = self.buf[compact_len:]
-        self.state += 1
-        if self.state >= (1 << (self.num_sections - 1)):
-            self.num_sections <<= 1
-            self.section_size = max(self.section_size // 2, _SECTION_SIZE_MIN)
-        return promoted
+        promoted = []
+        while len(self.buf) >= self.capacity():
+            secs = min(_trailing_ones(self.state) + 1, self.num_sections - 1)
+            compact_len = max(secs * self.section_size, 2)
+            # leave at least one protected section; force even length
+            compact_len = min(compact_len, len(self.buf) - self.section_size)
+            compact_len &= ~1
+            if compact_len < 2:
+                break
+            region = self.buf[:compact_len]
+            offset = self.state & 1
+            promoted.append(region[offset::2].copy())
+            self.buf = self.buf[compact_len:]
+            self.state += 1
+            if self.state >= (1 << (self.num_sections - 1)):
+                self.num_sections <<= 1
+                self.section_size = max(self.section_size // 2,
+                                        _SECTION_SIZE_MIN)
+        return (np.concatenate(promoted) if promoted
+                else np.empty(0, dtype=np.float64))
 
 
 class ReqSketch:
@@ -216,7 +226,10 @@ class ReqSketch:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "ReqSketch":
-        magic, k, n_comp, n, mn, mx = struct.unpack_from("<4siiqdd", blob)
+        try:
+            magic, k, n_comp, n, mn, mx = struct.unpack_from("<4siiqdd", blob)
+        except struct.error as e:
+            raise ValueError(f"truncated ReqSketch blob: {e}") from e
         if magic != _MAGIC:
             raise ValueError("not a ReqSketch blob")
         sk = cls(k=k)
@@ -224,7 +237,11 @@ class ReqSketch:
         sk.compactors = []
         off = struct.calcsize("<4siiqdd")
         for _ in range(n_comp):
-            lgw, ssz, nsec, state, blen = struct.unpack_from("<iiiii", blob, off)
+            try:
+                lgw, ssz, nsec, state, blen = struct.unpack_from(
+                    "<iiiii", blob, off)
+            except struct.error as e:
+                raise ValueError(f"truncated ReqSketch blob: {e}") from e
             off += struct.calcsize("<iiiii")
             c = _Compactor(lgw, ssz)
             c.num_sections, c.state = nsec, state

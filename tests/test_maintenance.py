@@ -110,3 +110,18 @@ def test_compact_rejects_remote_paths(spark):
     with pytest.raises(NotImplementedError, match="local paths only"):
         compact_zorder(spark, "s3://bucket/events", "/tmp/out",
                        "a", "b")
+
+
+def test_compact_zorder_extra_cols_clamps_bits(spark, tmp_path):
+    """3+-column clustering must work at the default bits (auto-clamped
+    to 63 // d) and record the effective resolution in the manifest."""
+    out = str(tmp_path / "li_opt3")
+    manifest = compact_zorder(
+        spark, SRC, out, "l_partkey", "l_suppkey",
+        extra_zorder_cols=["l_orderkey", "l_linenumber"],
+        target_file_bytes=1 << 20,
+        hash_cols=["l_orderkey", "l_partkey", "l_linenumber"])
+    assert manifest["zorder"] == ["l_partkey", "l_suppkey", "l_orderkey",
+                                  "l_linenumber"]
+    assert manifest["bits"] == 15                 # 63 // 4 (16 would raise)
+    assert manifest["rows"] == spark.read.parquet(SRC).count()

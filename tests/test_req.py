@@ -106,3 +106,23 @@ def test_harness_build(spark):
     for q in (0.9, 0.99):
         er = np.searchsorted(srt, sk.quantile(q), side="right")
         assert abs(er - q * n) <= 0.05 * max(n - q * n, 1) + 2
+
+
+def test_from_bytes_short_blob_is_valueerror():
+    sk = ReqSketch(k=16).update_batch(np.arange(100.0))
+    for cut in (0, 10, 35):
+        with pytest.raises(ValueError):
+            ReqSketch.from_bytes(sk.to_bytes()[:cut])
+
+
+def test_large_batch_ingestion_is_fast():
+    """The carve loop must be near-linear: 1M values in one batch well
+    under the former quadratic blowup (was 2+ minutes)."""
+    import time
+    rng = np.random.default_rng(9)
+    d = rng.lognormal(0, 1, 1_000_000)
+    t0 = time.monotonic()
+    sk = ReqSketch(k=32).update_batch(d)
+    dt = time.monotonic() - t0
+    assert sk.n == len(d)
+    assert dt < 20.0, dt
