@@ -194,3 +194,26 @@ def test_stratified_sample_exact_and_partition_invariant(spark):
     # layout invariance
     again = E.queries()["stratified_sample"](spark, SF_DIR).toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(again))
+
+
+def test_registry_window_policy():
+    """Registration-order invariants the driver gate depends on: names
+    unique, every entry has an oracle, and every query that has never
+    received a driver CORRECTNESS row sits INSIDE the first-50 window
+    (the gate checks only those slots — rotate, don't strand)."""
+    import glob
+    import json
+    import __spark_entry__ as E
+    names = list(E.queries().keys())
+    oracles = E.oracle_sql()
+    assert len(names) == len(set(names))
+    assert [n for n in names if n not in oracles] == []
+    verified = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        try:
+            verified |= set(json.load(open(path)).keys())
+        except Exception:
+            pass
+    stranded = [n for n in names[50:] if n not in verified]
+    assert stranded == [], (
+        f"never-driver-verified queries beyond the gate window: {stranded}")
