@@ -34,80 +34,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's verification window: the
-    external gate checks the FIRST 50 entries each round. Round 4
-    front-loads the 32 queries that had no driver CORRECTNESS row in any
-    prior round, then the 9 last verified in r1/r2, then this round's
-    changed/new queries — rotate again next round so every entry keeps a
-    recent driver-green row."""
+    external gate checks the FIRST 50 entries each round. Round 5
+    front-loads the 46 queries whose newest driver row is r3, plus this
+    round's changed/new entries; the 47 r4-verified queries move beyond
+    slot 50. tests/test_query_oracles.py::test_registry_window_policy
+    mechanically bounds staleness: every slot-51+ entry must have a green
+    row in the LATEST CORRECTNESS_r*.json — so no query's newest driver
+    verification is ever more than two rounds old."""
     from p2pddsketch_spark.plans import queries as Q
     return {
-        # -- never driver-verified before round 4 (registered > slot 50
-        #    in r1-r3; all green under the identical local gate) --------
-        "chunk_text": Q.q_chunk_text,
-        # multimodal decode path (real codecs, distributed)
-        "image_decode_features": Q.q_image_decode_features,
-        "jpeg_decode_features": Q.q_jpeg_decode_features,
-        "audio_decode_features": Q.q_audio_decode_features,
-        "png_decode_features": Q.q_png_decode_features,
-        "video_sample_features": Q.q_video_sample_features,
-        # DDSketch as a literal mergeable UDAF over harness partials
-        "dds_udaf_by_flag": Q.q_dds_udaf_by_flag,
-        # multi-sketch single-pass build — deterministic counters (hard
-        # oracle); estimate VALUES bound-verified in pytest and still run
-        # as the flagship `entry()`
-        "sketch_counts_events": Q.q_sketch_counts_events,
-        # structured streaming end-to-end (all four surfaces)
-        "streaming_dds_hourly": Q.q_streaming_dds_hourly,
-        "streaming_interval_join": Q.q_streaming_interval_join,
-        "streaming_stateful_quantiles": Q.q_streaming_stateful_quantiles,
-        "theta_daily_retention": Q.q_theta_daily_retention,
-        "theta_rolling_wau": Q.q_theta_rolling_wau,
-        # runtime filters / robust stats / iterative graph / corpus LM
-        "bloom_filtered_join": Q.q_bloom_filtered_join,
-        "winsorized_stats": Q.q_winsorized_stats,
-        "pagerank_topk": Q.q_pagerank_topk,
-        "bigram_surprisal": Q.q_bigram_surprisal,
-        # data layout / scrubbing / semi-structured
-        "zorder_index": Q.q_zorder_index,
-        "redact_pii": Q.q_redact_pii,
-        "json_props_stats": Q.q_json_props_stats,
-        "salted_join_revenue": Q.q_salted_join_revenue,
-        "scd2_user_value": Q.q_scd2_user_value,
-        "triangle_counts": Q.q_triangle_counts,
-        "udtf_ngram_stats": Q.q_udtf_ngram_stats,
-        "tpch_q12": Q.q_tpch_q12,
-        "tpch_q14": Q.q_tpch_q14,
-        "table_stats": Q.q_table_stats,
-        "theta_distinct_by_type": Q.q_theta_distinct_by_type,
-        "dq_report": Q.q_dq_report,
-        "zipf_slope": Q.q_zipf_slope,
-        "embedding_quantize": Q.q_embedding_quantize,
-        "ann_topk_int8": Q.q_ann_topk_int8,
-        # -- last driver-verified in r1/r2 (no r3 row) ------------------
-        "ann_cosine_topk": Q.q_ann_cosine_topk,
-        "embedding_neardup": Q.q_embedding_neardup,
-        "ann_topk_lsh": Q.q_ann_topk_lsh,
-        "ann_topk_ivf": Q.q_ann_topk_ivf,
-        "fd_gram_exact": Q.q_fd_gram_exact,
-        "heavy_users_spacesaving": Q.q_heavy_users_spacesaving,
-        "theta_token_overlap": Q.q_theta_token_overlap,
-        "stratified_sample": Q.q_stratified_sample,
-        "weighted_sample": Q.q_weighted_sample,
-        # -- new in round 4 ---------------------------------------------
-        "bpe_train_merges": Q.q_bpe_train_merges,
-        "bpe_encode": Q.q_bpe_encode,
-        "optimize_compact": Q.q_optimize_compact,
-        "moments_by_flag": Q.q_moments_by_flag,
-        "zorder3_index": Q.q_zorder3_index,
-        # -- changed in round 4 (empty-row fix / clamped coverage) ------
-        "tokenize_vocab": Q.q_tokenize_vocab,
-        "vocab_coverage": Q.q_vocab_coverage,
-        "minhash_lsh_pairs_prod": Q.q_minhash_lsh_prod,
-        "simhash_neardup_pairs": Q.q_simhash_neardup,
-        # ======================= slot 51+ ==============================
-        # (driver-green in r3; re-rotated into the window next round —
-        # minhash_lsh_pairs shares its entire changed code path with the
-        # in-window prod variant)
+        # -- last driver-verified in r3 (rotated back into the window;
+        #    the r4-verified set moves beyond slot 50) ------------------
         "minhash_lsh_pairs": Q.q_minhash_lsh,
         "dds_quantiles_lineitem": Q.q_dds_lineitem,
         "dds_price_by_flag": Q.q_dds_price_by_flag,
@@ -125,7 +62,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_decayed_quantiles": Q.q_dds_decayed,
         "dds_rank_enrich": Q.q_dds_rank_enrich,
         "dds_rank_by_user_bucket": Q.q_dds_rank_by_user_bucket,
-        # relational surface
         "tpch_q6": Q.q_tpch_q6,
         "top_orders": Q.q_top_orders,
         "join_revenue_by_nation": Q.q_join_topsuppliers,
@@ -133,7 +69,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": Q.q_customers_without_orders,
         "revenue_cube": Q.q_revenue_cube,
         "value_pivot": Q.q_value_pivot,
-        # window functions / sessionization
         "window_running_value": Q.q_window_running_value,
         "events_asof_orders": Q.q_events_asof_orders,
         "events_interval_join": Q.q_events_interval_join,
@@ -142,7 +77,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_duration_p95": Q.q_session_duration_p95,
         "cohort_retention": Q.q_cohort_retention,
         "bpe_top_pairs": Q.q_bpe_top_pairs,
-        # text analysis
         "top_tokens_exact": Q.q_top_tokens,
         "distinct_tokens_by_source": Q.q_distinct_tokens_by_source,
         "doc_stats": Q.q_doc_stats,
@@ -150,15 +84,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": Q.q_language_id,
         "token_count_regex": Q.q_token_count_regex,
         "repetition_stats": Q.q_repetition_stats,
-        # dedup
         "exact_dedup_stats": Q.q_exact_dedup_stats,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard,
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "bm25_topk": Q.q_bm25_topk,
-        # training-data pipeline: documents -> sequences -> packed windows
         "pack_sequences": Q.q_pack_sequences,
         "decontaminate_8gram": Q.q_decontaminate,
         "split_assign": Q.q_split_assign,
+        # -- changed or new in round 5 ----------------------------------
+        "vocab_coverage": Q.q_vocab_coverage,
+        "moments_by_flag": Q.q_moments_by_flag,
+        "optimize_compact": Q.q_optimize_compact,
+        # ======================= slot 51+ ==============================
+        # (driver-green in r4 on identical code; re-rotated next round)
+        "chunk_text": Q.q_chunk_text,
+        "image_decode_features": Q.q_image_decode_features,
+        "jpeg_decode_features": Q.q_jpeg_decode_features,
+        "audio_decode_features": Q.q_audio_decode_features,
+        "png_decode_features": Q.q_png_decode_features,
+        "video_sample_features": Q.q_video_sample_features,
+        "dds_udaf_by_flag": Q.q_dds_udaf_by_flag,
+        "sketch_counts_events": Q.q_sketch_counts_events,
+        "streaming_dds_hourly": Q.q_streaming_dds_hourly,
+        "streaming_interval_join": Q.q_streaming_interval_join,
+        "streaming_stateful_quantiles": Q.q_streaming_stateful_quantiles,
+        "theta_daily_retention": Q.q_theta_daily_retention,
+        "theta_rolling_wau": Q.q_theta_rolling_wau,
+        "bloom_filtered_join": Q.q_bloom_filtered_join,
+        "winsorized_stats": Q.q_winsorized_stats,
+        "pagerank_topk": Q.q_pagerank_topk,
+        "bigram_surprisal": Q.q_bigram_surprisal,
+        "zorder_index": Q.q_zorder_index,
+        "redact_pii": Q.q_redact_pii,
+        "json_props_stats": Q.q_json_props_stats,
+        "salted_join_revenue": Q.q_salted_join_revenue,
+        "scd2_user_value": Q.q_scd2_user_value,
+        "triangle_counts": Q.q_triangle_counts,
+        "udtf_ngram_stats": Q.q_udtf_ngram_stats,
+        "tpch_q12": Q.q_tpch_q12,
+        "tpch_q14": Q.q_tpch_q14,
+        "table_stats": Q.q_table_stats,
+        "theta_distinct_by_type": Q.q_theta_distinct_by_type,
+        "dq_report": Q.q_dq_report,
+        "zipf_slope": Q.q_zipf_slope,
+        "embedding_quantize": Q.q_embedding_quantize,
+        "ann_topk_int8": Q.q_ann_topk_int8,
+        "ann_cosine_topk": Q.q_ann_cosine_topk,
+        "embedding_neardup": Q.q_embedding_neardup,
+        "ann_topk_lsh": Q.q_ann_topk_lsh,
+        "ann_topk_ivf": Q.q_ann_topk_ivf,
+        "fd_gram_exact": Q.q_fd_gram_exact,
+        "heavy_users_spacesaving": Q.q_heavy_users_spacesaving,
+        "theta_token_overlap": Q.q_theta_token_overlap,
+        "stratified_sample": Q.q_stratified_sample,
+        "weighted_sample": Q.q_weighted_sample,
+        "bpe_train_merges": Q.q_bpe_train_merges,
+        "bpe_encode": Q.q_bpe_encode,
+        "zorder3_index": Q.q_zorder3_index,
+        "tokenize_vocab": Q.q_tokenize_vocab,
+        "minhash_lsh_pairs_prod": Q.q_minhash_lsh_prod,
+        "simhash_neardup_pairs": Q.q_simhash_neardup,
     }
 
 

@@ -198,22 +198,38 @@ def test_stratified_sample_exact_and_partition_invariant(spark):
 
 def test_registry_window_policy():
     """Registration-order invariants the driver gate depends on: names
-    unique, every entry has an oracle, and every query that has never
-    received a driver CORRECTNESS row sits INSIDE the first-50 window
-    (the gate checks only those slots — rotate, don't strand)."""
+    unique, every entry has an oracle, and driver-verification staleness
+    is mechanically bounded at TWO rounds — every query beyond the
+    first-50 gate window must have a GREEN row in the latest
+    CORRECTNESS_r*.json (it was driver-verified last round and the gate
+    skips it this round; anything older must be rotated back into the
+    window, not stranded)."""
     import glob
     import json
+    import re
     import __spark_entry__ as E
     names = list(E.queries().keys())
     oracles = E.oracle_sql()
     assert len(names) == len(set(names))
     assert [n for n in names if n not in oracles] == []
-    verified = set()
+    rounds = {}
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         try:
-            verified |= set(json.load(open(path)).keys())
+            rounds[int(m.group(1))] = json.load(open(path))
         except Exception:
             pass
-    stranded = [n for n in names[50:] if n not in verified]
-    assert stranded == [], (
-        f"never-driver-verified queries beyond the gate window: {stranded}")
+    if not rounds:
+        pytest.skip("no driver CORRECTNESS files yet (round 1)")
+    latest = rounds[max(rounds)]
+    green = {n for n, row in latest.items()
+             if row.get("rows_match") and row.get("schema_match")
+             and row.get("hash_match")}
+    stale = [n for n in names[50:] if n not in green]
+    assert stale == [], (
+        "queries beyond the gate window without a green row in the "
+        f"latest driver round (staleness would exceed 2 rounds): {stale}")
+    # the 2-round bound implies the surface cannot exceed 2 windows
+    assert len(names) <= 100, (
+        "registry exceeds 2x the gate window; the 2-round staleness "
+        "bound is unsatisfiable — merge or retire queries")
