@@ -123,11 +123,16 @@ def vocab_coverage(df: DataFrame, sizes: tuple[int, ...] = (64, 128, 256, 512),
     at = (sizes_df.crossJoin(F.broadcast(totals))
           .withColumn("eff_rank", F.least(
               F.col("vocab_size"), F.col("n_terms_total").cast("int"))))
+    # LEFT join so an empty corpus (n_terms_total = 0 → eff_rank = 0
+    # matches no rank) still emits every requested size with coverage
+    # 0.0 instead of silently dropping the whole curve
     return (at.join(F.broadcast(ranked),
-                    at["eff_rank"] == ranked["rank"])
+                    at["eff_rank"] == ranked["rank"], "left")
             .select("vocab_size",
-                    F.round(F.col("cum").cast("double") /
-                            F.col("total").cast("double"), 6).alias("coverage"),
+                    F.coalesce(
+                        F.round(F.col("cum").cast("double") /
+                                F.col("total").cast("double"), 6),
+                        F.lit(0.0)).alias("coverage"),
                     F.col("n_terms_total").cast("long").alias("n_terms_total"))
             .orderBy("vocab_size"))
 

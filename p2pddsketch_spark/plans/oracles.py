@@ -577,12 +577,14 @@ WITH counts AS (
   FROM counts
 )
 -- each requested size clamps to the distinct-term count (coverage 1.0
--- beyond the vocabulary), mirroring operators/pipeline.py::vocab_coverage
+-- beyond the vocabulary); LEFT JOIN keeps every size row on an empty
+-- corpus (coverage 0.0), mirroring operators/pipeline.py::vocab_coverage
 SELECT s.vocab_size::INT AS vocab_size,
-       ROUND(cum::DOUBLE / total::DOUBLE, 6) AS coverage,
+       COALESCE(ROUND(cum::DOUBLE / total::DOUBLE, 6), 0.0) AS coverage,
        n_terms_total::BIGINT AS n_terms_total
-FROM (VALUES (4), (8), (16), (24)) s(vocab_size), tot, ranked
-WHERE ranked.rank = LEAST(s.vocab_size, n_terms_total)
+FROM (VALUES (4), (8), (16), (24)) s(vocab_size)
+CROSS JOIN tot
+LEFT JOIN ranked ON ranked.rank = LEAST(s.vocab_size, n_terms_total)
 ORDER BY vocab_size
 """
 

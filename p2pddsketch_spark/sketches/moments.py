@@ -55,7 +55,7 @@ class MomentSketch:
     sums of z/zscale. `k` in [2, 16]; `zscale` is a merge-compatibility
     parameter like DDSketch's alpha."""
 
-    __slots__ = ("k", "zscale", "n", "zmin", "zmax", "sums")
+    __slots__ = ("k", "zscale", "n", "zmin", "zmax", "sums", "_solved")
 
     def __init__(self, k: int = 8, zscale: float = 8.0):
         if not 2 <= k <= 16:
@@ -68,6 +68,7 @@ class MomentSketch:
         self.zmin = np.inf
         self.zmax = -np.inf
         self.sums = [0] * self.k          # Python ints: exact, unbounded
+        self._solved = None               # (state_key, maxent solution)
 
     # ------------------------------------------------------------ build
 
@@ -77,9 +78,10 @@ class MomentSketch:
         harness feeds (uniques, counts) — identical rows quantize
         identically, so the weighted sum equals the per-row sum).
         |q| ≤ 2^40 since |z/zscale| ≤ 1, so the in-batch Σ qⱼ·c stays
-        int64-exact while Σc < 2^22; heavier weighted batches switch to
-        exact Python-int accumulation (see guard below). Cross-batch
-        accumulation is always exact Python ints."""
+        int64-exact while total weight < 2^22; heavier batches (weighted
+        OR raw) switch to a vectorized hi/lo 20-bit lane split, exact to
+        2^42 total weight (see guard below). Cross-batch accumulation is
+        always exact Python ints."""
         v = np.asarray(values, dtype=np.float64)
         fin = np.isfinite(v)
         if counts is not None:
@@ -96,23 +98,38 @@ class MomentSketch:
         self.zmin = min(self.zmin, float(z.min()))
         self.zmax = max(self.zmax, float(z.max()))
         self.n += int(v.size) if counts is None else int(counts.sum())
-        # int64 wrap guard for the weighted path: |q| <= 2^40, so the
-        # batch sum is bounded by 2^40 · Σcounts — exact int64 while
-        # Σcounts < 2^22 (any Arrow-batch-sized input); beyond that
-        # (pre-aggregated frequency tables) fall back to exact Python
-        # ints instead of wrapping silently
+        # int64 wrap guard (weighted AND raw paths): |q| <= 2^40, so the
+        # plain batch sum is bounded by 2^40 · W (W = Σcounts, or the
+        # row count when unweighted) — exact int64 while W < 2^22. For
+        # heavier batches (pre-aggregated frequency tables, or one huge
+        # raw update_batch call) split q into hi/lo 20-bit lanes:
+        # Σ q·c = 2^20·Σ q_hi·c + Σ q_lo·c with |q_hi|, q_lo < 2^21, so
+        # each int64 lane is exact while W < 2^42 — vectorized, no
+        # Python inner loop. Beyond 2^42 (absurd for one batch) fall
+        # back to unbounded Python ints rather than wrap silently.
         total_w = int(v.size) if counts is None else int(counts.sum())
-        exact = counts is not None and total_w >= (1 << 22)
+        lanes = total_w >= (1 << 22)
         for j in range(1, self.k + 1):
             # libm pow keeps the per-row doubles engine-identical
             q = np.floor(np.power(zs, float(j)) * QUANT + 0.5).astype(np.int64)
+            if total_w >= (1 << 42):
+                c_it = counts if counts is not None else (1,) * q.size
+                self.sums[j - 1] += sum(
+                    int(a) * int(c) for a, c in zip(q, c_it))
+                continue
+            if lanes:
+                q_hi = q >> 20                  # arithmetic shift: floor
+                q_lo = q - (q_hi << 20)         # in [0, 2^20)
+                if counts is not None:
+                    q_hi, q_lo = q_hi * counts, q_lo * counts
+                self.sums[j - 1] += (
+                    (int(q_hi.sum(dtype=np.int64)) << 20)
+                    + int(q_lo.sum(dtype=np.int64)))
+                continue
             if counts is not None:
-                if exact:
-                    self.sums[j - 1] += int(
-                        sum(int(a) * int(c) for a, c in zip(q, counts)))
-                    continue
                 q = q * counts
             self.sums[j - 1] += int(q.sum(dtype=np.int64))
+        self._solved = None
         return self
 
     def merge(self, other: "MomentSketch") -> "MomentSketch":
@@ -124,6 +141,7 @@ class MomentSketch:
         self.zmin = min(self.zmin, other.zmin)
         self.zmax = max(self.zmax, other.zmax)
         self.sums = [a + b for a, b in zip(self.sums, other.sums)]
+        self._solved = None
         return self
 
     # ------------------------------------------------------------ codec
@@ -239,11 +257,18 @@ class MomentSketch:
             raise ParamError("empty sketch")
         if self.zmax <= self.zmin:
             return float(np.sinh(self.zmin))
-        sol = None
-        for k_use in range(self.k, 1, -1):
-            sol = self._solve_density(k_use)
-            if sol is not None:
-                break
+        # the Newton solve depends only on the state, not on q — cache it
+        # so a multi-quantile probe (p50/p95/p99/p999…) solves once
+        key = (self.n, self.zmin, self.zmax, tuple(self.sums))
+        if self._solved is not None and self._solved[0] == key:
+            sol = self._solved[1]
+        else:
+            sol = None
+            for k_use in range(self.k, 1, -1):
+                sol = self._solve_density(k_use)
+                if sol is not None:
+                    break
+            self._solved = (key, sol)
         lo, hi = self.zmin / self.zscale, self.zmax / self.zscale
         if sol is None:                      # last resort: uniform on range
             zs = lo + q * (hi - lo)

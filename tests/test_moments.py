@@ -192,3 +192,59 @@ def test_weighted_update_heavy_counts_exact():
     light = MomentSketch(k=6).update_batch(vals, heavy // 10**9)
     assert sk.n == int(heavy.sum())
     assert sk.sums == [s * 10**9 for s in light.sums]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    st.integers(1, 1 << 35)), min_size=1, max_size=60))
+def test_property_lane_split_equals_python_int_reference(pairs):
+    """The vectorized hi/lo-lane weighted path (engaged whenever batch
+    weight >= 2^22) is byte-identical to unbounded Python-int
+    accumulation of the same quantized terms — the exactness contract
+    that lets pre-aggregated frequency tables skip the Python loop."""
+    vals = np.asarray([p[0] for p in pairs], dtype=np.float64)
+    counts = np.asarray([p[1] for p in pairs], dtype=np.int64)
+    # force the lane path regardless of drawn weights
+    counts[0] += (1 << 22)
+    sk = MomentSketch(k=6, zscale=16.0).update_batch(vals, counts)
+    ref = MomentSketch(k=6, zscale=16.0)
+    z = np.log(vals + np.sqrt(vals * vals + 1.0)) / 16.0
+    for j in range(1, 7):
+        q = np.floor(np.power(z, float(j)) * (2.0 ** 40) + 0.5)
+        ref.sums[j - 1] = sum(int(a) * int(c) for a, c in zip(q, counts))
+    ref.n = int(counts.sum())
+    ref.zmin, ref.zmax = sk.zmin, sk.zmax
+    assert sk.to_bytes() == ref.to_bytes()
+
+
+def test_raw_update_large_batch_no_wrap():
+    """A single raw update_batch call past the 2^22-row guard (the
+    ADVICE unweighted-path gap) equals the same data split into small
+    batches — no silent int64 wrap of the per-batch power sums."""
+    rng = np.random.default_rng(7)
+    data = np.exp(rng.uniform(0.0, 11.0, size=(1 << 22) + 4096))
+    whole = MomentSketch(k=4, zscale=16.0).update_batch(data)
+    acc = MomentSketch(k=4, zscale=16.0)
+    for part in np.array_split(data, 64):
+        acc.update_batch(part)
+    assert whole.to_bytes() == acc.to_bytes()
+
+
+def test_quantile_solve_cache_consistent():
+    """Repeated quantile() calls reuse one max-entropy solve; results
+    are identical to a fresh sketch's, and the cache invalidates on
+    update and merge."""
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(3.0, 1.0, 20000)
+    sk = MomentSketch(k=8).update_batch(data)
+    qs = (0.01, 0.5, 0.95, 0.99, 0.999)
+    first = [sk.quantile(q) for q in qs]
+    fresh = MomentSketch.from_bytes(sk.to_bytes())
+    assert first == [fresh.quantile(q) for q in qs]
+    sk.update_batch(np.array([1.4e3]))
+    assert sk._solved is None
+    after = [sk.quantile(q) for q in qs]
+    fresh2 = MomentSketch.from_bytes(sk.to_bytes())
+    assert after == [fresh2.quantile(q) for q in qs]

@@ -137,6 +137,19 @@ def test_vocab_coverage_clamps_oversized_requests(spark, docs):
     assert out[1000][0] == pytest.approx(1.0)
 
 
+def test_vocab_coverage_empty_corpus_emits_zero_rows(spark):
+    """A zero-term corpus (no docs, or all-NULL text) still emits every
+    requested size with coverage 0.0 / n_terms_total 0 — the curve never
+    silently vanishes at the empty edge."""
+    from p2pddsketch_spark.operators.pipeline import vocab_coverage
+    schema = "doc_id long, text string, source string"
+    for df in (spark.createDataFrame([], schema),
+               spark.createDataFrame([(1, None, "a")], schema)):
+        rows = vocab_coverage(df, sizes=(4, 8)).collect()
+        assert [(r["vocab_size"], r["coverage"], r["n_terms_total"])
+                for r in rows] == [(4, 0.0, 0), (8, 0.0, 0)]
+
+
 def test_bpe_train_merges_greedy_semantics(spark):
     """The padded double-space replace implements greedy non-overlapping
     BPE exactly: 'aaaa' merges to [aa, aa] (not [aa, a, a]), overlapping
