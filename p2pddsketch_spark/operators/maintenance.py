@@ -52,17 +52,64 @@ def content_checksum(df: DataFrame, cols: list[str] | None = None) -> Column:
     return F.sum(h % F.lit(1000000007)).alias("content_hash")
 
 
-def _dir_stats(path: str) -> tuple[int, int]:
-    """(n_files, total_bytes) of the parquet data files under path."""
-    if os.path.isfile(path):
-        return 1, os.path.getsize(path)
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any URI Spark itself can reach — the same
+    Hadoop-FS resolution the executors use, so sizing and the manifest
+    work on object stores, not just the driver's local disk. Raises
+    ValueError for schemes the runtime has no connector for (clean
+    failure BEFORE the rewrite, not after)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    try:
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    except Exception as e:                     # Py4JJavaError: no scheme
+        raise ValueError(
+            f"no Hadoop FileSystem for {path!r}: {e}") from None
+    return fs, hpath
+
+
+def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of the parquet data files under path.
+    Plain local paths take the os.walk fast path; any URI goes through
+    the Hadoop FileSystem API (one recursive listing — a bounded
+    metadata call, not a data read, even on a 100 TB table)."""
+    if "://" not in path:
+        if os.path.isfile(path):
+            return 1, os.path.getsize(path)
+        n = b = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+    fs, hpath = _hadoop_fs(spark, path)
+    st = fs.getFileStatus(hpath)
+    if st.isFile():
+        return 1, int(st.getLen())
     n = b = 0
-    for root, _, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                n += 1
-                b += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n += 1
+            b += int(f.getLen())
     return n, b
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file at `path` via the local filesystem or,
+    for URIs, the Hadoop FileSystem API (overwrite)."""
+    if "://" not in path:
+        with open(path, "w") as f:
+            f.write(text)
+        return
+    fs, hpath = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
@@ -78,15 +125,11 @@ def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
     ValueError if the rewrite lost or altered rows."""
     from p2pddsketch_spark.operators.layout import zorder_layout_nd
     for p in (input_path, output_path):
-        if "://" in p and not p.startswith("file://"):
-            # file sizing (os.walk) and the manifest write are driver-
-            # local-filesystem operations in this build; failing here is
-            # better than rewriting a remote table into one giant file
-            # and crashing on the manifest afterwards
-            raise NotImplementedError(
-                f"compact_zorder handles local paths only, got {p!r}; "
-                "object-store tables need a Hadoop-FS sizing/manifest "
-                "backend")
+        if "://" in p:
+            # resolve the FileSystem NOW: an unsupported scheme (no
+            # connector jar) must fail before the rewrite starts, not
+            # after it has written a full copy of the table
+            _hadoop_fs(spark, p)
     t0 = time.monotonic()
     zcols = [x, y] + list(extra_zorder_cols or [])
     # d·bits must fit a positive BIGINT: clamp and record the effective
@@ -94,7 +137,7 @@ def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
     # bits=16 with 2 extra columns would otherwise always raise)
     bits_eff = min(bits, 63 // len(zcols))
     df = spark.read.parquet(input_path)
-    in_files, in_bytes = _dir_stats(input_path)
+    in_files, in_bytes = _dir_stats(spark, input_path)
     n_files = max(1, -(-in_bytes // target_file_bytes))
     zorder_layout_nd(df, zcols, bits=bits_eff, partitions=int(n_files)) \
         .write.mode("overwrite").parquet(output_path)
@@ -109,7 +152,7 @@ def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
             (after["n_rows"], after["content_hash"]):
         raise ValueError(
             f"compaction changed table content: {tuple(before)} -> {tuple(after)}")
-    out_files, out_bytes = _dir_stats(output_path)
+    out_files, out_bytes = _dir_stats(spark, output_path)
     manifest = {
         "input_path": input_path, "output_path": output_path,
         "zorder": zcols, "bits": bits_eff,
@@ -120,6 +163,11 @@ def compact_zorder(spark: SparkSession, input_path: str, output_path: str,
         "files_out": out_files, "bytes_out": out_bytes,
         "secs": round(time.monotonic() - t0, 3),
     }
-    with open(os.path.join(output_path, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    # inside the output directory ON PURPOSE: Spark's file index hides
+    # `_`-prefixed names (the `_SUCCESS` convention), so every reader —
+    # plain, recursiveFileLookup, or a downstream compaction — skips it
+    # while it still travels WITH the data on copy/move. Pinned by
+    # tests/test_maintenance.py::test_manifest_invisible_to_readers.
+    _write_text(spark, output_path.rstrip("/") + "/_manifest.json",
+                json.dumps(manifest, indent=1))
     return manifest

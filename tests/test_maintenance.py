@@ -106,10 +106,44 @@ def test_content_checksum_unambiguous_encoding(spark):
     assert h([("1:N", "x")]) != h([("N", "x")])
 
 
-def test_compact_rejects_remote_paths(spark):
-    with pytest.raises(NotImplementedError, match="local paths only"):
+def test_compact_unsupported_scheme_fails_before_rewrite(spark):
+    """A URI whose scheme has no FileSystem connector in this runtime
+    (s3:// here — no hadoop-aws jar) must fail cleanly BEFORE any data
+    is rewritten, via the same Hadoop-FS resolution the executors use."""
+    with pytest.raises(ValueError, match="no Hadoop FileSystem"):
         compact_zorder(spark, "s3://bucket/events", "/tmp/out",
                        "a", "b")
+
+
+def test_compact_zorder_file_uri_through_fs_api(spark, tmp_path):
+    """file:// URIs exercise the Hadoop FileSystem sizing + manifest
+    path end-to-end (the object-store code path, minus the store)."""
+    out = f"file://{tmp_path}/li_fs"
+    manifest = compact_zorder(
+        spark, f"file://{SRC}", out, "l_partkey", "l_suppkey",
+        target_file_bytes=1 << 20,
+        hash_cols=["l_orderkey", "l_partkey", "l_linenumber"])
+    assert manifest["rows"] == spark.read.parquet(SRC).count()
+    assert manifest["files_out"] >= 1 and manifest["bytes_out"] > 0
+    disk = json.load(open(os.path.join(str(tmp_path), "li_fs",
+                                       "_manifest.json")))
+    assert disk == manifest
+
+
+def test_manifest_invisible_to_readers(spark, tmp_path):
+    """`_manifest.json` lives INSIDE the output directory — safe because
+    Spark's file index hides `_`-prefixed names (the _SUCCESS
+    convention) under every listing mode. If this ever regressed, a
+    recursive-listing read would try to parse it as parquet."""
+    out = str(tmp_path / "li_vis")
+    compact_zorder(spark, SRC, out, "l_partkey", "l_suppkey",
+                   target_file_bytes=1 << 20,
+                   hash_cols=["l_orderkey", "l_partkey"])
+    assert os.path.exists(os.path.join(out, "_manifest.json"))
+    n = spark.read.parquet(SRC).count()
+    assert spark.read.parquet(out).count() == n
+    assert (spark.read.option("recursiveFileLookup", "true")
+            .parquet(out).count() == n)
 
 
 def test_compact_zorder_extra_cols_clamps_bits(spark, tmp_path):
