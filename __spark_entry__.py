@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": Q.q_vocab_coverage,
         "moments_by_flag": Q.q_moments_by_flag,
         "optimize_compact": Q.q_optimize_compact,
+        "bpe_tokenize": Q.q_bpe_tokenize,
         # ======================= slot 51+ ==============================
         # (driver-green in r4 on identical code; re-rotated next round)
         "chunk_text": Q.q_chunk_text,

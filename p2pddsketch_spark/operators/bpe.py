@@ -145,3 +145,64 @@ def bpe_encode(df: DataFrame, k: int = 5, text_col: str = "text",
             .agg(F.count("*").cast("long").alias("n_words"),
                  F.sum("ns").cast("long").alias("n_sym"),
                  F.md5(F.concat_ws(" / ", ordered)).alias("enc_hash")))
+
+
+def bpe_symbol_ids(syms: DataFrame) -> DataFrame:
+    """(sym, cnt, token_id) over the final vocabulary's symbol
+    inventory: id = row_number by (corpus frequency DESC, symbol ASC)
+    starting at 0 — the same deterministic ranking as
+    `operators.pipeline.build_vocab`. Bounded by |base alphabet| + k
+    merges, so always dimension-table sized."""
+    from pyspark.sql.window import Window
+    counts = (syms.select("wc", F.explode(
+                  F.split(F.trim(F.col("s")), "  ")).alias("sym"))
+              .groupBy("sym").agg(F.sum("wc").alias("cnt")))
+    w = Window.orderBy(F.desc("cnt"), F.asc("sym"))
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) - F.lit(1)).cast("int"))
+
+
+def bpe_tokenize(df: DataFrame, k: int = 5, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Train k merges, then encode every document into TOKEN-ID ARRAYS:
+    (passthrough cols, tokens array<int>, n_tok) — the exact shape
+    `operators.pipeline.tokenize` emits, so trained-BPE output feeds
+    `pack_sequences` and the sketch harness unchanged (the end-to-end
+    train → encode → pack tokenizer story).
+
+    Scale shape: the symbol→id ranking AND the per-word id arrays are
+    computed on the VOCAB-sized table (symbol dim is broadcast); the
+    corpus then pays ONE equi-join on the word key bringing each word's
+    pre-resolved id array, and one doc-keyed shuffle flattens them in
+    word order. Docs with zero words survive with tokens = [] via the
+    same left-join-back as `tokenize`. Zero Python stages."""
+    merges, syms = _train(df, k, text_col)
+    mapping = syms.select(
+        "w", "wc", F.trim(F.col("s")).alias("sym_str")) \
+        .localCheckpoint(eager=True)
+    syms.unpersist()
+    sym_ids = bpe_symbol_ids(
+        mapping.select("wc", F.concat(F.lit(" "), F.col("sym_str"),
+                                      F.lit(" ")).alias("s")))
+    word_tok = (mapping
+                .select("w", F.posexplode(F.split("sym_str", "  "))
+                        .alias("sp", "sym"))
+                .join(F.broadcast(sym_ids.select("sym", "token_id")), "sym")
+                .groupBy("w")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("sp", "token_id"))),
+                    lambda x: x["token_id"]).alias("wtoks")))
+    keep = [c for c in df.columns if c != text_col]
+    words = (df.select(*keep, F.posexplode(F.split(text_col, " "))
+                       .alias("pos", "w"))
+             .where(F.length("w") >= 1))
+    assembled = (words.join(word_tok, "w")
+                 .groupBy(*keep)
+                 .agg(F.flatten(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "wtoks"))),
+                     lambda x: x["wtoks"])).alias("tokens")))
+    return (df.select(*keep)
+            .join(assembled, keep, "left")
+            .withColumn("tokens", F.coalesce(
+                F.col("tokens"), F.array().cast("array<int>")))
+            .withColumn("n_tok", F.size("tokens").cast("int")))

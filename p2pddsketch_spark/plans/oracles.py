@@ -1599,7 +1599,10 @@ def duckdb_bpe_sql(k: int, mode: str = "merges") -> str:
     engines, so every round's vocabulary state is string-identical.
     mode='merges' emits the merge table; mode='encode' joins the final
     word→symbols mapping back onto the posexploded corpus and emits the
-    per-doc (n_words, n_sym, positional md5) fingerprint."""
+    per-doc (n_words, n_sym, positional md5) fingerprint; mode='tokenize'
+    additionally ranks the symbol inventory into token ids (frequency
+    DESC, symbol ASC — `bpe_symbol_ids`) and emits each doc's
+    (n_tok, Σ position·token_id) array fingerprint."""
     parts = ["""
 WITH syms0 AS (
   SELECT w, COUNT(*)::BIGINT AS wc,
@@ -1628,6 +1631,43 @@ syms{i} AS (
               ELSE replace(s, ' ' || b.l || '  ' || b.r || ' ',
                               ' ' || b.l || b.r || ' ') END AS s
   FROM syms{p} LEFT JOIN b{i} b ON TRUE)""")
+    if mode == "tokenize":
+        parts.append(f""",
+symc AS (
+  SELECT sym, SUM(wc) AS cnt FROM (
+    SELECT wc, unnest(string_split(trim(s), '  ')) AS sym FROM syms{k})
+  GROUP BY sym
+),
+symid AS (
+  SELECT sym, ROW_NUMBER() OVER (ORDER BY cnt DESC, sym ASC) - 1 AS tid
+  FROM symc
+),
+wsyms AS (
+  SELECT w, unnest(string_split(trim(s), '  ')) AS sym,
+         unnest(range(1, len(string_split(trim(s), '  ')) + 1)) AS sp
+  FROM syms{k}
+),
+docwords AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+toks AS (
+  SELECT d.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                            ORDER BY d.pos, ws.sp) AS gpos,
+         si.tid
+  FROM docwords d JOIN wsyms ws USING (w) JOIN symid si USING (sym)
+  WHERE length(d.w) >= 1
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tok, SUM(gpos * tid) AS tok_sum
+  FROM toks GROUP BY doc_id
+)
+SELECT doc.doc_id, COALESCE(a.n_tok, 0)::INT AS n_tok,
+       COALESCE(a.tok_sum, 0)::BIGINT AS tok_sum
+FROM documents doc LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id""")
+        return "".join(parts)
     if mode == "encode":
         parts.append(f""",
 mapping AS (
@@ -1659,6 +1699,7 @@ ORDER BY iteration""")
 
 ORACLES["bpe_train_merges"] = duckdb_bpe_sql(5)
 ORACLES["bpe_encode"] = duckdb_bpe_sql(5, mode="encode")
+ORACLES["bpe_tokenize"] = duckdb_bpe_sql(5, mode="tokenize")
 
 # Moment sketch deterministic state: z = ln(x + sqrt(x²+1)) (asinh in
 # engine-identical libm ops), per-row (z/8)^j floor-quantized at 2^40

@@ -1863,6 +1863,27 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE encoding to TOKEN-ID ARRAYS (`operators/bpe.py::
+    bpe_tokenize`): train 5 merges, rank the final symbol inventory by
+    (frequency DESC, symbol ASC) into ids, and emit every document's
+    (tokens array<int>, n_tok) — the shape `pack_sequences` and the
+    sketch harness ingest. The gate row fingerprints the array
+    positionally (tok_sum = Σ position·token_id, 1-based), so every id
+    at every position is pinned; the DuckDB twin renumbers the same
+    join chain with ROW_NUMBER."""
+    from p2pddsketch_spark.operators.bpe import bpe_tokenize
+    out = bpe_tokenize(load(spark, sf_dir, "documents").select(
+        "doc_id", "text"), k=5)
+    chk = F.when(F.size("tokens") == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.zip_with("tokens", F.sequence(F.lit(1), F.size("tokens")),
+                       lambda t, i: t.cast("long") * i.cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x))
+    return (out.select("doc_id", "n_tok", chk.alias("tok_sum"))
+            .orderBy("doc_id"))
+
+
 def q_theta_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling distinct users (WAU) from the SAME per-day theta
     state as `theta_daily_retention` — every window is a UNION of ≤ 7

@@ -220,3 +220,106 @@ def test_bpe_handles_special_characters(spark):
     enc = {r["doc_id"]: r["n_sym"] for r in bpe_encode(df, k=4).collect()}
     assert set(enc) == {1, 2}
     assert enc[1] < 3 * 3 + 2 * 3 + 3  # merges shrank the symbol count
+
+
+def _bpe_reference_tokens(corpus, k):
+    """Plain-Python trained-BPE reference: k greedy merge rounds over
+    distinct-word stats, then encode every doc to token ids ranked by
+    (symbol frequency DESC, symbol ASC) — the per-row invariant
+    bpe_tokenize must reproduce array-for-array."""
+    from collections import Counter
+    words = Counter(w for _, t in corpus for w in (t or "").split() if w)
+    syms = {w: [c for c in w] for w in words}
+    for _ in range(k):
+        pairs = Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += words[w]
+        if not pairs:
+            break
+        (l, r), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    freq = Counter()
+    for w, s in syms.items():
+        for sym in s:
+            freq[sym] += words[w]
+    ids = {sym: i for i, (sym, _) in enumerate(
+        sorted(freq.items(), key=lambda kv: (-kv[1], kv[0])))}
+    return {d: [ids[sym] for w in (t or "").split() if w for sym in syms[w]]
+            for d, t in corpus}
+
+
+def test_bpe_tokenize_token_array_equality(spark):
+    """bpe_tokenize's token-id arrays equal the plain-Python trained-BPE
+    reference row for row (the north-rule per-row invariant), including
+    the zero-word doc surviving with tokens = []."""
+    from p2pddsketch_spark.operators.bpe import bpe_tokenize
+    corpus = [(1, "low lower lowest low"), (2, "aaaa aba a"),
+              (3, "newer newest new"), (4, None), (5, "x y x")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+           for r in bpe_tokenize(df, k=4).collect()}
+    ref = _bpe_reference_tokens(corpus, k=4)
+    assert set(got) == set(ref)
+    for d in ref:
+        assert got[d] == (ref[d], len(ref[d])), d
+
+
+def test_bpe_tokenize_feeds_pack_sequences(spark):
+    """Trained-BPE output composes with pack_sequences exactly like
+    `tokenize` output: same (id, tokens, n_tok) shape, packs respect
+    max_tokens, every doc lands in exactly one pack."""
+    from p2pddsketch_spark.operators.bpe import bpe_tokenize
+    from p2pddsketch_spark.operators.pipeline import pack_sequences
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "source").limit(60))
+    toks = bpe_tokenize(docs, k=3).localCheckpoint(eager=True)
+    packed = pack_sequences(toks, max_tokens=4096)
+    pdf = packed.toPandas()
+    lens = {r["doc_id"]: r["n_tok"] for r in toks.collect()}
+    assert set(pdf["doc_id"]) == set(lens)        # every doc packed once
+    assert len(pdf) == len(lens)
+    per_pack = pdf.groupby(["source", "pack_id"])["doc_id"] \
+        .apply(lambda ids: sum(lens[d] for d in ids))
+    # a pack only exceeds max_tokens when a single over-long doc owns it
+    for (src, pid), tot in per_pack.items():
+        n_docs = len(pdf[(pdf["source"] == src) & (pdf["pack_id"] == pid)])
+        assert tot <= 4096 or n_docs == 1, (src, pid, tot)
+
+
+def test_bpe_tokenize_harness_quantiles(spark):
+    """The n_tok column of trained-BPE output drives the sketch harness
+    like any sequences table — DDSketch quantiles over it land within
+    alpha of exact (the tokenizer -> sketch integration the input_hint
+    prescribes)."""
+    import numpy as np
+    from p2pddsketch_spark.operators.bpe import bpe_tokenize
+    from p2pddsketch_spark.operators.harness import (SketchSpec,
+                                                     build_sketches,
+                                                     collect_sketches,
+                                                     scalar_extractor)
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    toks = bpe_tokenize(docs, k=3).localCheckpoint(eager=True)
+    out = build_sketches(
+        toks.where(F.col("n_tok") > 0),
+        [SketchSpec("dds", lambda: DDSketch(alpha=0.01),
+                    scalar_extractor("n_tok"))])
+    sk = collect_sketches(out)["dds"]
+    exact = np.array([r["n_tok"] for r in
+                      toks.where(F.col("n_tok") > 0).collect()])
+    for q in (0.5, 0.95, 0.99):
+        est = sk.quantile(q)
+        lo = np.quantile(exact, max(0.0, q - 0.02), method="lower")
+        hi = np.quantile(exact, min(1.0, q + 0.02), method="higher")
+        assert lo * (1 - 0.011) <= est <= hi * (1 + 0.011), (q, est)
