@@ -49,6 +49,13 @@ def parse_args(argv):
     p.add_argument("--moments-zscale", type=float, default=24.0,
                    help="domain bound: values must satisfy |v| < "
                         "sinh(zscale) (24 covers |v| < 1.3e10)")
+    p.add_argument("--req", action="store_true",
+                   help="also build a REQ sketch over --value-col "
+                        "(tail-rank-accurate estimator — the p999 "
+                        "monitor per SKETCHES.md) in the same pass and "
+                        "cross-check p99/p999 against DDSketch in the "
+                        "manifest")
+    p.add_argument("--req-k", type=int, default=32)
     p.add_argument("--salt-buckets", type=int, default=32)
     p.add_argument("--shuffle-partitions", type=int, default=64)
     p.add_argument("--checkpoint-dir", default="")
@@ -77,6 +84,7 @@ def main(argv=None):
     from p2pddsketch_spark.sketches.ddsketch import DDSketch
     from p2pddsketch_spark.sketches.hll import HyperLogLog
     from p2pddsketch_spark.sketches.moments import MomentSketch
+    from p2pddsketch_spark.sketches.req import ReqSketch
 
     from p2pddsketch_spark.errors import ConflictingOptions, UsageError
     if not args.value_col and not args.tokens_col:
@@ -96,6 +104,10 @@ def main(argv=None):
             specs += [SketchSpec(
                 "moments", lambda: MomentSketch(k=args.moments_k,
                                                 zscale=args.moments_zscale),
+                scalar_extractor(args.value_col))]
+        if args.req:
+            specs += [SketchSpec(
+                "req", lambda: ReqSketch(k=args.req_k),
                 scalar_extractor(args.value_col))]
     if args.tokens_col:
         specs += [
@@ -137,8 +149,34 @@ def main(argv=None):
                 "n": sk.n, "k": sk.k,
                 "quantiles": {str(q): sk.quantile(q) for q in args.quantiles},
             }
+        elif isinstance(sk, ReqSketch):
+            manifest["results"][name] = {
+                "n": sk.n, "k": sk.k, "retained": sk.retained,
+                "quantiles": {str(q): sk.quantile(q) for q in args.quantiles},
+            }
         else:
             manifest["results"][name] = {"type": type(sk).__name__}
+
+    if args.req and args.value_col and not group_cols:
+        # dual-estimator tail cross-check: the two quantile families
+        # bound DIFFERENT errors (DDSketch: relative VALUE within alpha;
+        # REQ: tail-relative RANK), so the check runs in rank space —
+        # REQ's rank of DDSketch's estimate must sit near q. A gross
+        # disagreement means one sketch (or the plumbing) is broken; the
+        # 0.02 absolute-rank tolerance is deliberately loose because
+        # DDSketch's alpha value-error can shift rank arbitrarily in a
+        # dense region.
+        dds_sk, req_sk = sketches["dds"], sketches["req"]
+        cc = []
+        for q in (0.99, 0.999):
+            e_d, e_r = dds_sk.quantile(q), req_sk.quantile(q)
+            r_of_d = req_sk.rank(e_d) / req_sk.n if req_sk.n else 0.0
+            cc.append({"q": q, "dds_estimate": e_d, "req_estimate": e_r,
+                       "req_rank_of_dds_estimate": r_of_d,
+                       "rank_gap": abs(r_of_d - q),
+                       "consistent": abs(r_of_d - q) <= 0.02})
+        manifest["tail_crosscheck"] = cc
+        manifest["tail_crosscheck_pass"] = all(c["consistent"] for c in cc)
 
     if args.verify:
         # the reference's testQuantile contract (`main.cpp:1041-1082`):
@@ -163,9 +201,14 @@ def main(argv=None):
                 rel = abs((est - ex) / ex) if ex else abs(est)
                 # worst case is exactly α (attained when a value sits on a
                 # bucket boundary, e.g. v = γ^0); allow float slack
-                report.append({"q": q, "estimate": est, "exact": ex,
-                               "rel_err": rel,
-                               "within_alpha": rel <= sk.alpha * (1 + 1e-9)})
+                row = {"q": q, "estimate": est, "exact": ex,
+                       "rel_err": rel,
+                       "within_alpha": rel <= sk.alpha * (1 + 1e-9)}
+                if args.req:
+                    rq = sketches["req"]
+                    row["req_estimate"] = rq.quantile(q)
+                    row["req_rank_err"] = abs(rq.rank(ex) / rq.n - q)
+                report.append(row)
             manifest["verify"] = report
             manifest["verify_pass"] = all(r["within_alpha"] for r in report)
 

@@ -106,3 +106,30 @@ def test_build_and_query_moments_estimator(spark, tmp_path, capsys):
     assert manifest["results"]["moments"]["n"] == manifest["results"]["dds"]["n"]
     for q in ("0.5", "0.95"):
         assert abs(mom[q] - dds[q]) / dds[q] < 0.10, (q, mom[q], dds[q])
+
+
+def test_build_and_query_req_estimator(spark, tmp_path, capsys):
+    """--req builds the tail-accurate REQ sketch in the same pass; the
+    manifest records its quantiles plus the p99/p999 rank-space
+    cross-check against DDSketch, and with --verify the REQ rank error
+    at the exact quantile values stays inside the k=32 tail bound."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import build_and_query
+    rc = build_and_query.main([
+        "--input", "/root/testdata/sf0.001/lineitem.parquet",
+        "--value-col", "l_quantity", "--tokens-col", "",
+        "--alpha", "0.005", "--req", "--verify",
+        "--quantiles", "0.5", "0.99", "0.999",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    manifest = json.loads(out[out.index("{"):])
+    req = manifest["results"]["req"]
+    assert req["n"] == manifest["results"]["dds"]["n"]
+    assert req["retained"] < req["n"]          # it actually compacted
+    cc = manifest["tail_crosscheck"]
+    assert [c["q"] for c in cc] == [0.99, 0.999]
+    assert manifest["tail_crosscheck_pass"] is True
+    assert manifest["verify_pass"] is True
+    for row in manifest["verify"]:
+        assert row["req_rank_err"] <= 0.02, row
