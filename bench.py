@@ -39,6 +39,14 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
+# text-pipeline regression sentinels (round-5): timed like HEADLINE but
+# reported under "pipeline_queries" and NOT folded into the headline
+# total, so round-over-round headline comparability is preserved
+PIPELINE = [
+    "bpe_train_merges",
+    "tokenize_vocab",
+]
+
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
@@ -196,20 +204,26 @@ def main():
     # instead of scheduler luck. REPS=1 reproduces the round-1 protocol.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    pipeline_timings: dict[str, float] = {}
     if not skip_queries:
         import __spark_entry__ as E
         qs = E.queries()
-        for name in HEADLINE:
-            fn = qs[name]
-            best, n = None, 0
-            for _ in range(reps):
-                t0 = time.monotonic()
-                df = fn(spark, sf_dir)
-                n = df.count()
-                dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
-            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+        def run_set(names, into):
+            for name in names:
+                fn = qs[name]
+                best, n = None, 0
+                for _ in range(reps):
+                    t0 = time.monotonic()
+                    df = fn(spark, sf_dir)
+                    n = df.count()
+                    dt = time.monotonic() - t0
+                    best = dt if best is None else min(best, dt)
+                into[name] = round(best, 3)
+                print(f"# {name}: {into[name]}s ({n} rows)", file=sys.stderr)
+
+        run_set(HEADLINE, timings)
+        run_set(PIPELINE, pipeline_timings)
 
     seq_path, total_tokens = ensure_sequences(spark, bench_rows)
     tp = sketch_build_throughput(spark, seq_path, total_tokens)
@@ -242,6 +256,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "pipeline_queries": pipeline_timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "bench_sequences": bench_rows,

@@ -1631,6 +1631,38 @@ syms{i} AS (
               ELSE replace(s, ' ' || b.l || '  ' || b.r || ' ',
                               ' ' || b.l || b.r || ' ') END AS s
   FROM syms{p} LEFT JOIN b{i} b ON TRUE)""")
+    if mode == "pack":
+        # end-to-end composition twin: the encode-mode mapping gives each
+        # doc's BPE symbol count, then the pack_sequences recursive-CTE
+        # fold replays next-fit packing per source stream at cap 512
+        parts.append(f""",
+mapping AS (
+  SELECT w, len(string_split(trim(s), '  '))::BIGINT AS ns FROM syms{k}
+),
+docn AS (
+  SELECT doc.doc_id, doc.source, COALESCE(SUM(m.ns), 0)::BIGINT AS w,
+         ROW_NUMBER() OVER (PARTITION BY doc.source
+                            ORDER BY doc.doc_id) AS rn
+  FROM documents doc
+  LEFT JOIN (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents) dw
+    ON dw.doc_id = doc.doc_id AND length(dw.w) >= 1
+  LEFT JOIN mapping m ON m.w = dw.w
+  GROUP BY doc.doc_id, doc.source
+),
+walk(source, rn, doc_id, w, pack_id, fill) AS (
+  SELECT source, rn, doc_id, w, 0::BIGINT, w FROM docn WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.w,
+         CASE WHEN walk.fill > 0 AND walk.fill + d.w > 512
+              THEN walk.pack_id + 1 ELSE walk.pack_id END,
+         CASE WHEN walk.fill > 0 AND walk.fill + d.w > 512
+              THEN d.w ELSE walk.fill + d.w END
+  FROM walk JOIN docn d ON d.source = walk.source AND d.rn = walk.rn + 1
+)
+SELECT doc_id, source, pack_id, (fill - w) AS pack_offset
+FROM walk ORDER BY doc_id""")
+        return "".join(parts).replace("WITH syms0", "WITH RECURSIVE syms0", 1)
     if mode == "tokenize":
         parts.append(f""",
 symc AS (
@@ -1700,6 +1732,7 @@ ORDER BY iteration""")
 ORACLES["bpe_train_merges"] = duckdb_bpe_sql(5)
 ORACLES["bpe_encode"] = duckdb_bpe_sql(5, mode="encode")
 ORACLES["bpe_tokenize"] = duckdb_bpe_sql(5, mode="tokenize")
+ORACLES["bpe_pack"] = duckdb_bpe_sql(5, mode="pack")
 
 # Moment sketch deterministic state: z = ln(x + sqrt(x²+1)) (asinh in
 # engine-identical libm ops), per-row (z/8)^j floor-quantized at 2^40

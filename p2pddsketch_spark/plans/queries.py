@@ -1884,6 +1884,23 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer-pipeline composition, train → encode → pack:
+    5 trained BPE merges encode every document to token-id arrays
+    (`bpe_tokenize`), and next-fit packing lays the resulting n_tok
+    stream into 512-token context windows per source. The twin chains
+    the encode-mode CTE (per-doc BPE symbol count) into the
+    pack_sequences recursive-CTE fold — one oracle replaying the whole
+    pipeline."""
+    from p2pddsketch_spark.operators.bpe import bpe_tokenize
+    from p2pddsketch_spark.operators.pipeline import pack_sequences
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    toks = bpe_tokenize(docs, k=5)
+    return (pack_sequences(toks, max_tokens=512)
+            .select("doc_id", "source", "pack_id", "pack_offset")
+            .orderBy("doc_id"))
+
+
 def q_theta_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling distinct users (WAU) from the SAME per-day theta
     state as `theta_daily_retention` — every window is a UNION of ≤ 7

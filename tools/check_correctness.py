@@ -45,6 +45,7 @@ def main():
 
     qs, oracles = E.queries(), E.oracle_sql()
     failed = []
+    times: dict[str, float] = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -56,6 +57,7 @@ def main():
             failed.append(name)
             continue
         secs = time.monotonic() - t0
+        times[name] = round(secs, 2)
         if name not in oracles:
             print(f"{name:32s} rows-only   {len(sdf):6d} rows  {secs:5.1f}s")
             continue
@@ -84,6 +86,20 @@ def main():
                         print(f"   spark : {sdf.iloc[i].to_dict()}")
                         print(f"   oracle: {odf.iloc[i].to_dict()}")
     spark.stop()
+    if not ONLY:
+        # committed per-query gate wall times (Spark side, local[8] at
+        # SF_DIR): lets the window rotation balance driver-gate runtime,
+        # not just staleness
+        import json
+        import os
+        rec = {"sf_dir": SF_DIR, "spark_secs": times,
+               "total_secs": round(sum(times.values()), 1),
+               "generated_by": "tools/check_correctness.py"}
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH", "gate_times.json")
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+        print(f"\nper-query gate times -> {path}")
     print("\nFAILED:" if failed else "\nALL MATCH", failed if failed else "")
     sys.exit(1 if failed else 0)
 
