@@ -36,8 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's verification window: the
     external gate checks the FIRST 50 entries each round. Round 5
     front-loads the 46 queries whose newest driver row is r3, plus this
-    round's changed/new entries; the 47 r4-verified queries move beyond
-    slot 50. tests/test_query_oracles.py::test_registry_window_policy
+    round's changed/new entries; the 48 remaining r4-verified queries
+    move beyond slot 50 (46 + 4 in-window + 48 = 98).
+    tests/test_query_oracles.py::test_registry_window_policy
     mechanically bounds staleness: every slot-51+ entry must have a green
     row in the LATEST CORRECTNESS_r*.json — so no query's newest driver
     verification is ever more than two rounds old."""

@@ -145,14 +145,19 @@ def main(argv=None):
         elif isinstance(sk, HyperLogLog):
             manifest["results"][name] = {"cardinality": sk.cardinality()}
         elif isinstance(sk, MomentSketch):
+            # unlike DDSketch (NaN), moment/REQ quantile() raises on an
+            # empty sketch (all-NULL/NaN value column) — the manifest
+            # must still print
             manifest["results"][name] = {
                 "n": sk.n, "k": sk.k,
-                "quantiles": {str(q): sk.quantile(q) for q in args.quantiles},
+                "quantiles": {str(q): sk.quantile(q) if sk.n else
+                              float("nan") for q in args.quantiles},
             }
         elif isinstance(sk, ReqSketch):
             manifest["results"][name] = {
                 "n": sk.n, "k": sk.k, "retained": sk.retained,
-                "quantiles": {str(q): sk.quantile(q) for q in args.quantiles},
+                "quantiles": {str(q): sk.quantile(q) if sk.n else
+                              float("nan") for q in args.quantiles},
             }
         else:
             manifest["results"][name] = {"type": type(sk).__name__}
@@ -167,16 +172,21 @@ def main(argv=None):
         # DDSketch's alpha value-error can shift rank arbitrarily in a
         # dense region.
         dds_sk, req_sk = sketches["dds"], sketches["req"]
-        cc = []
-        for q in (0.99, 0.999):
-            e_d, e_r = dds_sk.quantile(q), req_sk.quantile(q)
-            r_of_d = req_sk.rank(e_d) / req_sk.n if req_sk.n else 0.0
-            cc.append({"q": q, "dds_estimate": e_d, "req_estimate": e_r,
-                       "req_rank_of_dds_estimate": r_of_d,
-                       "rank_gap": abs(r_of_d - q),
-                       "consistent": abs(r_of_d - q) <= 0.02})
-        manifest["tail_crosscheck"] = cc
-        manifest["tail_crosscheck_pass"] = all(c["consistent"] for c in cc)
+        if req_sk.n == 0:
+            manifest["tail_crosscheck"] = []
+            manifest["tail_crosscheck_pass"] = None   # nothing to check
+        else:
+            cc = []
+            for q in (0.99, 0.999):
+                e_d, e_r = dds_sk.quantile(q), req_sk.quantile(q)
+                r_of_d = req_sk.rank(e_d) / req_sk.n
+                cc.append({"q": q, "dds_estimate": e_d, "req_estimate": e_r,
+                           "req_rank_of_dds_estimate": r_of_d,
+                           "rank_gap": abs(r_of_d - q),
+                           "consistent": abs(r_of_d - q) <= 0.02})
+            manifest["tail_crosscheck"] = cc
+            manifest["tail_crosscheck_pass"] = all(c["consistent"]
+                                                   for c in cc)
 
     if args.verify:
         # the reference's testQuantile contract (`main.cpp:1041-1082`):

@@ -49,9 +49,9 @@ def main(argv: list[str] | None = None) -> int:
             extra_zorder_cols=cols[2:] or None)
         print(json.dumps(manifest))
         return 0
-    except (ValueError, NotImplementedError) as e:
-        # NotImplementedError covers compact_zorder's unsupported-scheme
-        # guard — both surface as the documented JSON error contract
+    except ValueError as e:
+        # compact_zorder's failure contract: bad URIs / unsupported
+        # schemes / lost-row verification all raise ValueError
         print(json.dumps({"error": str(e)}))
         return 1
     finally:

@@ -147,15 +147,16 @@ def bpe_encode(df: DataFrame, k: int = 5, text_col: str = "text",
                  F.md5(F.concat_ws(" / ", ordered)).alias("enc_hash")))
 
 
-def bpe_symbol_ids(syms: DataFrame) -> DataFrame:
+def bpe_symbol_ids(vocab: DataFrame, sym_col: str = "sym_str") -> DataFrame:
     """(sym, cnt, token_id) over the final vocabulary's symbol
-    inventory: id = row_number by (corpus frequency DESC, symbol ASC)
-    starting at 0 — the same deterministic ranking as
-    `operators.pipeline.build_vocab`. Bounded by |base alphabet| + k
-    merges, so always dimension-table sized."""
+    inventory: `vocab` carries (wc, sym_col) where sym_col is the
+    TRIMMED double-space-joined symbol string; id = row_number by
+    (corpus frequency DESC, symbol ASC) starting at 0 — the same
+    deterministic ranking as `operators.pipeline.build_vocab`. Bounded
+    by |base alphabet| + k merges, so always dimension-table sized."""
     from pyspark.sql.window import Window
-    counts = (syms.select("wc", F.explode(
-                  F.split(F.trim(F.col("s")), "  ")).alias("sym"))
+    counts = (vocab.select("wc", F.explode(
+                  F.split(sym_col, "  ")).alias("sym"))
               .groupBy("sym").agg(F.sum("wc").alias("cnt")))
     w = Window.orderBy(F.desc("cnt"), F.asc("sym"))
     return counts.withColumn(
@@ -181,9 +182,7 @@ def bpe_tokenize(df: DataFrame, k: int = 5, text_col: str = "text",
         "w", "wc", F.trim(F.col("s")).alias("sym_str")) \
         .localCheckpoint(eager=True)
     syms.unpersist()
-    sym_ids = bpe_symbol_ids(
-        mapping.select("wc", F.concat(F.lit(" "), F.col("sym_str"),
-                                      F.lit(" ")).alias("s")))
+    sym_ids = bpe_symbol_ids(mapping)
     word_tok = (mapping
                 .select("w", F.posexplode(F.split("sym_str", "  "))
                         .alias("sp", "sym"))

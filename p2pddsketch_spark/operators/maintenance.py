@@ -59,12 +59,18 @@ def _hadoop_fs(spark: SparkSession, path: str):
     ValueError for schemes the runtime has no connector for (clean
     failure BEFORE the rewrite, not after)."""
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
     try:
+        # Path() itself rejects malformed URIs — keep it inside the try
+        # so both failure shapes surface as the documented ValueError
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    except Exception as e:                     # Py4JJavaError: no scheme
+    except Exception as e:          # Py4JJavaError: bad URI / no scheme
+        # keep the root-cause line, not the embedded Java stacktrace
+        lines = [ln.strip().lstrip(": ") for ln in str(e).splitlines()]
+        detail = next((ln for ln in lines if "Exception" in ln),
+                      lines[0] if lines else str(e))
         raise ValueError(
-            f"no Hadoop FileSystem for {path!r}: {e}") from None
+            f"no Hadoop FileSystem for {path!r}: {detail}") from None
     return fs, hpath
 
 

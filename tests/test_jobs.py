@@ -133,3 +133,30 @@ def test_build_and_query_req_estimator(spark, tmp_path, capsys):
     assert manifest["verify_pass"] is True
     for row in manifest["verify"]:
         assert row["req_rank_err"] <= 0.02, row
+
+
+def test_build_and_query_estimators_survive_empty_value_column(
+        spark, tmp_path, capsys):
+    """An all-NULL value column builds empty sketches; DDSketch answers
+    NaN, and the moment/REQ branches (whose quantile() raises on empty)
+    must still print a manifest instead of crashing — with the
+    cross-check explicitly recorded as not-applicable."""
+    import math
+    path = str(tmp_path / "nulls.parquet")
+    spark.sql("SELECT CAST(NULL AS DOUBLE) AS v, id FROM RANGE(100)") \
+        .write.parquet(path)
+    sys.path.insert(0, "/root/repo/jobs")
+    import build_and_query
+    rc = build_and_query.main([
+        "--input", path, "--value-col", "v", "--tokens-col", "",
+        "--req", "--moments", "--quantiles", "0.5", "0.99",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    manifest = json.loads(out[out.index("{"):])
+    for fam in ("dds", "moments", "req"):
+        assert manifest["results"][fam]["n"] == 0
+        for v in manifest["results"][fam]["quantiles"].values():
+            assert v is None or math.isnan(v)   # json NaN -> parsed nan
+    assert manifest["tail_crosscheck"] == []
+    assert manifest["tail_crosscheck_pass"] is None

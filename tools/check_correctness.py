@@ -94,6 +94,10 @@ def main():
         import os
         rec = {"sf_dir": SF_DIR, "spark_secs": times,
                "total_secs": round(sum(times.values()), 1),
+               # failures recorded explicitly: errored queries have no
+               # time entry, mismatched ones do — a partial record must
+               # never masquerade as a green run
+               "failed": sorted(failed),
                "generated_by": "tools/check_correctness.py"}
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH", "gate_times.json")
