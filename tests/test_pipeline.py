@@ -323,3 +323,25 @@ def test_bpe_tokenize_harness_quantiles(spark):
         lo = np.quantile(exact, max(0.0, q - 0.02), method="lower")
         hi = np.quantile(exact, min(1.0, q + 0.02), method="higher")
         assert lo * (1 - 0.011) <= est <= hi * (1 + 0.011), (q, est)
+
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="ab", min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(_word, min_size=0, max_size=6),
+                min_size=1, max_size=5))
+def test_property_bpe_tokenize_matches_reference(spark, word_lists):
+    """For arbitrary tiny corpora over a 2-letter alphabet (maximal pair
+    and rank ties, repeated words, empty docs), bpe_tokenize's arrays
+    equal the plain-Python trained-BPE reference — tie-breaks, merge
+    exhaustion, and the empty edge included."""
+    from p2pddsketch_spark.operators.bpe import bpe_tokenize
+    corpus = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in bpe_tokenize(df, k=3).collect()}
+    ref = _bpe_reference_tokens(corpus, k=3)
+    assert got == ref

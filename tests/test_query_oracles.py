@@ -90,6 +90,9 @@ SUBSET = [
     "streaming_stateful_quantiles",  # applyInPandasWithState == batch SQL
     "bpe_top_pairs",            # weighted char-pair BPE step over vocab
     "theta_rolling_wau",        # 7-day WAU from per-day theta unions
+    "moments_by_flag",          # moment-sketch integer state, hard oracle
+    "bpe_tokenize",             # trained-BPE token-id arrays, Σ pos·id twin
+    "bpe_pack",                 # train → encode → pack composition
 ]
 
 

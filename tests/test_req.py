@@ -126,3 +126,35 @@ def test_large_batch_ingestion_is_fast():
     dt = time.monotonic() - t0
     assert sk.n == len(d)
     assert dt < 20.0, dt
+
+
+def test_req_blobs_through_sql_udafs(spark):
+    """The generic blob UDAFs dispatch on the REQ1 magic exactly like
+    MOM1/DDS: sketch_merge re-aggregates persisted REQ partials and the
+    generic quantile UDF answers from the merged state — the persisted
+    sketch-table query surface works for the tail sketch too."""
+    from pyspark.sql import functions as F
+    from p2pddsketch_spark.functions.sketch_udfs import (dds_quantile_udf,
+                                                         sketch_merge_udaf)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = ev.select("event_type", "user_id", "value").toPandas()
+    rows = []
+    for (et, _b), grp in pdf.groupby(["event_type", pdf["user_id"] % 4]):
+        sk = ReqSketch(k=32).update_batch(grp["value"].to_numpy())
+        rows.append((et, sk.to_bytes()))
+    partials = spark.createDataFrame(rows, "event_type string, sketch binary")
+    merged = (partials.groupBy("event_type")
+              .agg(sketch_merge_udaf()(F.col("sketch")).alias("sketch")))
+    got = {r["event_type"]: (r["p5"], r["p99"]) for r in merged.select(
+        "event_type",
+        dds_quantile_udf()(F.col("sketch"), F.lit(0.5)).alias("p5"),
+        dds_quantile_udf()(F.col("sketch"), F.lit(0.99)).alias("p99"))
+        .collect()}
+    for et, grp in pdf.groupby("event_type"):
+        vals = np.asarray(grp["value"].to_numpy(), dtype=np.float64)
+        vals = vals[np.isfinite(vals)]
+        for q, est in zip((0.5, 0.99), got[et]):
+            rank = float((vals <= est).mean())
+            # merged-sketch rank error: loose mid-rank bound, tight tail
+            tol = 0.05 if q == 0.5 else 0.02
+            assert abs(rank - q) <= tol, (et, q, est, rank)
