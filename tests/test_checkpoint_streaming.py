@@ -15,13 +15,21 @@ from p2pddsketch_spark.operators.harness import (
     scalar_extractor)
 from p2pddsketch_spark.sketches.ddsketch import DDSketch
 from p2pddsketch_spark.sketches.hll import HyperLogLog
+from p2pddsketch_spark.sketches.moments import MomentSketch
+from p2pddsketch_spark.sketches.req import ReqSketch
 
 
 def _specs():
+    # one NEEDS_RAW sketch (REQ) and one weighted-path sketch (moments)
+    # alongside the originals, so resume byte-identity covers every
+    # stage-1 feeding mode
     return [
         SketchSpec("dds", lambda: DDSketch(alpha=0.001, bin_limit=1 << 22),
                    scalar_extractor("n_tok")),
         SketchSpec("hll", lambda: HyperLogLog(p=12), array_extractor("tokens")),
+        SketchSpec("req", lambda: ReqSketch(k=32), scalar_extractor("n_tok")),
+        SketchSpec("mom", lambda: MomentSketch(k=6, zscale=16.0),
+                   scalar_extractor("n_tok")),
     ]
 
 

@@ -187,3 +187,18 @@ def test_dq_report_is_one_scan(spark):
     # once in the tree, once in the detail section)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_bpe_tokenize_plan_broadcasts_symbol_dim(spark):
+    """bpe_tokenize's id resolution must stay vocab-side: the symbol-dim
+    join is a BroadcastHashJoin (the dim is |alphabet|+k rows) and the
+    plan contains no nested-loop/cartesian anywhere; the corpus pays
+    equi-joins only."""
+    from p2pddsketch_spark.operators.bpe import bpe_tokenize
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    df = bpe_tokenize(docs, k=2)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
