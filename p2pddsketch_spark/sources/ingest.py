@@ -1,0 +1,93 @@
+"""Ingest external corpus drops into the canonical sequences schema.
+
+The engine's input contract is one table shape (BASELINE input_hint):
+`(doc_id string, tokens array<int>, n_tok int, source string)`. Upstream
+corpus drops arrive as parquet, JSONL, or CSV; this module normalizes
+all three into that shape with an EXPLICIT schema — schema inference is
+never used (at 10^12 rows an inference pass is a full extra scan, and a
+single malformed row can silently widen a column type). Reference
+analog: `loadDataset` (/root/reference/main.cpp:660-795) reads the
+simulator's fixed-layout input; here the fixed layout is the schema.
+
+Format notes:
+* JSONL carries `tokens` natively as a JSON array.
+* CSV has no array type — `tokens` is a space-joined string column that
+  is split and cast JVM-side (`transform(split(...), int)`), keeping the
+  parse inside whole-stage codegen. An empty string means zero tokens.
+* `mode="FAILFAST"` on both text formats: a malformed row fails the job
+  loudly instead of becoming a silent NULL row (PERMISSIVE's default),
+  matching the library's determinism discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["SEQUENCES_SCHEMA", "read_sequences"]
+
+SEQUENCES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+    T.StructField("n_tok", T.IntegerType(), True),
+    T.StructField("source", T.StringType(), True),
+])
+
+# CSV carries tokens as a space-joined string (no array type in CSV)
+_CSV_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens", T.StringType(), True),
+    T.StructField("n_tok", T.IntegerType(), True),
+    T.StructField("source", T.StringType(), True),
+])
+
+
+def read_sequences(spark: SparkSession, path: str,
+                   fmt: str = "parquet") -> DataFrame:
+    """Read a sequences table from `path` in `fmt` ('parquet', 'jsonl',
+    'csv') into the canonical shape. n_tok is recomputed from the parsed
+    array when absent (NULL), and a present-but-inconsistent n_tok is
+    NOT silently fixed — validate_sequences() is the loud check."""
+    if fmt == "parquet":
+        df = spark.read.schema(SEQUENCES_SCHEMA).parquet(path)
+    elif fmt == "jsonl":
+        df = (spark.read.schema(SEQUENCES_SCHEMA)
+              .option("mode", "FAILFAST").json(path))
+    elif fmt == "csv":
+        raw = (spark.read.schema(_CSV_SCHEMA)
+               .option("header", "true").option("mode", "FAILFAST")
+               .csv(path))
+        # CSV cannot distinguish an empty cell from NULL (the reader maps
+        # "" to NULL); by convention an empty/NULL tokens cell means ZERO
+        # tokens — use JSONL when NULL-vs-empty matters
+        toks = F.when(
+            F.col("tokens").isNull() | (F.length("tokens") == 0),
+            F.array().cast("array<int>")
+        ).otherwise(F.transform(F.split("tokens", " "),
+                                lambda s: s.cast("int")))
+        df = raw.select("doc_id", toks.alias("tokens"), "n_tok", "source")
+    else:
+        from p2pddsketch_spark.errors import ParamError
+        raise ParamError(f"unknown sequences format {fmt!r} "
+                         "(parquet | jsonl | csv)")
+    return df.withColumn(
+        "n_tok", F.coalesce(F.col("n_tok"),
+                            F.size("tokens").cast("int")))
+
+
+def validate_sequences(df: DataFrame) -> dict:
+    """One-pass ingest audit: row count, NULL doc_ids, rows whose n_tok
+    disagrees with size(tokens), and rows with out-of-range token ids
+    (negative). Returns plain counts — the caller decides whether to
+    fail; a 100 TB ingest wants the numbers, not an exception per row."""
+    bad_len = (F.col("n_tok") != F.size("tokens")).cast("long")
+    neg = F.exists("tokens", lambda t: t < 0).cast("long")
+    row = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("doc_id").isNull().cast("long")).alias("null_doc_id"),
+        F.sum(F.coalesce(bad_len, F.lit(1))).alias("n_tok_mismatch"),
+        F.sum(F.coalesce(neg, F.lit(0))).alias("negative_token_rows"),
+    ).first()
+    return {k: int(row[k] or 0) for k in
+            ("rows", "null_doc_id", "n_tok_mismatch", "negative_token_rows")}

@@ -1,0 +1,95 @@
+"""Source-format ingest: JSONL / CSV / parquet drops all normalize to
+the canonical sequences shape with token-array equality (the per-row
+invariant), explicit schemas (never inference), and a loud audit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.errors import ParamError
+from p2pddsketch_spark.sources.ingest import (SEQUENCES_SCHEMA,
+                                              read_sequences,
+                                              validate_sequences)
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    rows = [
+        ("d1", [1, 2, 3], 3, "web"),
+        ("d2", [], 0, "web"),                       # zero-token doc
+        ("d3", [7, 7, 2147480000], 3, "books"),     # near-int32-max id
+        ("d4", [5], 1, None),                       # NULL source
+    ]
+    return spark.createDataFrame(rows, SEQUENCES_SCHEMA)
+
+
+def _collect(df):
+    return sorted(
+        (r["doc_id"], tuple(r["tokens"]) if r["tokens"] is not None else None,
+         r["n_tok"], r["source"])
+        for r in df.collect())
+
+
+def test_roundtrip_all_formats(spark, seqs, tmp_path):
+    expect = _collect(seqs)
+    pq = str(tmp_path / "pq")
+    seqs.write.parquet(pq)
+    assert _collect(read_sequences(spark, pq, "parquet")) == expect
+
+    jl = str(tmp_path / "jl")
+    seqs.write.json(jl)
+    assert _collect(read_sequences(spark, jl, "jsonl")) == expect
+
+    cs = str(tmp_path / "cs")
+    (seqs.select("doc_id", F.array_join("tokens", " ").alias("tokens"),
+                 "n_tok", "source")
+     .write.option("header", "true").csv(cs))
+    assert _collect(read_sequences(spark, cs, "csv")) == expect
+
+
+def test_missing_n_tok_recomputed(spark, tmp_path):
+    jl = str(tmp_path / "nolen")
+    spark.createDataFrame(
+        [("a", [4, 5], None, "s")], SEQUENCES_SCHEMA).write.json(jl)
+    got = read_sequences(spark, jl, "jsonl").first()
+    assert got["n_tok"] == 2
+
+
+def test_unknown_format_raises(spark):
+    with pytest.raises(ParamError, match="unknown sequences format"):
+        read_sequences(spark, "/tmp/x", "avro")
+
+
+def test_validate_sequences_counts(spark):
+    rows = [
+        ("a", [1, 2], 2, "s"),       # clean
+        ("b", [1], 5, "s"),          # n_tok mismatch
+        ("c", [-3, 1], 2, "s"),      # negative token id
+        (None, [1], 1, "s"),         # NULL doc_id
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    rep = validate_sequences(df)
+    assert rep == {"rows": 4, "null_doc_id": 1, "n_tok_mismatch": 1,
+                   "negative_token_rows": 1}
+
+
+def test_ingested_sequences_feed_the_harness(spark, seqs, tmp_path):
+    """An ingested JSONL drop drives the sketch harness exactly like the
+    parquet path: DDSketch over n_tok, byte-identical to the local
+    single-shot build over the same rows."""
+    import numpy as np
+    from p2pddsketch_spark.operators.harness import (SketchSpec,
+                                                     build_sketches,
+                                                     collect_sketches,
+                                                     scalar_extractor)
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+    jl = str(tmp_path / "feed")
+    seqs.write.json(jl)
+    df = read_sequences(spark, jl, "jsonl")
+    out = build_sketches(
+        df, [SketchSpec("dds", lambda: DDSketch(alpha=0.01),
+                        scalar_extractor("n_tok"))])
+    sk = collect_sketches(out)["dds"]
+    ref = DDSketch(alpha=0.01).update_batch(
+        np.array([r["n_tok"] for r in seqs.collect()], dtype=np.float64))
+    assert sk.to_bytes() == ref.to_bytes()
