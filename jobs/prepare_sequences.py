@@ -29,6 +29,12 @@ def main(argv=None):
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--vocab-size", type=int, default=512)
+    p.add_argument("--tokenizer", default="vocab", choices=["vocab", "bpe"],
+                   help="'vocab': frequency-ranked word vocabulary with "
+                        "OOV=-1; 'bpe': train --bpe-merges merges and "
+                        "encode to subword ids (no OOV — every symbol "
+                        "is in the trained inventory)")
+    p.add_argument("--bpe-merges", type=int, default=5)
     p.add_argument("--assign-splits", action="store_true")
     p.add_argument("--shuffle-partitions", type=int, default=64)
     args = p.parse_args(argv)
@@ -48,12 +54,20 @@ def main(argv=None):
     t0 = time.monotonic()
     df = spark.read.parquet(args.input)
     keep = [c for c in (args.id_col, "source") if c in df.columns]
-    vocab = build_vocab(df, args.vocab_size, args.text_col)
-    vocab.write.mode("overwrite").parquet(f"{args.output}.vocab")
-
-    seqs = tokenize(df.select(*keep, args.text_col),
-                    spark.read.parquet(f"{args.output}.vocab"),
-                    text_col=args.text_col, id_col=args.id_col)
+    if args.tokenizer == "bpe":
+        from p2pddsketch_spark.operators.bpe import bpe_tokenize
+        seqs, merges = bpe_tokenize(
+            df.select(*keep, args.text_col), k=args.bpe_merges,
+            text_col=args.text_col, id_col=args.id_col, with_merges=True)
+        # the tokenizer DEFINITION travels beside the corpus: the ranked
+        # merge table is what re-creates this encoding elsewhere
+        merges.write.mode("overwrite").parquet(f"{args.output}.merges")
+    else:
+        vocab = build_vocab(df, args.vocab_size, args.text_col)
+        vocab.write.mode("overwrite").parquet(f"{args.output}.vocab")
+        seqs = tokenize(df.select(*keep, args.text_col),
+                        spark.read.parquet(f"{args.output}.vocab"),
+                        text_col=args.text_col, id_col=args.id_col)
     if args.assign_splits:
         seqs = split_assign(seqs, id_col=args.id_col).drop("split_bucket")
     seqs.write.mode("overwrite").parquet(args.output)
@@ -66,7 +80,11 @@ def main(argv=None):
     ).collect()[0]
     manifest = {
         "input": args.input, "output": args.output,
-        "vocab_size": args.vocab_size,
+        "tokenizer": args.tokenizer,
+        "vocab_size": (args.vocab_size if args.tokenizer == "vocab"
+                       else None),
+        "bpe_merges": (args.bpe_merges if args.tokenizer == "bpe"
+                       else None),
         "n_docs": stats["n_docs"],
         "total_tokens": int(stats["total_tokens"] or 0),
         "oov_tokens": int(stats["oov_tokens"] or 0),

@@ -164,7 +164,7 @@ def bpe_symbol_ids(vocab: DataFrame, sym_col: str = "sym_str") -> DataFrame:
 
 
 def bpe_tokenize(df: DataFrame, k: int = 5, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id", with_merges: bool = False):
     """Train k merges, then encode every document into TOKEN-ID ARRAYS:
     (passthrough cols, tokens array<int>, n_tok) — the exact shape
     `operators.pipeline.tokenize` emits, so trained-BPE output feeds
@@ -176,7 +176,12 @@ def bpe_tokenize(df: DataFrame, k: int = 5, text_col: str = "text",
     corpus then pays ONE equi-join on the word key bringing each word's
     pre-resolved id array, and one doc-keyed shuffle flattens them in
     word order. Docs with zero words survive with tokens = [] via the
-    same left-join-back as `tokenize`. Zero Python stages."""
+    same left-join-back as `tokenize`. Zero Python stages.
+
+    `with_merges=True` additionally returns the trained merge table
+    (the `bpe_train_merges` shape) from the SAME training run, for
+    callers that persist the tokenizer definition beside the encoded
+    corpus — returns (sequences_df, merges_df)."""
     merges, syms = _train(df, k, text_col)
     mapping = syms.select(
         "w", "wc", F.trim(F.col("s")).alias("sym_str")) \
@@ -200,8 +205,14 @@ def bpe_tokenize(df: DataFrame, k: int = 5, text_col: str = "text",
                  .agg(F.flatten(F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "wtoks"))),
                      lambda x: x["wtoks"])).alias("tokens")))
-    return (df.select(*keep)
-            .join(assembled, keep, "left")
-            .withColumn("tokens", F.coalesce(
-                F.col("tokens"), F.array().cast("array<int>")))
-            .withColumn("n_tok", F.size("tokens").cast("int")))
+    out = (df.select(*keep)
+           .join(assembled, keep, "left")
+           .withColumn("tokens", F.coalesce(
+               F.col("tokens"), F.array().cast("array<int>")))
+           .withColumn("n_tok", F.size("tokens").cast("int")))
+    if with_merges:
+        merges_df = df.sparkSession.createDataFrame(
+            merges, "iteration int, left string, right string, "
+                    "merged string, pair_count long")
+        return out, merges_df
+    return out

@@ -160,3 +160,36 @@ def test_build_and_query_estimators_survive_empty_value_column(
             assert v is None or math.isnan(v)   # json NaN -> parsed nan
     assert manifest["tail_crosscheck"] == []
     assert manifest["tail_crosscheck_pass"] is None
+
+
+def test_prepare_sequences_bpe_tokenizer(spark, tmp_path, capsys):
+    """--tokenizer bpe materializes trained-BPE sequences (no OOV ids)
+    plus the merge table that DEFINES the tokenizer, and the output
+    matches bpe_tokenize run directly — the CLI twin of the bpe_tokenize
+    / bpe_pack operator path."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import prepare_sequences
+    out = str(tmp_path / "bseqs")
+    rc = prepare_sequences.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--tokenizer", "bpe", "--bpe-merges", "3"])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip())
+    assert manifest["tokenizer"] == "bpe"
+    assert manifest["bpe_merges"] == 3 and manifest["vocab_size"] is None
+    assert manifest["oov_tokens"] == 0          # BPE has no OOV
+    assert manifest["n_docs"] == 500
+
+    merges = spark.read.parquet(f"{out}.merges")
+    assert merges.count() == 3
+    assert set(merges.columns) == {"iteration", "left", "right", "merged",
+                                   "pair_count"}
+
+    from p2pddsketch_spark.operators.bpe import bpe_tokenize
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text", "source")
+    direct = {r["doc_id"]: list(r["tokens"])
+              for r in bpe_tokenize(docs, k=3).collect()}
+    job = {r["doc_id"]: list(r["tokens"])
+           for r in spark.read.parquet(out).collect()}
+    assert job == direct
