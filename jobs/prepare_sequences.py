@@ -54,20 +54,30 @@ def main(argv=None):
     t0 = time.monotonic()
     df = spark.read.parquet(args.input)
     keep = [c for c in (args.id_col, "source") if c in df.columns]
+    def _drop_sidecar(path: str) -> None:
+        # the tokenizer DEFINITION travels beside the corpus — a stale
+        # sidecar from a previous run in the OTHER mode would silently
+        # decode this corpus with the wrong tokenizer
+        from p2pddsketch_spark.operators.maintenance import _hadoop_fs
+        fs, p = _hadoop_fs(spark, path)
+        fs.delete(p, True)
+
+    n_merges_trained = None
     if args.tokenizer == "bpe":
         from p2pddsketch_spark.operators.bpe import bpe_tokenize
         seqs, merges = bpe_tokenize(
             df.select(*keep, args.text_col), k=args.bpe_merges,
             text_col=args.text_col, id_col=args.id_col, with_merges=True)
-        # the tokenizer DEFINITION travels beside the corpus: the ranked
-        # merge table is what re-creates this encoding elsewhere
         merges.write.mode("overwrite").parquet(f"{args.output}.merges")
+        n_merges_trained = spark.read.parquet(f"{args.output}.merges").count()
+        _drop_sidecar(f"{args.output}.vocab")
     else:
         vocab = build_vocab(df, args.vocab_size, args.text_col)
         vocab.write.mode("overwrite").parquet(f"{args.output}.vocab")
         seqs = tokenize(df.select(*keep, args.text_col),
                         spark.read.parquet(f"{args.output}.vocab"),
                         text_col=args.text_col, id_col=args.id_col)
+        _drop_sidecar(f"{args.output}.merges")
     if args.assign_splits:
         seqs = split_assign(seqs, id_col=args.id_col).drop("split_bucket")
     seqs.write.mode("overwrite").parquet(args.output)
@@ -83,8 +93,12 @@ def main(argv=None):
         "tokenizer": args.tokenizer,
         "vocab_size": (args.vocab_size if args.tokenizer == "vocab"
                        else None),
-        "bpe_merges": (args.bpe_merges if args.tokenizer == "bpe"
-                       else None),
+        # the ACTUAL trained merge count (early exhaustion trains fewer
+        # than requested) — the merge TABLE defines the tokenizer, the
+        # manifest must not claim otherwise
+        "bpe_merges": n_merges_trained,
+        "bpe_merges_requested": (args.bpe_merges if args.tokenizer == "bpe"
+                                 else None),
         "n_docs": stats["n_docs"],
         "total_tokens": int(stats["total_tokens"] or 0),
         "oov_tokens": int(stats["oov_tokens"] or 0),

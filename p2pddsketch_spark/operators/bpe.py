@@ -97,6 +97,14 @@ def _train(df: DataFrame, k: int, text_col: str):
     return merges, syms
 
 
+_MERGES_SCHEMA = ("iteration int, left string, right string, "
+                  "merged string, pair_count long")
+
+
+def _merges_df(spark, merges: list) -> DataFrame:
+    return spark.createDataFrame(merges, _MERGES_SCHEMA)
+
+
 def bpe_train_merges(df: DataFrame, k: int = 5,
                      text_col: str = "text") -> DataFrame:
     """Train k BPE merges over the corpus; returns one row per merge:
@@ -106,9 +114,7 @@ def bpe_train_merges(df: DataFrame, k: int = 5,
     spark = df.sparkSession
     merges, syms = _train(df, k, text_col)
     syms.unpersist()
-    return spark.createDataFrame(
-        merges, "iteration int, left string, right string, "
-                "merged string, pair_count long")
+    return _merges_df(spark, merges)
 
 
 def bpe_encode(df: DataFrame, k: int = 5, text_col: str = "text",
@@ -176,7 +182,9 @@ def bpe_tokenize(df: DataFrame, k: int = 5, text_col: str = "text",
     corpus then pays ONE equi-join on the word key bringing each word's
     pre-resolved id array, and one doc-keyed shuffle flattens them in
     word order. Docs with zero words survive with tokens = [] via the
-    same left-join-back as `tokenize`. Zero Python stages.
+    same left-join-back as `tokenize`. Zero Python stages. `id_col` is
+    the non-null natural key; other passthrough columns may be NULL
+    (assembly never keys on them).
 
     `with_merges=True` additionally returns the trained merge table
     (the `bpe_train_merges` shape) from the SAME training run, for
@@ -196,23 +204,24 @@ def bpe_tokenize(df: DataFrame, k: int = 5, text_col: str = "text",
                 .agg(F.transform(
                     F.array_sort(F.collect_list(F.struct("sp", "token_id"))),
                     lambda x: x["token_id"]).alias("wtoks")))
+    # assembly keys on id_col ALONE (the non-null natural key); other
+    # passthrough columns ride along from the df side of the final
+    # left join, so a NULL there (e.g. source) cannot null-equality-miss
+    # its own tokens
     keep = [c for c in df.columns if c != text_col]
-    words = (df.select(*keep, F.posexplode(F.split(text_col, " "))
+    words = (df.select(id_col, F.posexplode(F.split(text_col, " "))
                        .alias("pos", "w"))
              .where(F.length("w") >= 1))
     assembled = (words.join(word_tok, "w")
-                 .groupBy(*keep)
+                 .groupBy(id_col)
                  .agg(F.flatten(F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "wtoks"))),
                      lambda x: x["wtoks"])).alias("tokens")))
     out = (df.select(*keep)
-           .join(assembled, keep, "left")
+           .join(assembled, id_col, "left")
            .withColumn("tokens", F.coalesce(
                F.col("tokens"), F.array().cast("array<int>")))
            .withColumn("n_tok", F.size("tokens").cast("int")))
     if with_merges:
-        merges_df = df.sparkSession.createDataFrame(
-            merges, "iteration int, left string, right string, "
-                    "merged string, pair_count long")
-        return out, merges_df
+        return out, _merges_df(df.sparkSession, merges)
     return out

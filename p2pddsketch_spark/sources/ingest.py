@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["SEQUENCES_SCHEMA", "read_sequences"]
+__all__ = ["SEQUENCES_SCHEMA", "read_sequences", "validate_sequences"]
 
 SEQUENCES_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
@@ -71,9 +71,13 @@ def read_sequences(spark: SparkSession, path: str,
         from p2pddsketch_spark.errors import ParamError
         raise ParamError(f"unknown sequences format {fmt!r} "
                          "(parquet | jsonl | csv)")
+    # size(NULL) is -1 under legacy sizeOfNull configs — gate on
+    # isNotNull so NULL tokens keeps n_tok NULL on every engine config
     return df.withColumn(
-        "n_tok", F.coalesce(F.col("n_tok"),
-                            F.size("tokens").cast("int")))
+        "n_tok", F.coalesce(
+            F.col("n_tok"),
+            F.when(F.col("tokens").isNotNull(),
+                   F.size("tokens").cast("int"))))
 
 
 def validate_sequences(df: DataFrame) -> dict:

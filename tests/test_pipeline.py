@@ -265,7 +265,11 @@ def test_bpe_tokenize_token_array_equality(spark):
     from p2pddsketch_spark.operators.bpe import bpe_tokenize
     corpus = [(1, "low lower lowest low"), (2, "aaaa aba a"),
               (3, "newer newest new"), (4, None), (5, "x y x")]
-    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    # a NULL passthrough column (source) must not lose its tokens —
+    # assembly keys on doc_id alone
+    df = spark.createDataFrame(
+        [(d, t, None if d == 5 else "s") for d, t in corpus],
+        "doc_id long, text string, source string")
     got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"])
            for r in bpe_tokenize(df, k=4).collect()}
     ref = _bpe_reference_tokens(corpus, k=4)
