@@ -25,6 +25,10 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "jsonl", "csv"],
+                   help="input documents format (sources/ingest.py: "
+                        "explicit schema, FAILFAST)")
     p.add_argument("--output", required=True)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
@@ -52,7 +56,11 @@ def main(argv=None):
                                                       tokenize)
 
     t0 = time.monotonic()
-    df = spark.read.parquet(args.input)
+    if args.format == "parquet":
+        df = spark.read.parquet(args.input)   # whatever columns it has
+    else:
+        from p2pddsketch_spark.sources.ingest import read_documents
+        df = read_documents(spark, args.input, args.format)
     keep = [c for c in (args.id_col, "source") if c in df.columns]
     def _drop_sidecar(path: str) -> None:
         # the tokenizer DEFINITION travels beside the corpus — a stale

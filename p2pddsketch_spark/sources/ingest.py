@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["SEQUENCES_SCHEMA", "read_sequences", "validate_sequences"]
+__all__ = ["SEQUENCES_SCHEMA", "DOCUMENTS_SCHEMA", "read_sequences",
+           "read_documents", "validate_sequences"]
 
 SEQUENCES_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
@@ -95,3 +96,34 @@ def validate_sequences(df: DataFrame) -> dict:
     ).first()
     return {k: int(row[k] or 0) for k in
             ("rows", "null_doc_id", "n_tok_mismatch", "negative_token_rows")}
+
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+])
+
+
+def read_documents(spark: SparkSession, path: str,
+                   fmt: str = "parquet") -> DataFrame:
+    """Read a raw-text documents table from `path` in `fmt` ('parquet',
+    'jsonl', 'csv') with the canonical (doc_id, text, source) schema —
+    the upstream shape of `jobs/prepare_sequences.py` and the curate
+    pipeline. Same discipline as `read_sequences`: explicit schema,
+    FAILFAST. CSV text must be single-line and properly quoted (the
+    reader is configured splittable — no multiLine — because a 100 TB
+    drop needs per-split parallelism; use JSONL for text with
+    newlines)."""
+    if fmt == "parquet":
+        return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
+    if fmt == "jsonl":
+        return (spark.read.schema(DOCUMENTS_SCHEMA)
+                .option("mode", "FAILFAST").json(path))
+    if fmt == "csv":
+        return (spark.read.schema(DOCUMENTS_SCHEMA)
+                .option("header", "true").option("mode", "FAILFAST")
+                .option("escape", '"').csv(path))
+    from p2pddsketch_spark.errors import ParamError
+    raise ParamError(f"unknown documents format {fmt!r} "
+                     "(parquet | jsonl | csv)")

@@ -93,3 +93,59 @@ def test_ingested_sequences_feed_the_harness(spark, seqs, tmp_path):
     ref = DDSketch(alpha=0.01).update_batch(
         np.array([r["n_tok"] for r in seqs.collect()], dtype=np.float64))
     assert sk.to_bytes() == ref.to_bytes()
+
+
+def test_read_documents_roundtrip_tricky_text(spark, tmp_path):
+    """Raw-text document drops in JSONL and CSV: commas, quotes,
+    unicode, and NULL text survive byte-for-byte (CSV via quoted
+    single-line cells; JSONL natively)."""
+    from p2pddsketch_spark.sources.ingest import (DOCUMENTS_SCHEMA,
+                                                  read_documents)
+    rows = [
+        (1, 'plain words here', "web"),
+        (2, 'commas, "quotes", and more, commas', "web"),
+        (3, 'unicode: éè 中文 \U0001f600', "books"),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    expect = sorted((r["doc_id"], r["text"], r["source"])
+                    for r in df.collect())
+    jl = str(tmp_path / "docs_jl")
+    df.write.json(jl)
+    got_jl = sorted((r["doc_id"], r["text"], r["source"])
+                    for r in read_documents(spark, jl, "jsonl").collect())
+    assert got_jl == expect
+    cs = str(tmp_path / "docs_cs")
+    df.write.option("header", "true").option("escape", '"').csv(cs)
+    got_cs = sorted((r["doc_id"], r["text"], r["source"])
+                    for r in read_documents(spark, cs, "csv").collect())
+    assert got_cs == expect
+
+
+def test_prepare_sequences_from_jsonl(spark, tmp_path, capsys):
+    """A JSONL documents drop runs straight through prepare_sequences
+    (--format jsonl) and produces the same sequences as the parquet
+    path."""
+    import json as _json
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/jobs")
+    import prepare_sequences
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text", "source").limit(100)
+    jl = str(tmp_path / "drop_jl")
+    docs.write.json(jl)
+    pq = str(tmp_path / "drop_pq")
+    docs.write.parquet(pq)
+    out_a, out_b = str(tmp_path / "seq_a"), str(tmp_path / "seq_b")
+    assert prepare_sequences.main(
+        ["--input", jl, "--format", "jsonl", "--output", out_a,
+         "--vocab-size", "16"]) == 0
+    assert prepare_sequences.main(
+        ["--input", pq, "--output", out_b, "--vocab-size", "16"]) == 0
+    capsys.readouterr()
+    a = {r["doc_id"]: list(r["tokens"])
+         for r in spark.read.parquet(out_a).collect()}
+    b = {r["doc_id"]: list(r["tokens"])
+         for r in spark.read.parquet(out_b).collect()}
+    assert a == b and len(a) == 100
