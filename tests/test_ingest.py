@@ -149,3 +149,30 @@ def test_prepare_sequences_from_jsonl(spark, tmp_path, capsys):
     b = {r["doc_id"]: list(r["tokens"])
          for r in spark.read.parquet(out_b).collect()}
     assert a == b and len(a) == 100
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 2**31 - 1),
+                         min_size=0, max_size=8),
+                min_size=1, max_size=6))
+def test_property_csv_sequences_roundtrip(spark, token_lists):
+    """Arbitrary int32 token arrays survive the CSV space-join encoding
+    byte-for-byte (the lossy-format contract: arrays roundtrip, only
+    NULL-vs-empty collapses)."""
+    from p2pddsketch_spark.sources.ingest import read_sequences
+    import tempfile
+    rows = [(f"d{i}", toks, len(toks), "s")
+            for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    with tempfile.TemporaryDirectory() as td:
+        cs = f"{td}/cs"
+        (df.select("doc_id", F.array_join("tokens", " ").alias("tokens"),
+                   "n_tok", "source")
+         .write.option("header", "true").csv(cs))
+        got = {r["doc_id"]: list(r["tokens"])
+               for r in read_sequences(spark, cs, "csv").collect()}
+    assert got == {f"d{i}": toks for i, toks in enumerate(token_lists)}

@@ -349,3 +349,17 @@ def test_property_bpe_tokenize_matches_reference(spark, word_lists):
            for r in bpe_tokenize(df, k=3).collect()}
     ref = _bpe_reference_tokens(corpus, k=3)
     assert got == ref
+
+
+def test_bpe_encode_and_tokenize_agree(spark):
+    """The two encode surfaces are the same trained tokenizer: for every
+    doc with >= 1 word, bpe_encode's n_sym equals bpe_tokenize's n_tok
+    (the fingerprint path and the array path cannot drift apart)."""
+    from p2pddsketch_spark.operators.bpe import bpe_encode, bpe_tokenize
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(80))
+    enc = {r["doc_id"]: r["n_sym"] for r in bpe_encode(docs, k=3).collect()}
+    tok = {r["doc_id"]: r["n_tok"] for r in bpe_tokenize(docs, k=3).collect()}
+    assert enc  # non-empty
+    for d, n_sym in enc.items():
+        assert tok[d] == n_sym, d
