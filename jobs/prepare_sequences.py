@@ -4,10 +4,13 @@ Chains the pipeline operators into the (doc_id, tokens array<int>,
 n_tok, source[, split]) shape that BASELINE.json's input_hint specifies
 and the sketch harness ingests:
 
-  read documents → build frequency-ranked vocab (top --vocab-size)
-  → tokenize (order-preserving token-id arrays, OOV = -1)
+  read documents (--format parquet|orc|jsonl|csv)
+  → --tokenizer vocab: frequency-ranked vocab (top --vocab-size) +
+    order-preserving tokenize (OOV = -1), vocab side table
+  → --tokenizer bpe: train --bpe-merges merges, encode to subword ids
+    (no OOV), merge-table side table
   → optional deterministic train/val/test split column
-  → write parquet + vocab side table + manifest.
+  → write parquet + tokenizer side table + manifest.
 
   spark-submit --py-files sketchlib.zip jobs/prepare_sequences.py \\
       --input /root/testdata/sf0.01/documents.parquet \\
@@ -26,7 +29,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "jsonl", "csv"],
+                   choices=["parquet", "orc", "jsonl", "csv"],
                    help="input documents format (sources/ingest.py: "
                         "explicit schema, FAILFAST)")
     p.add_argument("--output", required=True)

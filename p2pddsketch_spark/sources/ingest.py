@@ -52,6 +52,8 @@ def read_sequences(spark: SparkSession, path: str,
     NOT silently fixed — validate_sequences() is the loud check."""
     if fmt == "parquet":
         df = spark.read.schema(SEQUENCES_SCHEMA).parquet(path)
+    elif fmt == "orc":
+        df = spark.read.schema(SEQUENCES_SCHEMA).orc(path)
     elif fmt == "jsonl":
         df = (spark.read.schema(SEQUENCES_SCHEMA)
               .option("mode", "FAILFAST").json(path))
@@ -71,7 +73,7 @@ def read_sequences(spark: SparkSession, path: str,
     else:
         from p2pddsketch_spark.errors import ParamError
         raise ParamError(f"unknown sequences format {fmt!r} "
-                         "(parquet | jsonl | csv)")
+                         "(parquet | orc | jsonl | csv)")
     # size(NULL) is -1 under legacy sizeOfNull configs — gate on
     # isNotNull so NULL tokens keeps n_tok NULL on every engine config
     return df.withColumn(
@@ -117,6 +119,8 @@ def read_documents(spark: SparkSession, path: str,
     newlines)."""
     if fmt == "parquet":
         return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
+    if fmt == "orc":
+        return spark.read.schema(DOCUMENTS_SCHEMA).orc(path)
     if fmt == "jsonl":
         return (spark.read.schema(DOCUMENTS_SCHEMA)
                 .option("mode", "FAILFAST").json(path))
@@ -126,4 +130,4 @@ def read_documents(spark: SparkSession, path: str,
                 .option("escape", '"').csv(path))
     from p2pddsketch_spark.errors import ParamError
     raise ParamError(f"unknown documents format {fmt!r} "
-                     "(parquet | jsonl | csv)")
+                     "(parquet | orc | jsonl | csv)")

@@ -35,6 +35,10 @@ def test_roundtrip_all_formats(spark, seqs, tmp_path):
     seqs.write.parquet(pq)
     assert _collect(read_sequences(spark, pq, "parquet")) == expect
 
+    oc = str(tmp_path / "oc")
+    seqs.write.orc(oc)
+    assert _collect(read_sequences(spark, oc, "orc")) == expect
+
     jl = str(tmp_path / "jl")
     seqs.write.json(jl)
     assert _collect(read_sequences(spark, jl, "jsonl")) == expect
