@@ -193,3 +193,34 @@ def test_prepare_sequences_bpe_tokenizer(spark, tmp_path, capsys):
     job = {r["doc_id"]: list(r["tokens"])
            for r in spark.read.parquet(out).collect()}
     assert job == direct
+
+
+def test_validate_cli_sequences_audit(spark, tmp_path, capsys):
+    """--sequences-audit: a clean drop exits 0 with zero counts, a dirty
+    one (n_tok mismatch + negative id) exits 1 with the counts in the
+    report; --rules and --sequences-audit are mutually exclusive."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import validate as validate_job
+    clean = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [("a", [1, 2], 2, "s"), ("b", [], 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string") \
+        .write.parquet(clean)
+    assert validate_job.main(
+        ["--input", clean, "--sequences-audit"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["failed"] == 0 and out["audit"]["rows"] == 2
+
+    dirty = str(tmp_path / "dirty")
+    spark.createDataFrame(
+        [("a", [1], 9, "s"), ("b", [-5], 1, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string") \
+        .write.parquet(dirty)
+    assert validate_job.main(
+        ["--input", dirty, "--sequences-audit"]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert out["audit"]["n_tok_mismatch"] == 1
+    assert out["audit"]["negative_token_rows"] == 1
+
+    with pytest.raises(SystemExit):
+        validate_job.main(["--input", clean])     # neither mode given
