@@ -29,7 +29,14 @@ import time
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="parquet file/dir to sketch")
+    p.add_argument("--input", required=True, help="table file/dir to sketch")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "orc", "jsonl", "csv"],
+                   help="non-parquet inputs read through "
+                        "sources/ingest.py (canonical sequences schema) "
+                        "and use the DataFrame build path; the "
+                        "file-parallel fast path and --checkpoint-dir "
+                        "require parquet")
     p.add_argument("--value-col", default="n_tok")
     p.add_argument("--tokens-col", default="tokens",
                    help="array<int> column for HLL/CMS/Bloom ('' to skip)")
@@ -94,6 +101,17 @@ def main(argv=None):
         raise ConflictingOptions("--verify checks the quantile contract and "
                                  "needs --value-col (reference "
                                  "CONFLICTING_OPTIONS, -14)")
+    if args.checkpoint_dir and args.input_format != "parquet":
+        raise ConflictingOptions(
+            "--checkpoint-dir resumes over a parquet file list; "
+            f"--input-format {args.input_format} has no stable file-chunk "
+            "identity (reference CONFLICTING_OPTIONS, -14)")
+
+    def read_input():
+        if args.input_format == "parquet":
+            return spark.read.parquet(args.input)
+        from p2pddsketch_spark.sources.ingest import read_sequences
+        return read_sequences(spark, args.input, args.input_format)
     specs = []
     if args.value_col:
         specs += [SketchSpec(
@@ -125,8 +143,8 @@ def main(argv=None):
                                           args.checkpoint_dir, group_cols,
                                           args.salt_buckets)
     else:
-        df = spark.read.parquet(args.input)
-        out = build_sketches(df, specs, group_cols, args.salt_buckets)
+        out = build_sketches(read_input(), specs, group_cols,
+                             args.salt_buckets)
     sketches = collect_sketches(out, group_cols)
     build_secs = time.monotonic() - t0
 
@@ -194,7 +212,7 @@ def main(argv=None):
         # as a rank filter over a global sort — an explicit, verification-
         # only extra pass (the production path never sorts).
         from pyspark.sql.window import Window
-        df = spark.read.parquet(args.input)
+        df = read_input()
         n = df.count()
         idxs = {q: int(__import__("math").floor(1 + q * (n - 1))) for q in args.quantiles}
         ranked = (df.select(F.col(args.value_col).cast("double").alias("v"))

@@ -224,3 +224,37 @@ def test_validate_cli_sequences_audit(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         validate_job.main(["--input", clean])     # neither mode given
+
+
+def test_build_and_query_jsonl_input(spark, tmp_path, capsys):
+    """--input-format jsonl builds the same DDSketch as the parquet path
+    on the same sequences (byte-level manifest equality of the quantile
+    answers), and --checkpoint-dir refuses non-parquet input."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import build_and_query
+    from p2pddsketch_spark.errors import ConflictingOptions
+    rows = [(f"d{i}", [i % 7, i % 5, i % 3], 3, "s") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    jl, pq = str(tmp_path / "jl"), str(tmp_path / "pq")
+    df.write.json(jl)
+    df.write.parquet(pq)
+
+    def run(inp, fmt):
+        rc = build_and_query.main([
+            "--input", inp, "--input-format", fmt,
+            "--value-col", "n_tok", "--tokens-col", "tokens",
+            "--alpha", "0.01", "--quantiles", "0.5", "0.99"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        return json.loads(out[out.index("{"):])["results"]
+
+    a, b = run(jl, "jsonl"), run(pq, "parquet")
+    assert a["dds"] == b["dds"]
+    assert a["hll"] == b["hll"]
+
+    with pytest.raises(ConflictingOptions):
+        build_and_query.main([
+            "--input", jl, "--input-format", "jsonl",
+            "--value-col", "n_tok", "--tokens-col", "",
+            "--checkpoint-dir", str(tmp_path / "ck")])
