@@ -25,6 +25,10 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "orc", "jsonl", "csv"],
+                   help="input documents format (sources/ingest.py: "
+                        "explicit schema, FAILFAST)")
     p.add_argument("--output", required=True)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
@@ -58,7 +62,11 @@ def main(argv=None):
     from p2pddsketch_spark.sketches.ddsketch import DDSketch
 
     t0 = time.monotonic()
-    df = spark.read.parquet(args.input)
+    if args.format == "parquet":
+        df = spark.read.parquet(args.input)
+    else:
+        from p2pddsketch_spark.sources.ingest import read_documents
+        df = read_documents(spark, args.input, args.format)
     n0 = df.count()
 
     # 1. exact dedup — deterministic winner per identical content
