@@ -180,3 +180,46 @@ def test_property_csv_sequences_roundtrip(spark, token_lists):
         got = {r["doc_id"]: list(r["tokens"])
                for r in read_sequences(spark, cs, "csv").collect()}
     assert got == {f"d{i}": toks for i, toks in enumerate(token_lists)}
+
+
+def test_streaming_ingest_jsonl_sequences(spark, tmp_path):
+    """A JSONL sequences drop is a STREAMING source too: readStream with
+    the explicit ingest schema over the drop directory, foreachBatch
+    sketch writer, availableNow drain — the final DDSketch over n_tok is
+    byte-identical to the batch build over the same rows (micro-batch
+    layout is irrelevant to an order-invariant merge)."""
+    import os
+    import numpy as np
+    from p2pddsketch_spark.operators.harness import (SketchSpec,
+                                                     build_sketches,
+                                                     collect_sketches,
+                                                     scalar_extractor)
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+    from p2pddsketch_spark.sources.ingest import (SEQUENCES_SCHEMA,
+                                                  read_sequences)
+    from p2pddsketch_spark.streaming.sketch_stream import \
+        ForeachBatchSketchWriter
+    rows = [(f"d{i}", [i % 11, i % 7], 2 + (i % 9), "s")
+            for i in range(300)]
+    df = spark.createDataFrame(rows, SEQUENCES_SCHEMA)
+    src = str(tmp_path / "drop")
+    df.repartition(4).write.json(src)          # 4 files -> 4 micro-batches
+
+    spec = [SketchSpec("dds_ntok", lambda: DDSketch(alpha=0.01),
+                       scalar_extractor("n_tok"))]
+    writer = ForeachBatchSketchWriter(
+        spec, state_dir=str(tmp_path / "state"), salt_buckets=2)
+    stream = (spark.readStream.schema(SEQUENCES_SCHEMA)
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = (stream.writeStream.foreachBatch(writer)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination(120)
+    got = writer.current_sketches(spark)["dds_ntok"]
+
+    batch = collect_sketches(build_sketches(
+        read_sequences(spark, src, "jsonl"), spec,
+        salt_buckets=2))["dds_ntok"]
+    assert got.to_bytes() == batch.to_bytes()
+    assert got.n == 300
