@@ -38,6 +38,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     if bool(args.rules) == args.sequences_audit:
         p.error("exactly one of --rules / --sequences-audit is required")
+    if args.rules and args.format != "parquet":
+        p.error("--format applies to --sequences-audit only; the rules "
+                "path reads parquet")
 
     from pyspark.sql import SparkSession
     from p2pddsketch_spark.operators.quality import Rule, validate
@@ -50,8 +53,10 @@ def main(argv=None):
                  .config("spark.sql.adaptive.enabled", "true").getOrCreate())
         audit = validate_sequences(
             read_sequences(spark, args.input, args.format))
+        # oov_rows is informational (tokenize's sanctioned -1 sentinel)
         out = {"input": args.input, "audit": audit,
-               "failed": sum(v for k, v in audit.items() if k != "rows")}
+               "failed": sum(v for k, v in audit.items()
+                             if k not in ("rows", "oov_rows"))}
         print(json.dumps(out, indent=2))
         if args.report:
             with open(args.report, "w") as fh:

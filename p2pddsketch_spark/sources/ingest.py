@@ -46,21 +46,32 @@ _CSV_SCHEMA = T.StructType([
 
 def read_sequences(spark: SparkSession, path: str,
                    fmt: str = "parquet") -> DataFrame:
-    """Read a sequences table from `path` in `fmt` ('parquet', 'jsonl',
-    'csv') into the canonical shape. n_tok is recomputed from the parsed
-    array when absent (NULL), and a present-but-inconsistent n_tok is
-    NOT silently fixed — validate_sequences() is the loud check."""
-    if fmt == "parquet":
-        df = spark.read.schema(SEQUENCES_SCHEMA).parquet(path)
-    elif fmt == "orc":
-        df = spark.read.schema(SEQUENCES_SCHEMA).orc(path)
+    """Read a sequences table from `path` in `fmt` ('parquet', 'orc',
+    'jsonl', 'csv') into the canonical shape (doc_id conformed to
+    string). n_tok is recomputed from the parsed array when absent
+    (NULL), and a present-but-inconsistent n_tok is NOT silently
+    fixed — validate_sequences() is the loud check."""
+    if fmt in ("parquet", "orc"):
+        # self-describing formats carry their schema in the footer (no
+        # inference scan); CONFORM to the canonical types by cast so a
+        # pipeline-produced table with doc_id:int64 (the testdata
+        # documents key passes through prepare_sequences) reads cleanly
+        # — a missing column still fails loudly at analysis
+        raw = (spark.read.parquet(path) if fmt == "parquet"
+               else spark.read.orc(path))
+        df = raw.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("tokens").cast("array<int>").alias("tokens"),
+            F.col("n_tok").cast("int").alias("n_tok"),
+            F.col("source").cast("string").alias("source"))
     elif fmt == "jsonl":
         df = (spark.read.schema(SEQUENCES_SCHEMA)
               .option("mode", "FAILFAST").json(path))
     elif fmt == "csv":
         raw = (spark.read.schema(_CSV_SCHEMA)
                .option("header", "true").option("mode", "FAILFAST")
-               .csv(path))
+               .option("escape", '"')      # RFC-4180 doubled quotes,
+               .csv(path))                 # same as read_documents
         # CSV cannot distinguish an empty cell from NULL (the reader maps
         # "" to NULL); by convention an empty/NULL tokens cell means ZERO
         # tokens — use JSONL when NULL-vs-empty matters
@@ -85,19 +96,24 @@ def read_sequences(spark: SparkSession, path: str,
 
 def validate_sequences(df: DataFrame) -> dict:
     """One-pass ingest audit: row count, NULL doc_ids, rows whose n_tok
-    disagrees with size(tokens), and rows with out-of-range token ids
-    (negative). Returns plain counts — the caller decides whether to
-    fail; a 100 TB ingest wants the numbers, not an exception per row."""
+    disagrees with size(tokens), rows with INVALID token ids (< -1 —
+    the -1 OOV sentinel `tokenize` emits is sanctioned and reported
+    separately as informational `oov_rows`). Returns plain counts — the
+    caller decides whether to fail; a 100 TB ingest wants the numbers,
+    not an exception per row."""
     bad_len = (F.col("n_tok") != F.size("tokens")).cast("long")
-    neg = F.exists("tokens", lambda t: t < 0).cast("long")
+    invalid = F.exists("tokens", lambda t: t < -1).cast("long")
+    oov = F.exists("tokens", lambda t: t == -1).cast("long")
     row = df.agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col("doc_id").isNull().cast("long")).alias("null_doc_id"),
         F.sum(F.coalesce(bad_len, F.lit(1))).alias("n_tok_mismatch"),
-        F.sum(F.coalesce(neg, F.lit(0))).alias("negative_token_rows"),
+        F.sum(F.coalesce(invalid, F.lit(0))).alias("invalid_token_rows"),
+        F.sum(F.coalesce(oov, F.lit(0))).alias("oov_rows"),
     ).first()
     return {k: int(row[k] or 0) for k in
-            ("rows", "null_doc_id", "n_tok_mismatch", "negative_token_rows")}
+            ("rows", "null_doc_id", "n_tok_mismatch", "invalid_token_rows",
+             "oov_rows")}
 
 
 DOCUMENTS_SCHEMA = T.StructType([
@@ -110,7 +126,7 @@ DOCUMENTS_SCHEMA = T.StructType([
 def read_documents(spark: SparkSession, path: str,
                    fmt: str = "parquet") -> DataFrame:
     """Read a raw-text documents table from `path` in `fmt` ('parquet',
-    'jsonl', 'csv') with the canonical (doc_id, text, source) schema —
+    'orc', 'jsonl', 'csv') with the canonical (doc_id, text, source) schema —
     the upstream shape of `jobs/prepare_sequences.py` and the curate
     pipeline. Same discipline as `read_sequences`: explicit schema,
     FAILFAST. CSV text must be single-line and properly quoted (the

@@ -67,14 +67,15 @@ def test_validate_sequences_counts(spark):
     rows = [
         ("a", [1, 2], 2, "s"),       # clean
         ("b", [1], 5, "s"),          # n_tok mismatch
-        ("c", [-3, 1], 2, "s"),      # negative token id
+        ("c", [-3, 1], 2, "s"),      # invalid token id (< -1)
+        ("d", [-1, 4], 2, "s"),      # OOV sentinel: informational only
         (None, [1], 1, "s"),         # NULL doc_id
     ]
     df = spark.createDataFrame(
         rows, "doc_id string, tokens array<int>, n_tok int, source string")
     rep = validate_sequences(df)
-    assert rep == {"rows": 4, "null_doc_id": 1, "n_tok_mismatch": 1,
-                   "negative_token_rows": 1}
+    assert rep == {"rows": 5, "null_doc_id": 1, "n_tok_mismatch": 1,
+                   "invalid_token_rows": 1, "oov_rows": 1}
 
 
 def test_ingested_sequences_feed_the_harness(spark, seqs, tmp_path):
@@ -223,3 +224,25 @@ def test_streaming_ingest_jsonl_sequences(spark, tmp_path):
         salt_buckets=2))["dds_ntok"]
     assert got.to_bytes() == batch.to_bytes()
     assert got.n == 300
+
+
+def test_audit_pipeline_own_output(spark, tmp_path, capsys):
+    """The flagship audit loop: prepare_sequences' own parquet output
+    (doc_id int64 passes through from the documents table) must read
+    through read_sequences — doc_id conforms to string — and pass
+    `validate.py --sequences-audit` with exit 0."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/jobs")
+    import json as _json
+    import prepare_sequences
+    import validate as validate_job
+    out = str(tmp_path / "own")
+    assert prepare_sequences.main(
+        ["--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--vocab-size", "16"]) == 0
+    capsys.readouterr()
+    assert validate_job.main(["--input", out, "--sequences-audit"]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["audit"]["rows"] == 500 and rep["failed"] == 0
+    got = read_sequences(spark, out, "parquet")
+    assert dict(got.dtypes)["doc_id"] == "string"

@@ -220,7 +220,7 @@ def test_validate_cli_sequences_audit(spark, tmp_path, capsys):
         ["--input", dirty, "--sequences-audit"]) == 1
     out = json.loads(capsys.readouterr().out)
     assert out["audit"]["n_tok_mismatch"] == 1
-    assert out["audit"]["negative_token_rows"] == 1
+    assert out["audit"]["invalid_token_rows"] == 1
 
     with pytest.raises(SystemExit):
         validate_job.main(["--input", clean])     # neither mode given

@@ -10,6 +10,8 @@ from __future__ import annotations
 import ast
 import os
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def first_para(doc: str | None) -> str:
     if not doc:
@@ -24,13 +26,15 @@ def main() -> None:
            "Generated from source docstrings (first paragraph) by "
            "`tools/gen_api_md.py`; regenerate after adding operators.",
            ""]
-    for root, dirs, files in sorted(os.walk("p2pddsketch_spark")):
+    for root, dirs, files in sorted(
+            os.walk(os.path.join(REPO, "p2pddsketch_spark"))):
         dirs[:] = sorted(d for d in dirs if not d.startswith("__"))
         for f in sorted(files):
             if not f.endswith(".py") or f.startswith("_"):
                 continue
-            path = os.path.join(root, f)
-            tree = ast.parse(open(path).read())
+            abspath = os.path.join(root, f)
+            path = os.path.relpath(abspath, REPO)
+            tree = ast.parse(open(abspath).read())
             mod_doc = first_para(ast.get_docstring(tree))
             entries = []
             for node in tree.body:
@@ -48,7 +52,7 @@ def main() -> None:
             for kind, name, doc in entries:
                 out.append(f"- **{name}** ({kind}) — {doc or '(no docstring)'}")
             out.append("")
-    with open("API.md", "w") as fh:
+    with open(os.path.join(REPO, "API.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
     print(f"API.md: {sum(1 for l in out if l.startswith('- **'))} entries")
 
