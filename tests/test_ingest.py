@@ -246,3 +246,19 @@ def test_audit_pipeline_own_output(spark, tmp_path, capsys):
     assert rep["audit"]["rows"] == 500 and rep["failed"] == 0
     got = read_sequences(spark, out, "parquet")
     assert dict(got.dtypes)["doc_id"] == "string"
+
+
+def test_jsonl_failfast_on_malformed_row(spark, tmp_path):
+    """FAILFAST is load-bearing: a malformed JSONL line must abort the
+    read loudly, never become a silent NULL row (PERMISSIVE's default
+    would)."""
+    import os
+    from py4j.protocol import Py4JJavaError
+    from p2pddsketch_spark.sources.ingest import read_sequences
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-0.json"), "w") as fh:
+        fh.write('{"doc_id": "a", "tokens": [1], "n_tok": 1, "source": "s"}\n')
+        fh.write('this is not json\n')
+    with pytest.raises(Py4JJavaError):
+        read_sequences(spark, bad, "jsonl").collect()
