@@ -162,9 +162,26 @@ def _hash_shingles_uint64(flat: pd.Series) -> np.ndarray:
     return hash_array(flat.to_numpy(dtype=object), hash_key="p2pddsketch0000!")
 
 
+def token_shingles_col(tokens_col: str = "tokens", n: int = 3):
+    """Distinct token-id n-gram shingles over a pre-tokenized
+    array<int> column, as '_'-joined strings (e.g. '5_17_3') built with
+    JVM array functions — the token-array twin of `word_shingles_col`,
+    so MinHash/Jaccard dedup runs directly on the input_hint's
+    (doc_id, tokens) sequences shape without raw text. Same short-doc
+    rule: fewer than n tokens → empty array, never a truncated gram."""
+    toks = F.col(tokens_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(
+            F.transform(F.slice(toks, i, n), lambda t: t.cast("string")), "_"))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
 def minhash_band_hashes(df: DataFrame, num_perm: int = 128, bands: int = 32,
                         n: int = 3, text_col: str = "text",
-                        id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+                        id_col: str = "doc_id", seed: int = 7,
+                        shingles=None) -> DataFrame:
     """(id, bh array<binary>[bands]) — one Arrow-vectorized pass: flatten
     all shingle lists in the batch, hash once, per permutation
     h' = (a·h + b) mod 2^61−1, segment-min with `np.minimum.reduceat`,
@@ -184,10 +201,12 @@ def minhash_band_hashes(df: DataFrame, num_perm: int = 128, bands: int = 32,
                          StructField("bh", ArrayType(BinaryType(), False), False)])
     # hash each shingle to int64 INSIDE the JVM (xxhash64, codegen) so the
     # Arrow transfer to the Python stage carries 8 bytes per shingle, not
-    # the shingle strings (~4× less IPC; measured 2× on the sign stage)
+    # the shingle strings (~4× less IPC; measured 2× on the sign stage).
+    # `shingles` overrides the word-n-gram generator with any
+    # array<string> shingle expression (e.g. `token_shingles_col`).
+    sh_expr = word_shingles_col(text_col, n) if shingles is None else shingles
     sh = df.select(F.col(id_col).alias("id"),
-                   F.transform(word_shingles_col(text_col, n),
-                               lambda s: F.xxhash64(s)).alias("sh"))
+                   F.transform(sh_expr, lambda s: F.xxhash64(s)).alias("sh"))
 
     def sign(batches):
         for pdf in batches:
@@ -231,7 +250,8 @@ def minhash_signatures(df: DataFrame, num_perm: int = 128, n: int = 3,
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128,
                       bands: int = 32, n: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+                      id_col: str = "doc_id", seed: int = 7,
+                      shingles=None) -> DataFrame:
     """Near-dup pairs: MinHash band digests → LSH candidate pairs
     (equi-join on (band, band_hash) — only bucket collisions meet) →
     EXACT n-gram-Jaccard verification of the candidates only (shingles
@@ -258,7 +278,8 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128
     # Python signature stage once per branch. At cluster scale these are
     # the tables a production run writes to storage between stages; the
     # digests are ~num_perm·8 B/doc and candidates are pair ids only.
-    digests = (minhash_band_hashes(df, num_perm, bands, n, text_col, id_col, seed)
+    digests = (minhash_band_hashes(df, num_perm, bands, n, text_col, id_col,
+                                   seed, shingles=shingles)
                .persist(StorageLevel.MEMORY_AND_DISK))
     banded = digests.select("id", F.posexplode("bh").alias("band", "bh"))
     a, b = banded.alias("a"), banded.alias("b")
@@ -278,9 +299,9 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .union(cand.select(F.col("id_b").alias("id")))
                 .distinct())
+    sh_expr = word_shingles_col(text_col, n) if shingles is None else shingles
     sh = (df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
-          .select(F.col(id_col).alias("id"),
-                  word_shingles_col(text_col, n).alias("sh")))
+          .select(F.col(id_col).alias("id"), sh_expr.alias("sh")))
     ja = cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a") \
              .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -288,6 +309,22 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128
     return (ja.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
             .orderBy("id_a", "id_b"))
+
+
+def minhash_lsh_pairs_tokens(df: DataFrame, threshold: float = 0.5,
+                             num_perm: int = 128, bands: int = 32, n: int = 3,
+                             tokens_col: str = "tokens",
+                             id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+    """MinHash-LSH near-dup pairs over PRE-TOKENIZED documents — the
+    (doc_id, tokens array<int>) input_hint shape — via token-id n-gram
+    shingles ('5_17_3' strings built JVM-side). Identical banding,
+    candidate generation, and exact-Jaccard verification to
+    `minhash_lsh_pairs`; only the shingle generator differs, so a
+    training-data pipeline can dedup a tokenized corpus without keeping
+    (or re-reading) the raw text. Output schema: (id_a, id_b, jaccard)."""
+    return minhash_lsh_pairs(df, threshold=threshold, num_perm=num_perm,
+                             bands=bands, n=n, id_col=id_col, seed=seed,
+                             shingles=token_shingles_col(tokens_col, n))
 
 
 # ----------------------------------------------------------------- SimHash

@@ -52,6 +52,7 @@ from p2pddsketch_spark.sketches.fd import FrequentDirections
 from p2pddsketch_spark.sketches.moments import MomentSketch
 from p2pddsketch_spark.sketches.req import ReqSketch
 from p2pddsketch_spark.sketches.weightedk import WeightedTopK
+from p2pddsketch_spark.sketches.ams import AmsSketch
 
 __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
            "build_sketches", "build_partials", "merge_partials",
@@ -83,6 +84,7 @@ SKETCH_TYPES = {
     b"WTK1": WeightedTopK,
     b"MOM1": MomentSketch,
     b"REQ1": ReqSketch,
+    b"AMS1": AmsSketch,
 }
 
 

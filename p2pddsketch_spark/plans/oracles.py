@@ -1797,3 +1797,123 @@ JOIN events e ON date_trunc('day', e.ts) >= ds.dd
 GROUP BY ds.dd
 ORDER BY window_start
 """
+
+
+# ---------------------------------------------- AMS F2 / join-size twin
+# sketches/ams.py counter j = 64*lane + bit: sign = bit b of
+# splitmix64(key, seed*1000003 + lane). The twin replays the full
+# splitmix64 chain per (key, lane) in HUGEINT-mod-2^64 SQL (the same
+# chain split_assign uses), extracts all 64 sign bits via a divisor
+# table, and reproduces every counter exactly; the estimates replay the
+# median-of-means arithmetic (SUM::DOUBLE / k then MEDIAN — the same
+# round-once-then-divide AmsSketch._median_of_means performs).
+
+def _ams_joinsize_sql(r: int = 256, groups: int = 8, seed: int = 7) -> str:
+    phi = 0x9E3779B97F4A7C15
+    mask = (1 << 64) - 1
+    lanes = ", ".join(
+        f"({lane}, {((seed * 1000003 + lane) * phi + phi) & mask}::HUGEINT)"
+        for lane in range(r // 64))
+    bits = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    k = r // groups
+
+    def chain(key_tbl: str, out: str) -> str:
+        return f"""
+{out}0 AS (SELECT key, cnt, l, (key::HUGEINT + addc) % 18446744073709551616::HUGEINT AS z
+           FROM {key_tbl} CROSS JOIN lanes),
+{out}1 AS (SELECT key, cnt, l, {_mulc_u64("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z FROM {out}0),
+{out}2 AS (SELECT key, cnt, l, {_mulc_u64("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z FROM {out}1),
+{out}h AS (SELECT key, cnt, l, xor(z, z // 2147483648::HUGEINT) AS h FROM {out}2),
+{out} AS (SELECT l * 64 + b AS j,
+                 SUM(cnt * (2 * ((h // dv) % 2::HUGEINT) - 1))::BIGINT AS z
+          FROM {out}h CROSS JOIN bits GROUP BY 1)"""
+
+    return f"""
+WITH lanes(l, addc) AS (VALUES {lanes}),
+bits(b, dv) AS (VALUES {bits}),
+ka AS (SELECT user_id AS key, COUNT(*)::BIGINT AS cnt FROM events GROUP BY user_id),
+kb AS (SELECT o_custkey AS key, COUNT(*)::BIGINT AS cnt FROM orders GROUP BY o_custkey),
+{chain("ka", "za")},
+{chain("kb", "zb")},
+grpa AS (SELECT j // {k} AS g, SUM(z::HUGEINT * z::HUGEINT)::DOUBLE / {k} AS m
+         FROM za GROUP BY 1),
+grpj AS (SELECT za.j // {k} AS g, SUM(za.z::HUGEINT * zb.z::HUGEINT)::DOUBLE / {k} AS m
+         FROM za JOIN zb USING (j) GROUP BY 1)
+SELECT 'za_' || lpad(j::VARCHAR, 3, '0') AS metric, z::DOUBLE AS value FROM za
+UNION ALL
+SELECT 'zb_' || lpad(j::VARCHAR, 3, '0'), z::DOUBLE FROM zb
+UNION ALL SELECT 'est_f2_events_users', (SELECT MEDIAN(m) FROM grpa)
+UNION ALL SELECT 'est_join_size', (SELECT MEDIAN(m) FROM grpj)
+UNION ALL SELECT 'exact_f2_events_users', (SELECT SUM(cnt * cnt) FROM ka)::DOUBLE
+UNION ALL SELECT 'exact_join_size',
+  COALESCE((SELECT SUM(a.cnt * b.cnt) FROM ka a JOIN kb b USING (key)), 0)::DOUBLE
+UNION ALL SELECT 'n_events', (SELECT SUM(cnt) FROM ka)::DOUBLE
+UNION ALL SELECT 'n_orders', (SELECT SUM(cnt) FROM kb)::DOUBLE
+ORDER BY metric
+"""
+
+
+ORACLES["ams_joinsize"] = _ams_joinsize_sql()
+
+
+# -------------------------------------- token-array MinHash dedup twin
+# dedup.minhash_lsh_pairs_tokens over tokenize(documents, vocab 512):
+# the twin replays tokenization (same (count DESC, term ASC) total
+# order as the tokenize_vocab twin — no OOV at fixture vocab 31 << 512),
+# builds the identical '_'-joined token-id 3-gram shingle strings, and
+# re-runs the XXH64 → Mersenne-61 permutation → banding → exact-Jaccard
+# chain of the minhash_lsh_pairs_prod twin on those strings.
+
+def _minhash_tokens_sql(threshold: float = 0.5, num_perm: int = 128,
+                        bands: int = 32, seed: int = 7,
+                        vocab_size: int = 512) -> str:
+    from p2pddsketch_spark.functions.xxh_sql import xxhash64_sql_ctes
+    from p2pddsketch_spark.operators.dedup import _perm_params
+    pa, pb = _perm_params(num_perm, seed)
+    rows = num_perm // bands
+    m61 = (1 << 61) - 1
+    perm_vals = ", ".join(f"({i}, {int(pa[i])}::HUGEINT, {int(pb[i])}::HUGEINT)"
+                          for i in range(num_perm))
+    jac = ("ROUND(len(list_intersect(x.s, y.s))::DOUBLE / "
+           "(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6)")
+    return f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS cnt
+  FROM (SELECT unnest({_WORDS}) AS term FROM documents) GROUP BY term
+), vocab AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) - 1 AS token_id
+  FROM counts QUALIFY token_id < {vocab_size}
+), w AS (
+  SELECT doc_id, unnest(ws) AS term, unnest(range(1, len(ws) + 1)) AS pos
+  FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+), tl AS (
+  SELECT w.doc_id, list(COALESCE(v.token_id, -1)::BIGINT ORDER BY w.pos) AS t
+  FROM w LEFT JOIN vocab v USING (term) GROUP BY w.doc_id
+), shl AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                range(1, len(t) - 1),
+                i -> t[i]::VARCHAR || '_' || t[i+1]::VARCHAR || '_' || t[i+2]::VARCHAR))
+              ELSE [] END AS s
+  FROM tl),
+shx AS (SELECT id, unnest(s) AS s FROM shl),
+strs AS (SELECT DISTINCT s FROM shx),{xxhash64_sql_ctes("strs", "s", "hx")},
+perms(p, pa, pb) AS (VALUES {perm_vals}),
+sigs AS (
+  SELECT shx.id, pr.p, MIN((pr.pa * (hx.h % {m61}) + pr.pb) % {m61}) AS mn
+  FROM shx JOIN hx USING (s) CROSS JOIN perms pr
+  GROUP BY shx.id, pr.p),
+bnd AS (
+  SELECT id, p // {rows} AS band, list(mn ORDER BY p) AS bsig
+  FROM sigs GROUP BY id, p // {rows}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id)
+SELECT c.id_a, c.id_b, {jac} AS jaccard
+FROM cand c JOIN shl x ON x.id = c.id_a JOIN shl y ON y.id = c.id_b
+WHERE {jac} >= {threshold!r}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLES["minhash_tokens_pairs"] = _minhash_tokens_sql()

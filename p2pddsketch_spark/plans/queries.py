@@ -1930,3 +1930,77 @@ def q_theta_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((d, int(np.round(acc.cardinality()))))
     return (spark.createDataFrame(rows, "window_start string, wau long")
             .orderBy("window_start"))
+
+
+# ------------------------------------------------- round-5 additions:
+# AMS F2 / join-size estimation, token-array MinHash dedup
+
+def q_ams_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two AMS tug-of-war sketches
+    (sketches/ams.py): sketch events.user_id and orders.o_custkey
+    INDEPENDENTLY through the mapInArrow -> salted shuffle-merge-tree
+    harness (two O(r)-byte states, no co-location, no join shuffle),
+    then (1) the counter inner product estimates |events JOIN orders ON
+    user_id = o_custkey| -- the number a planner needs to choose
+    broadcast vs shuffle-hash BEFORE launching the join -- and (2) z.z
+    estimates F2 = sum f(x)^2, the self-join/skew mass that predicts
+    reducer hot keys. HARD oracle on the full state: every one of the
+    2x256 counters is an exact integer function of the key multiset
+    (linear sketch => merge-order invariant), replayed in HUGEINT SQL by
+    the splitmix64-per-lane DuckDB twin; the estimates and the exact
+    comparison values are emitted alongside so the gate also pins the
+    median-of-means arithmetic. Estimates are order-of-magnitude signals
+    by design (documented variance sqrt(2 F2a F2b / k)); the exact_*
+    rows in the same frame are the receipt of how close this run got."""
+    from p2pddsketch_spark.sketches.ams import AmsSketch
+    r, groups, seed = 256, 8, 7
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+
+    def build(df, col):
+        out = build_sketches(
+            df, [SketchSpec("ams", lambda: AmsSketch(r, groups, seed),
+                            scalar_int_extractor(col))], salt_buckets=16)
+        return collect_sketches(out)["ams"]
+
+    sa, sb = build(ev, "user_id"), build(orders, "o_custkey")
+
+    # exact comparison values: two shuffles on pre-aggregated key counts
+    fa = ev.groupBy(F.col("user_id").alias("key")).agg(F.count("*").alias("ca"))
+    fb = orders.groupBy(F.col("o_custkey").alias("key")).agg(F.count("*").alias("cb"))
+    exact_f2_a = fa.agg(F.sum(F.col("ca") * F.col("ca"))).collect()[0][0]
+    exact_join = (fa.join(fb, "key")
+                  .agg(F.sum(F.col("ca") * F.col("cb"))).collect()[0][0]) or 0
+
+    rows = [(f"za_{j:03d}", float(sa.z[j])) for j in range(r)]
+    rows += [(f"zb_{j:03d}", float(sb.z[j])) for j in range(r)]
+    rows += [
+        ("est_f2_events_users", sa.estimate_f2()),
+        ("est_join_size", sa.inner_product(sb)),
+        ("exact_f2_events_users", float(exact_f2_a)),
+        ("exact_join_size", float(exact_join)),
+        ("n_events", float(sa.n)),
+        ("n_orders", float(sb.n)),
+    ]
+    return (spark.createDataFrame(rows, "metric string, value double")
+            .orderBy("metric"))
+
+
+def q_minhash_tokens_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on the PRE-TOKENIZED corpus shape: documents are tokenized
+    to (doc_id, tokens array<int>) with the full 512-slot vocabulary (no
+    OOV at fixture scale, so ids biject with words), then
+    `dedup.minhash_lsh_pairs_tokens` finds near-dup pairs from token-id
+    3-gram shingles — raw text is never touched after tokenization,
+    which is how a 100 TB pipeline dedups corpora stored only in the
+    input_hint's sequences shape. HARD oracle: the DuckDB twin replays
+    tokenization (same (count DESC, term ASC) vocabulary order), builds
+    the same '_'-joined shingle strings, and re-runs the XXH64 →
+    Mersenne-61 permutation → banding → exact-Jaccard chain of the
+    minhash_lsh_pairs_prod twin on them."""
+    from p2pddsketch_spark.operators.pipeline import build_vocab, tokenize
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, vocab_size=512)
+    toks = tokenize(docs.select("doc_id", "text"), vocab)
+    return dedup.minhash_lsh_pairs_tokens(toks, threshold=0.5, num_perm=128,
+                                          bands=32, n=3)

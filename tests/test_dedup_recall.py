@@ -282,3 +282,43 @@ def test_minhash_lsh_releases_cached_blocks(spark):
     after = set(jsc.getPersistentRDDs().keySet())
     leaked = after - before
     assert len(leaked) <= 1, f"unmatched persist() left RDDs: {leaked}"
+
+
+# ------------------------------------------------- token-array MinHash
+
+def test_token_shingles_match_word_shingles_bijection(spark):
+    """With an OOV-free vocabulary, token ids biject with words, so the
+    token-3-gram shingle SETS have exactly the per-doc sizes of the
+    word-3-gram sets, and minhash over them yields the same verified
+    pair list (same Jaccard values) as text minhash — the receipt that
+    dedup on the pre-tokenized sequences shape loses nothing."""
+    from p2pddsketch_spark.operators.pipeline import build_vocab, tokenize
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vocab = build_vocab(docs, vocab_size=512)
+    toks = tokenize(docs.select("doc_id", "text"), vocab)
+    sizes_tok = {r["doc_id"]: r["ns"] for r in toks.select(
+        "doc_id", F.size(dedup.token_shingles_col("tokens", 3)).alias("ns")).collect()}
+    sizes_word = {r["doc_id"]: r["ns"] for r in docs.select(
+        "doc_id", F.size(dedup.word_shingles_col("text", 3)).alias("ns")).collect()}
+    assert sizes_tok == sizes_word
+    pairs_tok = dedup.minhash_lsh_pairs_tokens(
+        toks, threshold=0.5, num_perm=128, bands=32, n=3).collect()
+    pairs_word = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, num_perm=128, bands=32, n=3).collect()
+    # same verified pairs and identical exact Jaccard; the CANDIDATE sets
+    # may differ (different shingle strings hash differently) but both
+    # bandings catch every J >= 0.8 pair w.p. ~1, and the fixture's
+    # planted dups are well above threshold
+    jt = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs_tok}
+    jw = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs_word}
+    assert set(jt) == set(jw) and jt and all(
+        jt[k] == jw[k] for k in jt)
+
+
+def test_token_shingles_short_docs_empty(spark):
+    toks = spark.createDataFrame(
+        [(1, [5, 7]), (2, []), (3, [1, 2, 3])],
+        "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: r["ns"] for r in toks.select(
+        "doc_id", F.size(dedup.token_shingles_col("tokens", 3)).alias("ns")).collect()}
+    assert got == {1: 0, 2: 0, 3: 1}
