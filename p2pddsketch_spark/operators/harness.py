@@ -72,6 +72,7 @@ EMPTY_MARKER = "__empty__"
 SKETCH_TYPES = {
     b"DDS1": DDSketch,
     b"HLL1": HyperLogLog,
+    b"HLL2": HyperLogLog,  # sparse wire format, same class
     b"CMS1": CountMinSketch,
     b"BLM1": BloomFilter,
     b"KLL1": KLLSketch,

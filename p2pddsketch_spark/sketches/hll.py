@@ -17,6 +17,18 @@ import numpy as np
 from p2pddsketch_spark.functions.hashing import nlz64, splitmix64
 
 _MAGIC = b"HLL1"
+# Sparse serialization (same in-memory state, alternate wire format):
+# below ~m/5 occupied registers a (u32 idx, u8 rho) pair list is smaller
+# than the dense register array. Grouped rollups at corpus scale carry
+# millions of per-(group, salt, partition) partials where most groups
+# are tiny — dense p=14 pays 16 KiB per partial regardless, sparse pays
+# 5 B per occupied register, so the merge-tree shuffle shrinks by the
+# group-occupancy factor. The encoding choice is a pure function of
+# state (sparse iff strictly smaller), so equal registers still yield
+# equal bytes and every byte-identity merge property is preserved.
+_MAGIC_SPARSE = b"HLL2"
+_HDR = struct.calcsize("<4sqq")
+_SPARSE_HDR = struct.calcsize("<4sqqq")
 
 # Bias-correction constants from the HLL paper.
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
@@ -119,14 +131,31 @@ class HyperLogLog:
     # --------------------------------------------------------- serialization
 
     def to_bytes(self) -> bytes:
+        nz = np.flatnonzero(self.registers)
+        sparse_size = _SPARSE_HDR + 5 * nz.size
+        if sparse_size < _HDR + self.m:
+            return (struct.pack("<4sqqq", _MAGIC_SPARSE, self.p, self.seed,
+                                nz.size)
+                    + nz.astype("<u4").tobytes()
+                    + self.registers[nz].tobytes())
         return struct.pack("<4sqq", _MAGIC, self.p, self.seed) + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "HyperLogLog":
-        magic, p, seed = struct.unpack_from("<4sqq", data, 0)
+        magic = bytes(data[:4])
+        if magic == _MAGIC_SPARSE:
+            _, p, seed, n_nz = struct.unpack_from("<4sqqq", data, 0)
+            s = cls(p=int(p), seed=int(seed))
+            idx = np.frombuffer(data, dtype="<u4", count=int(n_nz),
+                                offset=_SPARSE_HDR).astype(np.int64)
+            rho = np.frombuffer(data, dtype=np.uint8, count=int(n_nz),
+                                offset=_SPARSE_HDR + 4 * int(n_nz))
+            s.registers[idx] = rho
+            return s
         if magic != _MAGIC:
             raise ValueError("bad HLL magic")
+        _, p, seed = struct.unpack_from("<4sqq", data, 0)
         s = cls(p=int(p), seed=int(seed))
         s.registers = np.frombuffer(data, dtype=np.uint8, count=s.m,
-                                    offset=struct.calcsize("<4sqq")).copy()
+                                    offset=_HDR).copy()
         return s

@@ -446,3 +446,41 @@ def test_weighted_topk_aes_properties():
     back = WeightedTopK.from_bytes(one.to_bytes())
     assert np.array_equal(back.sample(), one.sample())
     assert np.array_equal(back.tags, one.tags)
+
+
+# ------------------------------------------------------ sparse HLL codec
+
+def test_hll_sparse_codec_roundtrip_and_size():
+    """Small groups serialize as (u32 idx, u8 rho) pairs — 523 B instead
+    of 16 KiB at p=14 for a 100-id group (the per-(group,salt,partition)
+    partial a grouped rollup shuffles); the format choice is a pure
+    function of state, so byte-identity properties are unaffected."""
+    from p2pddsketch_spark.sketches.hll import HyperLogLog
+    small = HyperLogLog(p=14).update_batch(np.arange(100))
+    blob = small.to_bytes()
+    assert blob[:4] == b"HLL2" and len(blob) < 1024
+    back = HyperLogLog.from_bytes(blob)
+    assert (back.registers == small.registers).all()
+    assert back.to_bytes() == blob
+    assert back.cardinality() == small.cardinality()
+    dense = HyperLogLog(p=14).update_batch(np.arange(200_000))
+    dblob = dense.to_bytes()
+    assert dblob[:4] == b"HLL1"
+    assert HyperLogLog.from_bytes(dblob).to_bytes() == dblob
+
+
+def test_hll_mixed_format_merge_byte_identity():
+    """Merging a sparse partial into a dense one (either order) equals
+    the direct superset build byte-for-byte — the wire format never
+    leaks into merge semantics (also covers the harness blob path via
+    sketch_from_bytes dispatch on both magics)."""
+    from p2pddsketch_spark.operators.harness import sketch_from_bytes
+    from p2pddsketch_spark.sketches.hll import HyperLogLog
+    sparse = HyperLogLog(p=12).update_batch(np.arange(50))
+    dense = HyperLogLog(p=12).update_batch(np.arange(100_000))
+    m1 = sketch_from_bytes(sparse.to_bytes()).merge(
+        sketch_from_bytes(dense.to_bytes()))
+    m2 = sketch_from_bytes(dense.to_bytes()).merge(
+        sketch_from_bytes(sparse.to_bytes()))
+    direct = HyperLogLog(p=12).update_batch(np.arange(100_000))
+    assert m1.to_bytes() == m2.to_bytes() == direct.to_bytes()
