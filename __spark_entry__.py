@@ -36,8 +36,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's verification window: the
     external gate checks the FIRST 50 entries each round. Round 5
     front-loads the 46 queries whose newest driver row is r3, plus this
-    round's changed/new entries; the 48 remaining r4-verified queries
-    move beyond slot 50 (46 + 4 in-window + 48 = 98).
+    round's 4 never-verified entries; the 50 r4-verified queries sit
+    beyond slot 50 (46 + 4 in-window + 50 = 100 — the registry is at
+    the 2-window cap, so future additions must displace or merge
+    existing rows).
     tests/test_query_oracles.py::test_registry_window_policy
     mechanically bounds staleness: every slot-51+ entry must have a green
     row in the LATEST CORRECTNESS_r*.json — so no query's newest driver

@@ -28,8 +28,10 @@ from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
 from p2pddsketch_spark.operators.text import fingerprint_md5_col, words_col
 
 __all__ = ["exact_dedup_stats", "exact_dedup", "word_shingles_col",
-           "ngram_jaccard_pairs", "minhash_signatures", "minhash_band_hashes",
-           "minhash_lsh_pairs", "simhash64", "simhash_blocks",
+           "token_shingles_col", "ngram_jaccard_pairs",
+           "minhash_signatures", "minhash_band_hashes",
+           "minhash_lsh_pairs", "minhash_lsh_pairs_tokens",
+           "simhash64", "simhash_blocks",
            "simhash_neardup_pairs", "simhash128_block_layout",
            "simhash128_keys", "simhash_neardup_pairs_wide"]
 

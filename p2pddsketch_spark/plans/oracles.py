@@ -1099,15 +1099,15 @@ ORDER BY lang
 # replays hashing, Mersenne-61 permutations, banding, candidate
 # generation and exact verification end-to-end.
 
-def _minhash_prod_sql(threshold: float = 0.5, num_perm: int = 128,
-                      bands: int = 32, seed: int = 7) -> str:
-    """Twin of `dedup.minhash_lsh_pairs(threshold, num_perm, bands, n=2)`:
-    XXH64(shingle) → h mod M61 → min over (a·h+b) mod M61 per
-    permutation (constants from the same seeded generator) → band
-    signature lists → bucket-collision candidates → exact Jaccard ≥
-    threshold. Docs with no bigram shingle are absent on both sides at
-    fixture scales (min doc length ≥ 10 words)."""
-    import numpy as np
+def _minhash_chain_sql(shl_ctes: str, threshold: float, num_perm: int,
+                       bands: int, seed: int) -> str:
+    """Shared tail of every MinHash twin: given WITH-clause CTEs ending
+    in `shl(id, s array<varchar>)` (the per-doc distinct shingle
+    strings), replay XXH64(shingle) → h mod M61 → min over (a·h+b) mod
+    M61 per permutation (constants from the same seeded generator) →
+    band signature lists → bucket-collision candidates → exact Jaccard
+    ≥ threshold. One implementation so a banding/permutation fix can
+    never diverge between the text and token gates."""
     from p2pddsketch_spark.functions.xxh_sql import xxhash64_sql_ctes
     from p2pddsketch_spark.operators.dedup import _perm_params
     pa, pb = _perm_params(num_perm, seed)
@@ -1118,8 +1118,7 @@ def _minhash_prod_sql(threshold: float = 0.5, num_perm: int = 128,
     jac = ("ROUND(len(list_intersect(x.s, y.s))::DOUBLE / "
            "(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6)")
     return f"""
-WITH w0 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
-shl AS (SELECT doc_id AS id, {_SHINGLES_2} AS s FROM w0),
+WITH {shl_ctes},
 shx AS (SELECT id, unnest(s) AS s FROM shl),
 strs AS (SELECT DISTINCT s FROM shx),{xxhash64_sql_ctes("strs", "s", "hx")},
 perms(p, pa, pb) AS (VALUES {perm_vals}),
@@ -1138,6 +1137,17 @@ FROM cand c JOIN shl x ON x.id = c.id_a JOIN shl y ON y.id = c.id_b
 WHERE {jac} >= {threshold!r}
 ORDER BY id_a, id_b
 """
+
+
+def _minhash_prod_sql(threshold: float = 0.5, num_perm: int = 128,
+                      bands: int = 32, seed: int = 7) -> str:
+    """Twin of `dedup.minhash_lsh_pairs(threshold, num_perm, bands, n=2)`.
+    Docs with no bigram shingle are absent on both sides at fixture
+    scales (min doc length ≥ 10 words)."""
+    return _minhash_chain_sql(
+        f"""w0 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+shl AS (SELECT doc_id AS id, {_SHINGLES_2} AS s FROM w0)""",
+        threshold, num_perm, bands, seed)
 
 
 ORACLES["minhash_lsh_pairs_prod"] = _minhash_prod_sql()
@@ -1818,8 +1828,15 @@ def _ams_joinsize_sql(r: int = 256, groups: int = 8, seed: int = 7) -> str:
     k = r // groups
 
     def chain(key_tbl: str, out: str) -> str:
+        # ((key % 2^64) + 2^64 + addc) % 2^64: DuckDB's % keeps the
+        # dividend's sign, so a negative key must be wrapped into
+        # [0, 2^64) first to match numpy's uint64 cast — without this,
+        # 61/256 counters diverge for key = -2^63 (review-verified)
         return f"""
-{out}0 AS (SELECT key, cnt, l, (key::HUGEINT + addc) % 18446744073709551616::HUGEINT AS z
+{out}0 AS (SELECT key, cnt, l,
+                  (key::HUGEINT % 18446744073709551616::HUGEINT
+                   + 18446744073709551616::HUGEINT + addc)
+                  % 18446744073709551616::HUGEINT AS z
            FROM {key_tbl} CROSS JOIN lanes),
 {out}1 AS (SELECT key, cnt, l, {_mulc_u64("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z FROM {out}0),
 {out}2 AS (SELECT key, cnt, l, {_mulc_u64("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z FROM {out}1),
@@ -1831,8 +1848,10 @@ def _ams_joinsize_sql(r: int = 256, groups: int = 8, seed: int = 7) -> str:
     return f"""
 WITH lanes(l, addc) AS (VALUES {lanes}),
 bits(b, dv) AS (VALUES {bits}),
-ka AS (SELECT user_id AS key, COUNT(*)::BIGINT AS cnt FROM events GROUP BY user_id),
-kb AS (SELECT o_custkey AS key, COUNT(*)::BIGINT AS cnt FROM orders GROUP BY o_custkey),
+ka AS (SELECT user_id AS key, COUNT(*)::BIGINT AS cnt FROM events
+       WHERE user_id IS NOT NULL GROUP BY user_id),
+kb AS (SELECT o_custkey AS key, COUNT(*)::BIGINT AS cnt FROM orders
+       WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
 {chain("ka", "za")},
 {chain("kb", "zb")},
 grpa AS (SELECT j // {k} AS g, SUM(z::HUGEINT * z::HUGEINT)::DOUBLE / {k} AS m
@@ -1867,17 +1886,7 @@ ORACLES["ams_joinsize"] = _ams_joinsize_sql()
 def _minhash_tokens_sql(threshold: float = 0.5, num_perm: int = 128,
                         bands: int = 32, seed: int = 7,
                         vocab_size: int = 512) -> str:
-    from p2pddsketch_spark.functions.xxh_sql import xxhash64_sql_ctes
-    from p2pddsketch_spark.operators.dedup import _perm_params
-    pa, pb = _perm_params(num_perm, seed)
-    rows = num_perm // bands
-    m61 = (1 << 61) - 1
-    perm_vals = ", ".join(f"({i}, {int(pa[i])}::HUGEINT, {int(pb[i])}::HUGEINT)"
-                          for i in range(num_perm))
-    jac = ("ROUND(len(list_intersect(x.s, y.s))::DOUBLE / "
-           "(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6)")
-    return f"""
-WITH counts AS (
+    return _minhash_chain_sql(f"""counts AS (
   SELECT term, COUNT(*) AS cnt
   FROM (SELECT unnest({_WORDS}) AS term FROM documents) GROUP BY term
 ), vocab AS (
@@ -1895,25 +1904,7 @@ WITH counts AS (
                 range(1, len(t) - 1),
                 i -> t[i]::VARCHAR || '_' || t[i+1]::VARCHAR || '_' || t[i+2]::VARCHAR))
               ELSE [] END AS s
-  FROM tl),
-shx AS (SELECT id, unnest(s) AS s FROM shl),
-strs AS (SELECT DISTINCT s FROM shx),{xxhash64_sql_ctes("strs", "s", "hx")},
-perms(p, pa, pb) AS (VALUES {perm_vals}),
-sigs AS (
-  SELECT shx.id, pr.p, MIN((pr.pa * (hx.h % {m61}) + pr.pb) % {m61}) AS mn
-  FROM shx JOIN hx USING (s) CROSS JOIN perms pr
-  GROUP BY shx.id, pr.p),
-bnd AS (
-  SELECT id, p // {rows} AS band, list(mn ORDER BY p) AS bsig
-  FROM sigs GROUP BY id, p // {rows}),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id)
-SELECT c.id_a, c.id_b, {jac} AS jaccard
-FROM cand c JOIN shl x ON x.id = c.id_a JOIN shl y ON y.id = c.id_b
-WHERE {jac} >= {threshold!r}
-ORDER BY id_a, id_b
-"""
+  FROM tl)""", threshold, num_perm, bands, seed)
 
 
 ORACLES["minhash_tokens_pairs"] = _minhash_tokens_sql()

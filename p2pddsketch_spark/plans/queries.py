@@ -1965,12 +1965,21 @@ def q_ams_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sa, sb = build(ev, "user_id"), build(orders, "o_custkey")
 
-    # exact comparison values: two shuffles on pre-aggregated key counts
-    fa = ev.groupBy(F.col("user_id").alias("key")).agg(F.count("*").alias("ca"))
-    fb = orders.groupBy(F.col("o_custkey").alias("key")).agg(F.count("*").alias("cb"))
-    exact_f2_a = fa.agg(F.sum(F.col("ca") * F.col("ca"))).collect()[0][0]
-    exact_join = (fa.join(fb, "key")
-                  .agg(F.sum(F.col("ca") * F.col("cb"))).collect()[0][0]) or 0
+    # exact comparison values in ONE action: per-side key-count
+    # aggregates (map-side combined), a key-to-key LEFT join of the
+    # pre-aggregated counts (|keys| rows, not |rows|), then both sums
+    # from the joined frame. NULL keys are filtered to mirror the
+    # extractor's null-drop policy, keeping the n/exact receipts
+    # consistent with what the sketches actually saw.
+    fa = (ev.where(F.col("user_id").isNotNull())
+          .groupBy(F.col("user_id").alias("key")).agg(F.count("*").alias("ca")))
+    fb = (orders.where(F.col("o_custkey").isNotNull())
+          .groupBy(F.col("o_custkey").alias("key")).agg(F.count("*").alias("cb")))
+    stats = (fa.join(fb, "key", "left")
+             .agg(F.sum(F.col("ca") * F.col("ca")).alias("f2a"),
+                  F.sum(F.col("ca") * F.coalesce(F.col("cb"), F.lit(0))).alias("js"))
+             .collect()[0])
+    exact_f2_a, exact_join = stats["f2a"], stats["js"] or 0
 
     rows = [(f"za_{j:03d}", float(sa.z[j])) for j in range(r)]
     rows += [(f"zb_{j:03d}", float(sb.z[j])) for j in range(r)]

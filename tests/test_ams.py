@@ -128,3 +128,27 @@ def test_large_scale_estimate_uses_exact_int_sums():
     s.z = np.full(64, 3_000_000_000, dtype=np.int64)  # z² = 9e18 > 2^63
     est = s.estimate_f2()
     assert est == float(3_000_000_000 ** 2)
+
+
+def test_sql_twin_parity_negative_and_positive_keys():
+    """The HUGEINT SQL twin reproduces every counter for SIGNED keys —
+    DuckDB's % keeps the dividend's sign, so the twin wraps keys into
+    [0, 2^64) before the splitmix64 chain (review-found divergence at
+    key = -2^63 without the wrap). Pure DuckDB vs numpy, no Spark."""
+    import duckdb
+
+    from p2pddsketch_spark.plans.oracles import _ams_joinsize_sql
+
+    keys = np.array([-(1 << 63), -12345, -1, 0, 1, 7, (1 << 62)], dtype=np.int64)
+    cnts = np.array([3, 5, 2, 7, 1, 4, 6], dtype=np.int64)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events AS SELECT unnest(?::BIGINT[]) AS user_id",
+                [np.repeat(keys, cnts).tolist()])
+    con.execute("CREATE TABLE orders AS SELECT unnest(?::BIGINT[]) AS o_custkey",
+                [np.repeat(keys, cnts).tolist()])
+    got = dict(con.execute(_ams_joinsize_sql()).fetchall())
+    s = AmsSketch(256).update_batch(keys, cnts)
+    for j in range(256):
+        assert got[f"za_{j:03d}"] == float(s.z[j]), j
+    assert got["est_f2_events_users"] == s.estimate_f2()
+    assert got["exact_f2_events_users"] == float(sum(int(c) ** 2 for c in cnts))
