@@ -1,0 +1,117 @@
+"""Incremental sketch-rollup maintenance job — the persisted warehouse.
+
+Run via spark-submit (north_rule):
+
+  spark-submit --py-files sketchlib.zip jobs/rollup_sketches.py update \\
+      --input /data/sequences --state /warehouse/rollup \\
+      --group-cols source --value-col n_tok --tokens-col tokens
+  spark-submit --py-files sketchlib.zip jobs/rollup_sketches.py query \\
+      --state /warehouse/rollup --quantiles 0.5,0.95,0.99,0.999
+  spark-submit --py-files sketchlib.zip jobs/rollup_sketches.py \\
+      cardinality --state /warehouse/rollup
+  spark-submit --py-files sketchlib.zip jobs/rollup_sketches.py \\
+      versions --state /warehouse/rollup
+
+`update` sketches ONLY the parquet files not yet in the committed
+state's manifest and merges them with the stored per-group blobs
+(associative merge ⇒ identical to a full rebuild); `query` and
+`cardinality` answer from the stored blobs with zero input re-scan.
+Each subcommand prints one JSON line. Errors print a {"error": ...}
+JSON line and exit 1 (same contract as jobs/optimize_table.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int):
+    from p2pddsketch_spark.operators.harness import (SketchSpec,
+                                                     array_extractor,
+                                                     scalar_extractor)
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+    from p2pddsketch_spark.sketches.hll import HyperLogLog
+    specs = [SketchSpec("dds", lambda: DDSketch(alpha=alpha, bin_limit=1 << 22),
+                        scalar_extractor(value_col))]
+    if tokens_col:
+        specs.append(SketchSpec("hll", lambda: HyperLogLog(p=hll_p),
+                                array_extractor(tokens_col)))
+    return specs
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    up = sub.add_parser("update", help="advance the rollup by new files")
+    up.add_argument("--input", required=True)
+    up.add_argument("--state", required=True)
+    up.add_argument("--group-cols", default="",
+                    help="comma-separated grouping columns (may be empty)")
+    up.add_argument("--value-col", default="n_tok")
+    up.add_argument("--tokens-col", default=None)
+    up.add_argument("--alpha", type=float, default=0.01)
+    up.add_argument("--hll-p", type=int, default=14)
+    up.add_argument("--salt-buckets", type=int, default=8)
+    up.add_argument("--files-per-task", type=int, default=4)
+
+    q = sub.add_parser("query", help="quantiles from the stored blobs")
+    q.add_argument("--state", required=True)
+    q.add_argument("--sketch", default="dds")
+    q.add_argument("--quantiles", default="0.5,0.95,0.99,0.999")
+    q.add_argument("--group-cols", default="")
+
+    card = sub.add_parser("cardinality", help="distinct counts from blobs")
+    card.add_argument("--state", required=True)
+    card.add_argument("--sketch", default="hll")
+    card.add_argument("--group-cols", default="")
+
+    ver = sub.add_parser("versions", help="committed versions + manifests")
+    ver.add_argument("--state", required=True)
+
+    args = ap.parse_args(argv)
+    from pyspark.sql import SparkSession
+    from p2pddsketch_spark.operators import rollup as R
+    spark = (SparkSession.builder
+             .config("spark.sql.shuffle.partitions", "32")
+             .getOrCreate())
+    try:
+        gcols = tuple(c for c in getattr(args, "group_cols", "").split(",") if c)
+        if args.cmd == "update":
+            stats = R.rollup_update(
+                spark, args.input, args.state,
+                _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p),
+                group_cols=gcols, salt_buckets=args.salt_buckets,
+                files_per_task=args.files_per_task)
+            print(json.dumps(stats, sort_keys=True))
+        elif args.cmd == "query":
+            qs = [float(x) for x in args.quantiles.split(",") if x]
+            rows = R.rollup_quantiles(spark, args.state, args.sketch, qs,
+                                      group_cols=gcols).collect()
+            print(json.dumps({"sketch": args.sketch,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "cardinality":
+            rows = R.rollup_cardinality(spark, args.state, args.sketch,
+                                        group_cols=gcols).collect()
+            print(json.dumps({"sketch": args.sketch,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        else:  # versions
+            print(json.dumps({"versions": [
+                {"version": v, "manifest": m}
+                for v, m in R.rollup_versions(spark, args.state)]},
+                sort_keys=True))
+        return 0
+    except (ValueError, NotImplementedError) as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -103,6 +103,24 @@ def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n, b
 
 
+def _read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file at `path` — local fast path or Hadoop
+    FileSystem for URIs (the inverse of `_write_text`)."""
+    if "://" not in path:
+        with open(path) as f:
+            return f.read()
+    fs, hpath = _hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        # py4j passes buffers by value, so a read-into-bytearray loop
+        # can't work; commons-io ships with Hadoop and drains the stream
+        # JVM-side in one call (these are small manifest files)
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write a small text file at `path` via the local filesystem or,
     for URIs, the Hadoop FileSystem API (overwrite)."""

@@ -1,0 +1,224 @@
+"""Incremental grouped sketch rollup — the persisted "sketch warehouse".
+
+At 10^12 rows nobody rebuilds sketches from scratch when a day of new
+files lands; the production pattern is a PUBLISHED per-group sketch
+table that each maintenance run advances incrementally:
+
+  * `rollup_update` lists the input's parquet files, anti-joins the set
+    already recorded in the committed state's manifest, runs stage 1
+    (mapInArrow) over ONLY the new files, and merges the new partials
+    with the stored per-group blobs through the same salted shuffle
+    merge tree every build uses — sketch merge is associative and
+    order-invariant, so the published state is byte-identical to a
+    one-shot build over all files ever seen (pytest-pinned).
+  * `rollup_quantiles` / `rollup_cardinality` answer queries FROM the
+    stored blobs — no data re-scan, a mapInPandas over one row per
+    (group, sketch): the reason the warehouse exists.
+
+Versioned commit protocol (object-store safe, no rename atomicity
+assumed): each update writes `version=<k>/blobs/` parquet first, then
+`version=<k>/manifest.json` LAST via the Hadoop FileSystem API — a
+version without a manifest is an aborted write and is ignored by
+readers, so a killed update can never corrupt or half-publish state.
+The reference simulator restarts from scratch on failure
+(/root/reference/main.cpp:214-396 has no persistence at all); this is
+the north_rule's "resumable ... with per-partition lineage + metrics"
+carried to the job level, composing `operators/checkpoint.py`'s
+file-chunk lineage idea with a published, queryable state table.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.errors import UsageError
+from p2pddsketch_spark.operators.harness import (SketchSpec,
+                                                 build_partials_from_files,
+                                                 merge_partials,
+                                                 parquet_file_list,
+                                                 sketch_from_bytes)
+from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
+                                                     _write_text)
+
+__all__ = ["rollup_update", "rollup_state", "rollup_versions",
+           "rollup_quantiles", "rollup_cardinality"]
+
+_PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
+                 "build_secs", "sketch"]
+
+
+def _manifest_path(state_dir: str, version: int) -> str:
+    return posixpath.join(state_dir, f"version={version}", "manifest.json")
+
+
+def _blobs_path(state_dir: str, version: int) -> str:
+    return posixpath.join(state_dir, f"version={version}", "blobs")
+
+
+def rollup_versions(spark: SparkSession, state_dir: str) -> list[tuple[int, dict]]:
+    """Committed (version, manifest) pairs, ascending. A `version=k`
+    directory without a manifest.json is an aborted write — skipped."""
+    fs, jpath = _hadoop_fs(spark, state_dir)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith("version="):
+            continue
+        try:
+            version = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        try:
+            manifest = json.loads(_read_text(
+                spark, _manifest_path(state_dir, version)))
+        except Exception:
+            continue  # uncommitted / aborted version
+        out.append((version, manifest))
+    return sorted(out)
+
+
+def _latest(spark: SparkSession, state_dir: str) -> tuple[int, dict] | None:
+    versions = rollup_versions(spark, state_dir)
+    return versions[-1] if versions else None
+
+
+def rollup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The latest committed per-(group, sketch_name) blob table."""
+    latest = _latest(spark, state_dir)
+    if latest is None:
+        raise UsageError(f"no committed rollup state at {state_dir!r}")
+    return spark.read.parquet(_blobs_path(state_dir, latest[0]))
+
+
+def rollup_update(spark: SparkSession, input_path: str, state_dir: str,
+                  specs: list[SketchSpec], group_cols: tuple[str, ...] = (),
+                  salt_buckets: int = 8, files_per_task: int = 4) -> dict:
+    """Advance the rollup by the input files not yet in the state.
+
+    Returns stats: {"version", "new_files", "total_files", "groups",
+    "noop"}. Raises UsageError when the stored state was built with a
+    different spec/group configuration (merging incompatible sketch
+    sets would silently corrupt the warehouse)."""
+    spec_names = sorted(s.name for s in specs)
+    latest = _latest(spark, state_dir)
+    if latest is not None:
+        _, manifest = latest
+        if manifest["spec_names"] != spec_names or \
+                manifest["group_cols"] != list(group_cols):
+            raise UsageError(
+                "rollup state config mismatch: stored "
+                f"{manifest['spec_names']}/{manifest['group_cols']} vs "
+                f"requested {spec_names}/{list(group_cols)}")
+        done = set(manifest["files"])
+    else:
+        done = set()
+
+    paths = parquet_file_list(input_path)
+    new = [p for p in paths if p not in done]
+    if not new:
+        version = latest[0] if latest else 0
+        return {"version": version, "new_files": 0,
+                "total_files": len(done), "groups": None, "noop": True}
+
+    partials = build_partials_from_files(
+        spark, new, specs, group_cols, salt_buckets, files_per_task)
+    if latest is not None:
+        # stored blobs re-enter the merge tree as one extra "partition"
+        # of partials (salt 0, partition_id −2 marks from-state rows in
+        # lineage); associativity makes the result identical to a
+        # one-shot build over done ∪ new
+        prev = (spark.read.parquet(_blobs_path(state_dir, latest[0]))
+                .withColumn("salt", F.lit(0).cast("int"))
+                .withColumn("partition_id", F.lit(-2).cast("int"))
+                .withColumn("build_secs", F.lit(0.0)))
+        partials = partials.unionByName(
+            prev.select(*group_cols, *_PARTIAL_COLS))
+    merged = merge_partials(partials, group_cols)
+
+    version = (latest[0] + 1) if latest else 1
+    out = merged.select(*group_cols, "sketch_name", "rows_seen", "sketch")
+    out.write.mode("errorifexists").parquet(_blobs_path(state_dir, version))
+    # count the PUBLISHED parquet, not `out` — re-counting the plan
+    # would recompute the merge tree twice over
+    n_rows = spark.read.parquet(_blobs_path(state_dir, version)).count()
+    n_groups = n_rows // max(len(specs), 1)
+    manifest = {
+        "version": version,
+        "files": sorted(done | set(new)),
+        "new_files": len(new),
+        "spec_names": spec_names,
+        "group_cols": list(group_cols),
+        "n_blob_rows": int(n_rows),
+        "updated_unix": time.time(),
+        "generated_by": "p2pddsketch_spark.operators.rollup",
+    }
+    # the manifest write IS the commit point — readers ignore
+    # manifest-less versions, so a crash before this line leaves the
+    # previous version live and this one invisible
+    _write_text(spark, _manifest_path(state_dir, version),
+                json.dumps(manifest, indent=1, sort_keys=True))
+    return {"version": version, "new_files": len(new),
+            "total_files": len(done) + len(new), "groups": int(n_groups),
+            "noop": False}
+
+
+def _decode_map(sketch_name: str, fn_name: str, args: tuple, out_ddl: str):
+    """mapInPandas factory: decode each stored blob, call a query method,
+    emit one row per (group, arg)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sk = sketch_from_bytes(bytes(row["sketch"]))
+                base = [row[c] for c in pdf.columns
+                        if c not in ("sketch", "sketch_name", "rows_seen")]
+                if args:
+                    for a in args:
+                        rows.append(base + [float(a),
+                                            float(getattr(sk, fn_name)(a)),
+                                            int(sk.n)])
+                else:
+                    rows.append(base + [float(getattr(sk, fn_name)()),
+                                        int(row["rows_seen"])])
+            cols = [c.split(" ")[0] for c in out_ddl.split(", ")]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return run
+
+
+def rollup_quantiles(spark: SparkSession, state_dir: str, sketch_name: str,
+                     qs: list[float],
+                     group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Quantile estimates straight from the stored blobs (DDSketch, KLL,
+    t-digest, REQ, moment — anything with `.quantile(q)`): one
+    mapInPandas over |groups| rows, zero input-data re-scan."""
+    st = rollup_state(spark, state_dir).where(
+        F.col("sketch_name") == sketch_name)
+    gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                   for c in group_cols)
+    ddl = f"{gddl}q double, estimate double, n long"
+    return (st.mapInPandas(_decode_map(sketch_name, "quantile", tuple(qs), ddl),
+                           schema=ddl)
+            .orderBy(*group_cols, "q"))
+
+
+def rollup_cardinality(spark: SparkSession, state_dir: str, sketch_name: str,
+                       group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Distinct-count estimates from stored HLL/theta blobs."""
+    st = rollup_state(spark, state_dir).where(
+        F.col("sketch_name") == sketch_name)
+    gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                   for c in group_cols)
+    ddl = f"{gddl}estimate double, rows_seen long"
+    return (st.mapInPandas(_decode_map(sketch_name, "cardinality", (), ddl),
+                           schema=ddl)
+            .orderBy(*group_cols))
