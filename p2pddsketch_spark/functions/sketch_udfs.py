@@ -26,7 +26,8 @@ import pandas as pd
 
 __all__ = ["dds_quantile_udf", "sketch_count_udf", "sketch_cardinality_udf",
            "dds_build_udaf", "sketch_merge_udaf", "theta_build_udaf",
-           "theta_cardinality_udf", "register_sketch_udfs"]
+           "theta_cardinality_udf", "ams_f2_udf", "ams_inner_udf",
+           "register_sketch_udfs"]
 
 
 @lru_cache(maxsize=None)
@@ -115,6 +116,44 @@ def sketch_cardinality_udf():
     return hll_cardinality
 
 
+@lru_cache(maxsize=None)
+def ams_f2_udf():
+    """Scalar pandas UDF: F2 (self-join / skew mass) estimate from a
+    persisted AMS blob — `SELECT g, ams_f2(sketch_merge(blob)) ...`."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.ams import AmsSketch
+
+    @pandas_udf("double")
+    def ams_f2(blobs: pd.Series) -> pd.Series:
+        return pd.Series([np.nan if b is None else
+                          AmsSketch.from_bytes(bytes(b)).estimate_f2()
+                          for b in blobs])
+
+    return ams_f2
+
+
+@lru_cache(maxsize=None)
+def ams_inner_udf():
+    """Scalar pandas UDF over TWO AMS blob columns: estimated equi-join
+    cardinality of the two sketched key columns (AGMS inner product) —
+    the SQL form of the planner's broadcast-vs-shuffle probe."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.ams import AmsSketch
+
+    @pandas_udf("double")
+    def ams_inner(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(np.nan)
+            else:
+                out.append(AmsSketch.from_bytes(bytes(x)).inner_product(
+                    AmsSketch.from_bytes(bytes(y))))
+        return pd.Series(out)
+
+    return ams_inner
+
+
 def register_sketch_udfs(spark) -> None:
     spark.udf.register("dds_quantile", dds_quantile_udf())
     spark.udf.register("sketch_count", sketch_count_udf())
@@ -123,6 +162,8 @@ def register_sketch_udfs(spark) -> None:
     spark.udf.register("sketch_merge", sketch_merge_udaf())
     spark.udf.register("theta_build", theta_build_udaf())
     spark.udf.register("theta_cardinality", theta_cardinality_udf())
+    spark.udf.register("ams_f2", ams_f2_udf())
+    spark.udf.register("ams_inner", ams_inner_udf())
 
 
 @lru_cache(maxsize=None)

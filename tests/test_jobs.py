@@ -258,3 +258,40 @@ def test_build_and_query_jsonl_input(spark, tmp_path, capsys):
             "--input", jl, "--input-format", "jsonl",
             "--value-col", "n_tok", "--tokens-col", "",
             "--checkpoint-dir", str(tmp_path / "ck")])
+
+
+def test_spark_submit_pyfiles_contract(tmp_path):
+    """The north_rule's deployment contract, actually executed: build
+    the reproducible --py-files zip (tools/make_pyfiles_zip.py), copy
+    the job file OUTSIDE the repo (so `p2pddsketch_spark` can resolve
+    ONLY from the zip), and run `spark-submit --py-files` end-to-end —
+    stage-1 mapInArrow workers must import every sketch class from the
+    shipped archive. Asserts the testQuantile contract passes."""
+    import os
+    import shutil
+    import subprocess
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not on this machine")
+    sys.path.insert(0, "/root/repo/tools")
+    import make_pyfiles_zip
+    z = make_pyfiles_zip.build(str(tmp_path / "sketchlib.zip"))
+    assert z["members"] > 40
+    # reproducibility: a second build is byte-identical
+    z2 = make_pyfiles_zip.build(str(tmp_path / "sketchlib2.zip"))
+    assert (tmp_path / "sketchlib.zip").read_bytes() == \
+        (tmp_path / "sketchlib2.zip").read_bytes() and z2["members"] == z["members"]
+    job = tmp_path / "build_and_query.py"
+    shutil.copy("/root/repo/jobs/build_and_query.py", job)
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--py-files", str(tmp_path / "sketchlib.zip"), str(job),
+         "--input", "/root/testdata/sf0.001/lineitem.parquet",
+         "--value-col", "l_quantity", "--tokens-col", "",
+         "--alpha", "0.005", "--verify",
+         "--checkpoint-dir", str(tmp_path / "ckpt")],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    manifest = json.loads(out[out.index("{"):])
+    assert manifest["verify_pass"] is True

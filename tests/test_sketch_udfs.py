@@ -123,3 +123,37 @@ def test_udaf_gate_row_aggregates_blobs_not_raw_rows(spark):
     # the one Exchange before the UDAF ships (group, blob) columns only
     ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert ex_lines and all("l_quantity" not in ln for ln in ex_lines), plan
+
+
+def test_ams_blobs_through_generic_sql_surface(spark, tmp_path):
+    """AMS blobs ride the generic SQL surface: per-partition AMS states
+    persisted to a sketch table re-aggregate with `sketch_merge` (magic
+    dispatch) and `ams_f2`/`ams_inner` answer F2 and join-size straight
+    from blobs in SQL — estimates identical to the direct object path."""
+    import numpy as np
+    from p2pddsketch_spark.functions.sketch_udfs import register_sketch_udfs
+    from p2pddsketch_spark.sketches.ams import AmsSketch
+
+    register_sketch_udfs(spark)
+    rng = np.random.default_rng(9)
+    ka, kb = rng.integers(0, 200, 8000), rng.integers(0, 400, 6000)
+    parts_a = np.array_split(ka, 4)
+    parts_b = np.array_split(kb, 3)
+    rows = [("a", i, AmsSketch(128).update_batch(p).to_bytes())
+            for i, p in enumerate(parts_a)]
+    rows += [("b", i, AmsSketch(128).update_batch(p).to_bytes())
+             for i, p in enumerate(parts_b)]
+    spark.createDataFrame(rows, "side string, pid int, blob binary") \
+        .createOrReplaceTempView("ams_partials")
+    got = spark.sql("""
+        WITH merged AS (
+          SELECT side, sketch_merge(blob) AS blob
+          FROM ams_partials GROUP BY side)
+        SELECT a.side, ams_f2(a.blob) AS f2,
+               ams_inner(a.blob, b.blob) AS joinsize
+        FROM merged a JOIN merged b ON b.side = 'b' AND a.side = 'a'
+    """).collect()[0]
+    sa = AmsSketch(128).update_batch(ka)
+    sb = AmsSketch(128).update_batch(kb)
+    assert got["f2"] == sa.estimate_f2()
+    assert got["joinsize"] == sa.inner_product(sb)
