@@ -172,6 +172,60 @@ def bloom_join_receipt(spark, sf_dir: str, reps: int) -> dict:
     }
 
 
+def approx_percentile_receipt(spark, seq_path: str, reps: int) -> dict:
+    """The engine's own approximate-quantile aggregate vs this library's
+    pure-Catalyst DDSketch plan, on the SAME grouped question (n_tok
+    quantiles by source). Reported: wall time of each, and each one's
+    max relative error against the EXACT sort-based percentile — the
+    receipt that the library's α-contract quantiles are competitive with
+    (and error-bounded unlike) the built-in GK-based estimator, while
+    producing mergeable, persistable state the built-in cannot.
+    Note: `percentile` INTERPOLATES between order statistics, while both
+    estimators return actual/bucketed values — on integer-valued n_tok
+    both reported errors therefore include an interpolation component on
+    top of each estimator's own error, identically for the two."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from p2pddsketch_spark.functions.ddsql import ddsketch_quantile_plan
+    qs = [0.5, 0.95, 0.99, 0.999]
+    qlit = ", ".join(str(q) for q in qs)
+    seq = spark.read.parquet(seq_path)
+
+    t_native = None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        native = (seq.groupBy("source")
+                  .agg(F.expr(f"approx_percentile(n_tok, array({qlit}), 10000)")
+                       .alias("est")).collect())
+        dt = time.monotonic() - t0
+        t_native = dt if t_native is None else min(t_native, dt)
+
+    t_dds = None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        dds = ddsketch_quantile_plan(seq, "n_tok", qs, alpha=0.001,
+                                     group_cols=("source",)).collect()
+        dt = time.monotonic() - t0
+        t_dds = dt if t_dds is None else min(t_dds, dt)
+
+    exact = (seq.groupBy("source")
+             .agg(F.expr(f"percentile(n_tok, array({qlit}))").alias("ex"))
+             .collect())
+    ex = {r["source"]: r["ex"] for r in exact}
+    err_native = max(abs(e - x) / x for r in native
+                     for e, x in zip(r["est"], ex[r["source"]]) if x)
+    dds_map = {}
+    for r in dds:
+        dds_map.setdefault(r["source"], {})[round(r["q"], 3)] = r["estimate"]
+    err_dds = max(abs(dds_map[s][round(q, 3)] - x) / x
+                  for s, xs in ex.items() for q, x in zip(qs, xs) if x)
+    return {"native_secs": round(t_native, 3),
+            "dds_catalyst_secs": round(t_dds, 3),
+            "max_rel_err_native": round(float(err_native), 6),
+            "max_rel_err_dds": round(float(err_dds), 6),
+            "dds_alpha": 0.001, "native_accuracy_param": 10000}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -248,6 +302,9 @@ def main():
         br = bloom_join_receipt(spark, sf_dir, reps)
         tp["bloom_join"] = br
         print(f"# bloom join receipt: {br}", file=sys.stderr)
+        ap = approx_percentile_receipt(spark, seq_path, reps)
+        tp["approx_percentile"] = ap
+        print(f"# approx_percentile receipt: {ap}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
