@@ -64,15 +64,17 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--state", required=True)
     q.add_argument("--sketch", default="dds")
     q.add_argument("--quantiles", default="0.5,0.95,0.99,0.999")
-    q.add_argument("--group-cols", default="")
 
     card = sub.add_parser("cardinality", help="distinct counts from blobs")
     card.add_argument("--state", required=True)
     card.add_argument("--sketch", default="hll")
-    card.add_argument("--group-cols", default="")
 
     ver = sub.add_parser("versions", help="committed versions + manifests")
     ver.add_argument("--state", required=True)
+
+    pr = sub.add_parser("prune", help="delete all but the newest versions")
+    pr.add_argument("--state", required=True)
+    pr.add_argument("--keep", type=int, default=2)
 
     args = ap.parse_args(argv)
     from pyspark.sql import SparkSession
@@ -80,9 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = (SparkSession.builder
              .config("spark.sql.shuffle.partitions", "32")
              .getOrCreate())
+    from pyspark.errors import PySparkException
     try:
-        gcols = tuple(c for c in getattr(args, "group_cols", "").split(",") if c)
         if args.cmd == "update":
+            gcols = tuple(c for c in args.group_cols.split(",") if c)
             stats = R.rollup_update(
                 spark, args.input, args.state,
                 _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p),
@@ -91,24 +94,32 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(stats, sort_keys=True))
         elif args.cmd == "query":
             qs = [float(x) for x in args.quantiles.split(",") if x]
-            rows = R.rollup_quantiles(spark, args.state, args.sketch, qs,
-                                      group_cols=gcols).collect()
+            rows = R.rollup_quantiles(spark, args.state, args.sketch,
+                                      qs).collect()
             print(json.dumps({"sketch": args.sketch,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
         elif args.cmd == "cardinality":
-            rows = R.rollup_cardinality(spark, args.state, args.sketch,
-                                        group_cols=gcols).collect()
+            rows = R.rollup_cardinality(spark, args.state,
+                                        args.sketch).collect()
             print(json.dumps({"sketch": args.sketch,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
+        elif args.cmd == "prune":
+            print(json.dumps(R.rollup_prune(spark, args.state,
+                                            keep=args.keep), sort_keys=True))
         else:  # versions
             print(json.dumps({"versions": [
                 {"version": v, "manifest": m}
                 for v, m in R.rollup_versions(spark, args.state)]},
                 sort_keys=True))
         return 0
-    except (ValueError, NotImplementedError) as e:
+    # the full documented error contract: ValueError covers the typed
+    # Usage/Param errors, OSError covers FileError (no parquet files),
+    # PySparkException covers AnalysisException and executor-side
+    # failures — all become the one parseable {"error": ...} line
+    except (ValueError, NotImplementedError, OSError,
+            PySparkException) as e:
         print(json.dumps({"error": str(e)}))
         return 1
 

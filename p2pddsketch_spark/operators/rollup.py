@@ -13,13 +13,28 @@ table that each maintenance run advances incrementally:
     one-shot build over all files ever seen (pytest-pinned).
   * `rollup_quantiles` / `rollup_cardinality` answer queries FROM the
     stored blobs — no data re-scan, a mapInPandas over one row per
-    (group, sketch): the reason the warehouse exists.
+    (group, sketch): the reason the warehouse exists. Grouping columns
+    come from the committed manifest, not from the caller.
+  * `rollup_prune` deletes old committed versions (keeping the newest
+    `keep`), bounding state-dir growth; manifests intentionally carry
+    the FULL file lineage (the Iceberg-manifest shape — what makes the
+    anti-join and audits possible), so pruning blobs is the retention
+    lever, not truncating lineage.
 
 Versioned commit protocol (object-store safe, no rename atomicity
 assumed): each update writes `version=<k>/blobs/` parquet first, then
 `version=<k>/manifest.json` LAST via the Hadoop FileSystem API — a
-version without a manifest is an aborted write and is ignored by
-readers, so a killed update can never corrupt or half-publish state.
+version without a manifest is an aborted write, invisible to readers
+AND safely overwritten by the retrying update (mode "overwrite", the
+same recovery rule as `operators/checkpoint.py`'s commit groups). A
+CORRUPTED manifest of a committed version, by contrast, raises loudly
+(falling back to older state would silently double-merge on the next
+update). File identity is the canonicalized path (realpath for local
+files), so path-spelling differences can't re-ingest the same file;
+spec compatibility is enforced by comparing each spec's serialized
+ZERO-state signature (captures alpha / p / width / seed — any parameter
+that changes the wire state), not just its name.
+
 The reference simulator restarts from scratch on failure
 (/root/reference/main.cpp:214-396 has no persistence at all); this is
 the north_rule's "resumable ... with per-partition lineage + metrics"
@@ -29,9 +44,13 @@ file-chunk lineage idea with a published, queryable state table.
 
 from __future__ import annotations
 
+import hashlib
 import json
+import os
 import posixpath
 import time
+
+import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,7 +65,7 @@ from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
                                                      _write_text)
 
 __all__ = ["rollup_update", "rollup_state", "rollup_versions",
-           "rollup_quantiles", "rollup_cardinality"]
+           "rollup_quantiles", "rollup_cardinality", "rollup_prune"]
 
 _PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
                  "build_secs", "sketch"]
@@ -60,9 +79,31 @@ def _blobs_path(state_dir: str, version: int) -> str:
     return posixpath.join(state_dir, f"version={version}", "blobs")
 
 
+def _canon_path(p: str) -> str:
+    """Canonical file identity for the manifest: realpath for local
+    files (relative vs absolute vs symlinked spellings of the same file
+    must not count as 'new' — that would silently double-merge every
+    row); URIs are already canonical strings."""
+    return p if "://" in p else os.path.realpath(p)
+
+
+def _spec_signature(specs: list[SketchSpec]) -> dict[str, str]:
+    """{name: sha256(zero-state bytes)[:16]} — two specs share a
+    signature iff their factories produce byte-identical empty sketches,
+    which captures every state-shaping parameter (alpha, bin_limit,
+    hll p, cms width/depth, seed...). The guard the name-only check
+    couldn't provide: a p=12-built warehouse updated with p=14 must be
+    refused here, not explode in a stage-3 executor merge."""
+    return {s.name: hashlib.sha256(s.factory().to_bytes()).hexdigest()[:16]
+            for s in specs}
+
+
 def rollup_versions(spark: SparkSession, state_dir: str) -> list[tuple[int, dict]]:
     """Committed (version, manifest) pairs, ascending. A `version=k`
-    directory without a manifest.json is an aborted write — skipped."""
+    directory with NO manifest.json is an aborted write — skipped; a
+    manifest that exists but fails to read/parse raises (treating
+    corruption as 'aborted' would silently serve stale state and then
+    double-merge on the next update)."""
     fs, jpath = _hadoop_fs(spark, state_dir)
     if not fs.exists(jpath):
         return []
@@ -75,11 +116,11 @@ def rollup_versions(spark: SparkSession, state_dir: str) -> list[tuple[int, dict
             version = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        try:
-            manifest = json.loads(_read_text(
-                spark, _manifest_path(state_dir, version)))
-        except Exception:
+        mpath = _manifest_path(state_dir, version)
+        mfs, mjpath = _hadoop_fs(spark, mpath)
+        if not mfs.exists(mjpath):
             continue  # uncommitted / aborted version
+        manifest = json.loads(_read_text(spark, mpath))  # corrupt => raise
         out.append((version, manifest))
     return sorted(out)
 
@@ -104,23 +145,28 @@ def rollup_update(spark: SparkSession, input_path: str, state_dir: str,
 
     Returns stats: {"version", "new_files", "total_files", "groups",
     "noop"}. Raises UsageError when the stored state was built with a
-    different spec/group configuration (merging incompatible sketch
-    sets would silently corrupt the warehouse)."""
+    different spec/group configuration — including same-named specs
+    with different parameters (zero-state signatures) — since merging
+    incompatible sketch sets would corrupt the warehouse."""
     spec_names = sorted(s.name for s in specs)
+    spec_sig = _spec_signature(specs)
     latest = _latest(spark, state_dir)
     if latest is not None:
         _, manifest = latest
+        stored_sig = manifest.get("spec_signatures", {})
         if manifest["spec_names"] != spec_names or \
-                manifest["group_cols"] != list(group_cols):
+                manifest["group_cols"] != list(group_cols) or \
+                stored_sig != spec_sig:
             raise UsageError(
                 "rollup state config mismatch: stored "
-                f"{manifest['spec_names']}/{manifest['group_cols']} vs "
-                f"requested {spec_names}/{list(group_cols)}")
+                f"{manifest['spec_names']}/{manifest['group_cols']}"
+                f"/{stored_sig} vs requested "
+                f"{spec_names}/{list(group_cols)}/{spec_sig}")
         done = set(manifest["files"])
     else:
         done = set()
 
-    paths = parquet_file_list(input_path)
+    paths = [_canon_path(p) for p in parquet_file_list(input_path)]
     new = [p for p in paths if p not in done]
     if not new:
         version = latest[0] if latest else 0
@@ -144,7 +190,11 @@ def rollup_update(spark: SparkSession, input_path: str, state_dir: str,
 
     version = (latest[0] + 1) if latest else 1
     out = merged.select(*group_cols, "sketch_name", "rows_seen", "sketch")
-    out.write.mode("errorifexists").parquet(_blobs_path(state_dir, version))
+    # "overwrite", not "errorifexists": this version number can only
+    # collide with an ABORTED previous attempt (a committed one would
+    # have advanced _latest), and retrying over its half-written blobs
+    # is exactly the recovery path the manifest-last protocol promises
+    out.write.mode("overwrite").parquet(_blobs_path(state_dir, version))
     # count the PUBLISHED parquet, not `out` — re-counting the plan
     # would recompute the merge tree twice over
     n_rows = spark.read.parquet(_blobs_path(state_dir, version)).count()
@@ -154,6 +204,7 @@ def rollup_update(spark: SparkSession, input_path: str, state_dir: str,
         "files": sorted(done | set(new)),
         "new_files": len(new),
         "spec_names": spec_names,
+        "spec_signatures": spec_sig,
         "group_cols": list(group_cols),
         "n_blob_rows": int(n_rows),
         "updated_unix": time.time(),
@@ -169,9 +220,45 @@ def rollup_update(spark: SparkSession, input_path: str, state_dir: str,
             "noop": False}
 
 
+def rollup_prune(spark: SparkSession, state_dir: str, keep: int = 2) -> dict:
+    """Delete all but the newest `keep` committed versions (plus every
+    aborted manifest-less directory older than the newest committed one)
+    — the retention lever that keeps state-dir size O(keep · blobs)
+    under daily updates instead of O(versions · blobs)."""
+    if keep < 1:
+        raise UsageError("keep must be >= 1")
+    versions = rollup_versions(spark, state_dir)
+    if not versions:
+        return {"deleted": [], "kept": []}
+    keep_set = {v for v, _ in versions[-keep:]}
+    newest = versions[-1][0]
+    fs, jpath = _hadoop_fs(spark, state_dir)
+    deleted = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith("version="):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        # aborted dirs NEWER than the committed tip are a retry in
+        # flight — never delete those out from under a live update
+        if v in keep_set or v > newest:
+            continue
+        fs.delete(status.getPath(), True)
+        deleted.append(v)
+    return {"deleted": sorted(deleted), "kept": sorted(keep_set)}
+
+
 def _decode_map(sketch_name: str, fn_name: str, args: tuple, out_ddl: str):
     """mapInPandas factory: decode each stored blob, call a query method,
-    emit one row per (group, arg)."""
+    emit one row per (group, arg). Empty sketches (a group whose value
+    column was entirely NULL) yield NULL estimates instead of poisoning
+    the whole query — the SQL-NULL rendering of the reference's
+    empty-bin NaN rule (/root/reference/ddsketch.cc:520-557); NaN
+    itself can't round-trip the pandas→Arrow hop, which treats NaN as
+    the null sentinel."""
     import pandas as pd
 
     def run(batches):
@@ -179,30 +266,49 @@ def _decode_map(sketch_name: str, fn_name: str, args: tuple, out_ddl: str):
             rows = []
             for _, row in pdf.iterrows():
                 sk = sketch_from_bytes(bytes(row["sketch"]))
+                fn = getattr(sk, fn_name, None)
+                if fn is None:
+                    raise UsageError(
+                        f"sketch {sketch_name!r} ({type(sk).__name__}) "
+                        f"does not support {fn_name!r}")
                 base = [row[c] for c in pdf.columns
                         if c not in ("sketch", "sketch_name", "rows_seen")]
                 if args:
+                    empty = getattr(sk, "n", 0) == 0
                     for a in args:
                         rows.append(base + [float(a),
-                                            float(getattr(sk, fn_name)(a)),
-                                            int(sk.n)])
+                                            np.nan if empty else float(fn(a)),
+                                            int(getattr(sk, "n", 0))])
                 else:
-                    rows.append(base + [float(getattr(sk, fn_name)()),
-                                        int(row["rows_seen"])])
+                    rows.append(base + [float(fn()), int(row["rows_seen"])])
             cols = [c.split(" ")[0] for c in out_ddl.split(", ")]
             yield pd.DataFrame(rows, columns=cols)
 
     return run
 
 
+def _grouped_state(spark: SparkSession, state_dir: str, sketch_name: str):
+    """(filtered blob table, group_cols from the committed manifest)."""
+    latest = _latest(spark, state_dir)
+    if latest is None:
+        raise UsageError(f"no committed rollup state at {state_dir!r}")
+    stored = latest[1]["spec_names"]
+    if sketch_name not in stored:
+        raise UsageError(
+            f"no {sketch_name!r} blobs in this state (stored: {stored})")
+    group_cols = tuple(latest[1]["group_cols"])
+    st = (spark.read.parquet(_blobs_path(state_dir, latest[0]))
+          .where(F.col("sketch_name") == sketch_name))
+    return st, group_cols
+
+
 def rollup_quantiles(spark: SparkSession, state_dir: str, sketch_name: str,
-                     qs: list[float],
-                     group_cols: tuple[str, ...] = ()) -> DataFrame:
+                     qs: list[float]) -> DataFrame:
     """Quantile estimates straight from the stored blobs (DDSketch, KLL,
     t-digest, REQ, moment — anything with `.quantile(q)`): one
-    mapInPandas over |groups| rows, zero input-data re-scan."""
-    st = rollup_state(spark, state_dir).where(
-        F.col("sketch_name") == sketch_name)
+    mapInPandas over |groups| rows, zero input-data re-scan. Grouping
+    columns are read from the committed manifest."""
+    st, group_cols = _grouped_state(spark, state_dir, sketch_name)
     gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
                    for c in group_cols)
     ddl = f"{gddl}q double, estimate double, n long"
@@ -211,11 +317,11 @@ def rollup_quantiles(spark: SparkSession, state_dir: str, sketch_name: str,
             .orderBy(*group_cols, "q"))
 
 
-def rollup_cardinality(spark: SparkSession, state_dir: str, sketch_name: str,
-                       group_cols: tuple[str, ...] = ()) -> DataFrame:
-    """Distinct-count estimates from stored HLL/theta blobs."""
-    st = rollup_state(spark, state_dir).where(
-        F.col("sketch_name") == sketch_name)
+def rollup_cardinality(spark: SparkSession, state_dir: str,
+                       sketch_name: str) -> DataFrame:
+    """Distinct-count estimates from stored HLL/theta blobs; grouping
+    columns are read from the committed manifest."""
+    st, group_cols = _grouped_state(spark, state_dir, sketch_name)
     gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
                    for c in group_cols)
     ddl = f"{gddl}estimate double, rows_seen long"

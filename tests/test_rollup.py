@@ -109,15 +109,14 @@ def test_query_from_blobs_matches_direct(spark, seq_dir, tmp_path):
         build_sketches_from_files(spark, seq_dir, _specs(),
                                   group_cols=("source",), salt_buckets=4),
         group_cols=("source",))
-    got_q = R.rollup_quantiles(spark, state, "dds", [0.5, 0.95, 0.99],
-                               group_cols=("source",)).collect()
+    got_q = R.rollup_quantiles(spark, state, "dds",
+                               [0.5, 0.95, 0.99]).collect()
     assert len(got_q) == 3 * len({k[0] for k in direct})
     for row in got_q:
         sk = direct[(row["source"], "dds")]
         assert row["estimate"] == sk.quantile(row["q"])
         assert row["n"] == sk.n
-    got_c = R.rollup_cardinality(spark, state, "hll",
-                                 group_cols=("source",)).collect()
+    got_c = R.rollup_cardinality(spark, state, "hll").collect()
     for row in got_c:
         assert row["estimate"] == direct[(row["source"], "hll")].cardinality()
 
@@ -159,8 +158,7 @@ def test_rollup_cli_roundtrip(spark, seq_dir, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["version"] == 1 and not stats["noop"]
     rc = rollup_sketches.main([
-        "query", "--state", state, "--quantiles", "0.5,0.99",
-        "--group-cols", "source"])
+        "query", "--state", state, "--quantiles", "0.5,0.99"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] and all(r["estimate"] > 0 for r in out["rows"])
@@ -178,3 +176,156 @@ def test_query_without_state_errors(spark, tmp_path, capsys):
         "query", "--state", str(tmp_path / "nope")])
     assert rc == 1
     assert "error" in json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_aborted_version_retry_recovers(spark, seq_dir, tmp_path):
+    """The wedge the review found: a killed update leaves
+    version=k/blobs without a manifest; the RETRY must reuse that
+    version number and overwrite the half-written blobs, not fail on
+    errorifexists forever."""
+    import os
+    state = str(tmp_path / "state")
+    files = parquet_file_list(seq_dir)
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for f in files[:4]:
+        shutil.copy(f, half)
+    R.rollup_update(spark, half, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+    # simulate the crash window: version=2 blobs written, no manifest
+    os.makedirs(os.path.join(state, "version=2", "blobs"))
+    with open(os.path.join(state, "version=2", "blobs", "junk.parquet"),
+              "wb") as fh:
+        fh.write(b"not parquet")
+    for f in files[4:]:
+        shutil.copy(f, half)
+    s2 = R.rollup_update(spark, half, state, _specs(),
+                         group_cols=("source",), salt_buckets=4)
+    assert s2["version"] == 2 and s2["new_files"] == 4
+    direct = collect_sketches(
+        build_sketches_from_files(spark, half, _specs(),
+                                  group_cols=("source",), salt_buckets=4),
+        group_cols=("source",))
+    assert {k: v for k, v in _blob_map(spark, state).items()} == \
+        {k: v.to_bytes() for k, v in direct.items()}
+
+
+def test_spec_parameter_mismatch_refused(spark, seq_dir, tmp_path):
+    """Same spec NAMES but different parameters (hll p=12 vs p=14) must
+    be refused via the zero-state signature, not explode in an executor
+    merge."""
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, seq_dir, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+    other = [
+        SketchSpec("dds", lambda: DDSketch(alpha=0.01, bin_limit=1 << 22),
+                   scalar_extractor("n_tok")),
+        SketchSpec("hll", lambda: HyperLogLog(p=14),   # p differs
+                   array_extractor("tokens")),
+    ]
+    with pytest.raises(UsageError, match="config mismatch"):
+        R.rollup_update(spark, seq_dir, state, other,
+                        group_cols=("source",), salt_buckets=4)
+
+
+def test_corrupted_committed_manifest_raises(spark, seq_dir, tmp_path):
+    """A manifest that EXISTS but doesn't parse is corruption of a
+    committed version — readers must fail loudly, not silently serve
+    the previous version (which would double-merge on the next
+    update)."""
+    import os
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, seq_dir, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+    with open(os.path.join(state, "version=1", "manifest.json"), "w") as fh:
+        fh.write("{truncated")
+    with pytest.raises(json.JSONDecodeError):
+        R.rollup_versions(spark, state)
+
+
+def test_path_spelling_does_not_reingest(spark, seq_dir, tmp_path):
+    """File identity is the canonical path: reaching the same input via
+    a symlinked spelling must be a no-op, not a silent double-merge."""
+    import os
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, seq_dir, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+    alias = str(tmp_path / "alias")
+    os.symlink(seq_dir, alias)
+    s2 = R.rollup_update(spark, alias, state, _specs(),
+                         group_cols=("source",), salt_buckets=4)
+    assert s2["noop"]
+
+
+def test_prune_keeps_newest_and_inflight(spark, seq_dir, tmp_path):
+    import os
+    state = str(tmp_path / "state")
+    files = parquet_file_list(seq_dir)
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for i, f in enumerate(files):
+        shutil.copy(f, half)
+        if i % 2 == 1:
+            R.rollup_update(spark, half, state, _specs(),
+                            group_cols=("source",), salt_buckets=4)
+    assert [v for v, _ in R.rollup_versions(spark, state)] == [1, 2, 3, 4]
+    # an in-flight (aborted, NEWER than tip) attempt must survive prune
+    os.makedirs(os.path.join(state, "version=5", "blobs"))
+    got = R.rollup_prune(spark, state, keep=2)
+    assert got == {"deleted": [1, 2], "kept": [3, 4]}
+    assert [v for v, _ in R.rollup_versions(spark, state)] == [3, 4]
+    assert os.path.isdir(os.path.join(state, "version=5"))
+    # queries still answer from the kept tip
+    assert R.rollup_quantiles(spark, state, "dds", [0.5]).count() > 0
+
+
+def test_empty_sketch_yields_null_not_crash(spark, tmp_path):
+    """A group whose value column is entirely NULL stores an n=0 sketch;
+    quantile queries must emit SQL NULL for it and real estimates for
+    the rest (the Arrow rendering of the reference's empty-bin NaN
+    rule), not die in the worker."""
+    import os
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [("a", 10, [1, 2]), ("a", 20, [3]), ("b", None, [4])],
+        "source string, n_tok int, tokens array<int>")
+    df.repartition(1).write.parquet(src)
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, src, state, _specs(),
+                    group_cols=("source",), salt_buckets=2)
+    rows = {r["source"]: r["estimate"]
+            for r in R.rollup_quantiles(spark, state, "dds", [0.5]).collect()}
+    assert rows["a"] > 0 and rows["b"] is None
+
+
+def test_unsupported_query_method_is_clean_error(spark, seq_dir, tmp_path, capsys):
+    """Asking an HLL blob for quantiles surfaces the typed UsageError
+    through the CLI's JSON error contract, not an AttributeError
+    traceback."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, seq_dir, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+    rc = rollup_sketches.main(["query", "--state", state, "--sketch", "hll"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "does not support" in err["error"]
+
+
+def test_absent_sketch_name_is_clean_error(spark, seq_dir, tmp_path, capsys):
+    """Querying a sketch name the state never stored is a typed error
+    naming what IS stored (the manifest knows), not a silent empty
+    result set."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, seq_dir, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+    rc = rollup_sketches.main(
+        ["cardinality", "--state", state, "--sketch", "theta"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "no 'theta' blobs" in err["error"]
