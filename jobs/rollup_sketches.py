@@ -14,7 +14,9 @@ Run via spark-submit (north_rule):
 
 `update` sketches ONLY the parquet files not yet in the committed
 state's manifest and merges them with the stored per-group blobs
-(associative merge ⇒ identical to a full rebuild); `query` and
+(associative merge ⇒ identical to a full rebuild); `stream` does the
+same continuously (one availableNow Structured-Streaming pass per
+invocation, micro-batch commits fenced by batch id); `query` and
 `cardinality` answer from the stored blobs with zero input re-scan.
 Each subcommand prints one JSON line. Errors print a {"error": ...}
 JSON line and exit 1 (same contract as jobs/optimize_table.py).
@@ -60,6 +62,21 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--salt-buckets", type=int, default=8)
     up.add_argument("--files-per-task", type=int, default=4)
 
+    st = sub.add_parser("stream", help="advance the rollup continuously "
+                        "(availableNow streaming pass over a drop dir)")
+    st.add_argument("--input", required=True)
+    st.add_argument("--state", required=True)
+    st.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint dir (the discovery ledger)")
+    st.add_argument("--group-cols", default="",
+                    help="comma-separated grouping columns (may be empty)")
+    st.add_argument("--value-col", default="n_tok")
+    st.add_argument("--tokens-col", default=None)
+    st.add_argument("--alpha", type=float, default=0.01)
+    st.add_argument("--hll-p", type=int, default=14)
+    st.add_argument("--salt-buckets", type=int, default=8)
+    st.add_argument("--max-files-per-trigger", type=int, default=None)
+
     q = sub.add_parser("query", help="quantiles from the stored blobs")
     q.add_argument("--state", required=True)
     q.add_argument("--sketch", default="dds")
@@ -91,6 +108,15 @@ def main(argv: list[str] | None = None) -> int:
                 _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p),
                 group_cols=gcols, salt_buckets=args.salt_buckets,
                 files_per_task=args.files_per_task)
+            print(json.dumps(stats, sort_keys=True))
+        elif args.cmd == "stream":
+            gcols = tuple(c for c in args.group_cols.split(",") if c)
+            stats = R.rollup_stream_update(
+                spark, args.input, args.state,
+                _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p),
+                group_cols=gcols, checkpoint_dir=args.checkpoint,
+                salt_buckets=args.salt_buckets,
+                max_files_per_trigger=args.max_files_per_trigger)
             print(json.dumps(stats, sort_keys=True))
         elif args.cmd == "query":
             qs = [float(x) for x in args.quantiles.split(",") if x]

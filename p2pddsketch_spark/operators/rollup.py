@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from p2pddsketch_spark.errors import UsageError
-from p2pddsketch_spark.operators.harness import (SketchSpec,
+from p2pddsketch_spark.operators.harness import (SketchSpec, build_partials,
                                                  build_partials_from_files,
                                                  merge_partials,
                                                  parquet_file_list,
@@ -64,8 +64,9 @@ from p2pddsketch_spark.operators.harness import (SketchSpec,
 from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
                                                      _write_text)
 
-__all__ = ["rollup_update", "rollup_state", "rollup_versions",
-           "rollup_quantiles", "rollup_cardinality", "rollup_prune"]
+__all__ = ["rollup_update", "rollup_stream_update", "rollup_state",
+           "rollup_versions", "rollup_quantiles", "rollup_cardinality",
+           "rollup_prune"]
 
 _PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
                  "build_secs", "sketch"]
@@ -138,43 +139,34 @@ def rollup_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(_blobs_path(state_dir, latest[0]))
 
 
-def rollup_update(spark: SparkSession, input_path: str, state_dir: str,
-                  specs: list[SketchSpec], group_cols: tuple[str, ...] = (),
-                  salt_buckets: int = 8, files_per_task: int = 4) -> dict:
-    """Advance the rollup by the input files not yet in the state.
+def _check_config(latest: tuple[int, dict] | None, spec_names: list[str],
+                  spec_sig: dict, group_cols: tuple[str, ...]) -> set[str]:
+    """Refuse to advance a state built with a different configuration
+    (names, group cols, OR same-named specs with different parameters);
+    returns the stored file-lineage set."""
+    if latest is None:
+        return set()
+    _, manifest = latest
+    stored_sig = manifest.get("spec_signatures", {})
+    if manifest["spec_names"] != spec_names or \
+            manifest["group_cols"] != list(group_cols) or \
+            stored_sig != spec_sig:
+        raise UsageError(
+            "rollup state config mismatch: stored "
+            f"{manifest['spec_names']}/{manifest['group_cols']}"
+            f"/{stored_sig} vs requested "
+            f"{spec_names}/{list(group_cols)}/{spec_sig}")
+    return set(manifest["files"])
 
-    Returns stats: {"version", "new_files", "total_files", "groups",
-    "noop"}. Raises UsageError when the stored state was built with a
-    different spec/group configuration — including same-named specs
-    with different parameters (zero-state signatures) — since merging
-    incompatible sketch sets would corrupt the warehouse."""
+
+def _merge_and_commit(spark: SparkSession, state_dir: str, partials: DataFrame,
+                      specs: list[SketchSpec], group_cols: tuple[str, ...],
+                      latest: tuple[int, dict] | None, done: set[str],
+                      new: list[str], extra: dict | None = None) -> dict:
+    """Shared commit core for batch and streaming maintenance: fold the
+    stored blobs into the new partials' merge tree, publish version k+1
+    blobs, then commit with the manifest-last write."""
     spec_names = sorted(s.name for s in specs)
-    spec_sig = _spec_signature(specs)
-    latest = _latest(spark, state_dir)
-    if latest is not None:
-        _, manifest = latest
-        stored_sig = manifest.get("spec_signatures", {})
-        if manifest["spec_names"] != spec_names or \
-                manifest["group_cols"] != list(group_cols) or \
-                stored_sig != spec_sig:
-            raise UsageError(
-                "rollup state config mismatch: stored "
-                f"{manifest['spec_names']}/{manifest['group_cols']}"
-                f"/{stored_sig} vs requested "
-                f"{spec_names}/{list(group_cols)}/{spec_sig}")
-        done = set(manifest["files"])
-    else:
-        done = set()
-
-    paths = [_canon_path(p) for p in parquet_file_list(input_path)]
-    new = [p for p in paths if p not in done]
-    if not new:
-        version = latest[0] if latest else 0
-        return {"version": version, "new_files": 0,
-                "total_files": len(done), "groups": None, "noop": True}
-
-    partials = build_partials_from_files(
-        spark, new, specs, group_cols, salt_buckets, files_per_task)
     if latest is not None:
         # stored blobs re-enter the merge tree as one extra "partition"
         # of partials (salt 0, partition_id −2 marks from-state rows in
@@ -204,11 +196,12 @@ def rollup_update(spark: SparkSession, input_path: str, state_dir: str,
         "files": sorted(done | set(new)),
         "new_files": len(new),
         "spec_names": spec_names,
-        "spec_signatures": spec_sig,
+        "spec_signatures": _spec_signature(specs),
         "group_cols": list(group_cols),
         "n_blob_rows": int(n_rows),
         "updated_unix": time.time(),
         "generated_by": "p2pddsketch_spark.operators.rollup",
+        **(extra or {}),
     }
     # the manifest write IS the commit point — readers ignore
     # manifest-less versions, so a crash before this line leaves the
@@ -218,6 +211,157 @@ def rollup_update(spark: SparkSession, input_path: str, state_dir: str,
     return {"version": version, "new_files": len(new),
             "total_files": len(done) + len(new), "groups": int(n_groups),
             "noop": False}
+
+
+def rollup_update(spark: SparkSession, input_path: str, state_dir: str,
+                  specs: list[SketchSpec], group_cols: tuple[str, ...] = (),
+                  salt_buckets: int = 8, files_per_task: int = 4) -> dict:
+    """Advance the rollup by the input files not yet in the state.
+
+    Returns stats: {"version", "new_files", "total_files", "groups",
+    "noop"}. Raises UsageError when the stored state was built with a
+    different spec/group configuration — including same-named specs
+    with different parameters (zero-state signatures) — since merging
+    incompatible sketch sets would corrupt the warehouse."""
+    latest = _latest(spark, state_dir)
+    done = _check_config(latest, sorted(s.name for s in specs),
+                         _spec_signature(specs), group_cols)
+
+    paths = [_canon_path(p) for p in parquet_file_list(input_path)]
+    new = [p for p in paths if p not in done]
+    if not new:
+        version = latest[0] if latest else 0
+        return {"version": version, "new_files": 0,
+                "total_files": len(done), "groups": None, "noop": True}
+
+    partials = build_partials_from_files(
+        spark, new, specs, group_cols, salt_buckets, files_per_task)
+    return _merge_and_commit(spark, state_dir, partials, specs, group_cols,
+                             latest, done, new)
+
+
+def _norm_uri(p: str) -> str:
+    """Map a Spark file URI (`file:/x`, `file:///x`) onto the manifest's
+    canonical local-path identity; non-file URIs pass through."""
+    if p.startswith("file:"):
+        tail = p[5:]
+        while tail.startswith("//"):
+            tail = tail[1:]
+        return _canon_path(tail)
+    return _canon_path(p)
+
+
+def _source_log_files(spark: SparkSession, checkpoint_dir: str,
+                      batch_id: int) -> list[str] | None:
+    """The files of micro-batch `batch_id`, read from the file source's
+    own metadata log (`sources/0/<id>`, written at DISCOVERY time —
+    zero extra input I/O). Compacted log files (`<id>.compact`) carry
+    the cumulative history, so entries are filtered by their recorded
+    batchId. None when the log isn't where a single-file-source query
+    puts it (non-file source) — callers fall back to scanning."""
+    base = posixpath.join(checkpoint_dir, "sources", "0")
+    for name in (str(batch_id), f"{batch_id}.compact"):
+        path = posixpath.join(base, name)
+        fs, jpath = _hadoop_fs(spark, path)
+        if not fs.exists(jpath):
+            continue
+        out = set()
+        for line in _read_text(spark, path).splitlines():
+            line = line.strip()
+            if not line or line[0] == "v":   # version header
+                continue
+            entry = json.loads(line)
+            if entry.get("batchId", batch_id) == batch_id:
+                out.add(_norm_uri(entry["path"]))
+        return sorted(out)
+    return None
+
+
+def rollup_stream_update(spark: SparkSession, input_dir: str, state_dir: str,
+                         specs: list[SketchSpec],
+                         group_cols: tuple[str, ...] = (),
+                         checkpoint_dir: str | None = None,
+                         salt_buckets: int = 8,
+                         max_files_per_trigger: int | None = None) -> dict:
+    """Continuous warehouse maintenance: one `availableNow` Structured
+    Streaming pass over a parquet drop directory. Each micro-batch
+    advances the SAME versioned state `rollup_update` maintains, through
+    the same manifest-last commit — so a query job never sees a
+    half-published version no matter which maintenance mode wrote it.
+
+    Exactly-once across the two ledgers involved:
+      * the file-source CHECKPOINT is the discovery ledger (which files
+        each batch contains);
+      * the state MANIFEST records `(stream_checkpoint, stream_batch_id)`
+        at every commit, so a micro-batch replayed after a crash between
+        manifest commit and checkpoint commit is fenced (skipped), never
+        double-merged;
+      * batch-file lineage still lands in the manifest `files` list, so
+        a later batch-mode `rollup_update` over the same directory is a
+        no-op (stream → batch interop is seamless). The REVERSE hazard —
+        pointing a FRESH checkpoint at a state that already ingested
+        some of these files, which would re-emit and double-merge them —
+        is detected per batch and refused loudly.
+
+    The reference simulator has no streaming ingest at all (its event
+    loop re-reads the full dataset per run, /root/reference/main.cpp:
+    214-396); this is the north_rule's "continuously maintained"
+    warehouse leg on Spark's own micro-batch engine."""
+    if checkpoint_dir is None:
+        raise UsageError("checkpoint_dir is required (it is the "
+                         "exactly-once discovery ledger)")
+    spec_names = sorted(s.name for s in specs)
+    spec_sig = _spec_signature(specs)
+    # static probe for the schema the file source requires
+    schema = spark.read.parquet(input_dir).schema
+
+    stats = {"batches": 0, "skipped": 0, "new_files": 0}
+
+    def advance(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _latest(spark, state_dir)
+        done = _check_config(latest, spec_names, spec_sig, group_cols)
+        if latest is not None:
+            m = latest[1]
+            if (m.get("stream_checkpoint") == checkpoint_dir
+                    and m.get("stream_batch_id") is not None
+                    and int(batch_id) <= m["stream_batch_id"]):
+                stats["skipped"] += 1  # crash-replayed batch: fenced
+                return
+        files = _source_log_files(spark, checkpoint_dir, int(batch_id))
+        if files is None:  # non-file source: pay one scan for lineage
+            files = sorted({_norm_uri(r[0]) for r in batch_df
+                            .select(F.input_file_name()).distinct().collect()})
+        overlap = [p for p in files if p in done]
+        if overlap:
+            raise UsageError(
+                "streaming batch re-emits files already in the rollup "
+                f"manifest (e.g. {overlap[0]!r}): this checkpoint's "
+                "discovery ledger disagrees with the state lineage — "
+                "double-merging would corrupt the warehouse. Use the "
+                "checkpoint that built this state, or a fresh state dir.")
+        partials = build_partials(batch_df, specs, group_cols, salt_buckets)
+        got = _merge_and_commit(
+            spark, state_dir, partials, specs, group_cols, latest, done,
+            files, extra={"stream_checkpoint": checkpoint_dir,
+                          "stream_batch_id": int(batch_id)})
+        stats["batches"] += 1
+        stats["new_files"] += got["new_files"]
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    q = (reader.parquet(input_dir)
+         .writeStream.foreachBatch(advance)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    latest = _latest(spark, state_dir)
+    return {"version": latest[0] if latest else 0,
+            "batches": stats["batches"],
+            "batches_fenced": stats["skipped"],
+            "new_files": stats["new_files"],
+            "total_files": len(latest[1]["files"]) if latest else 0,
+            "noop": stats["batches"] == 0}
 
 
 def rollup_prune(spark: SparkSession, state_dir: str, keep: int = 2) -> dict:

@@ -329,3 +329,79 @@ def test_absent_sketch_name_is_clean_error(spark, seq_dir, tmp_path, capsys):
     assert rc == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "no 'theta' blobs" in err["error"]
+
+
+def test_stream_update_matches_one_shot(spark, seq_dir, tmp_path):
+    """availableNow streaming maintenance over a drop dir: two waves,
+    forced multi-batch passes (maxFilesPerTrigger=2), final blobs
+    byte-identical to a one-shot build; manifest lineage makes a later
+    batch rollup_update a no-op (stream -> batch interop); a pass with
+    nothing new is a no-op."""
+    import os
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    files = parquet_file_list(seq_dir)
+    for f in files[:4]:
+        shutil.copy(f, drop)
+    s1 = R.rollup_stream_update(spark, drop, state, _specs(),
+                                group_cols=("source",), checkpoint_dir=ck,
+                                salt_buckets=4, max_files_per_trigger=2)
+    assert s1["batches"] == 2 and s1["new_files"] == 4 and not s1["noop"]
+    for f in files[4:]:
+        shutil.copy(f, drop)
+    s2 = R.rollup_stream_update(spark, drop, state, _specs(),
+                                group_cols=("source",), checkpoint_dir=ck,
+                                salt_buckets=4, max_files_per_trigger=2)
+    assert s2["batches"] == 2 and s2["total_files"] == 8
+
+    direct = collect_sketches(
+        build_sketches_from_files(spark, drop, _specs(),
+                                  group_cols=("source",), salt_buckets=4),
+        group_cols=("source",))
+    assert _blob_map(spark, state) == \
+        {k: v.to_bytes() for k, v in direct.items()}
+
+    s3 = R.rollup_update(spark, drop, state, _specs(),
+                         group_cols=("source",), salt_buckets=4)
+    assert s3["noop"]
+    s4 = R.rollup_stream_update(spark, drop, state, _specs(),
+                                group_cols=("source",), checkpoint_dir=ck,
+                                salt_buckets=4)
+    assert s4["noop"] and s4["batches"] == 0
+
+
+def test_stream_fresh_checkpoint_over_batch_state_refused(
+        spark, seq_dir, tmp_path):
+    """A FRESH checkpoint pointed at a state that already ingested these
+    files would re-emit and double-merge every row — the overlap guard
+    must refuse loudly."""
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, seq_dir, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+    with pytest.raises(Exception, match="already in the rollup manifest"):
+        R.rollup_stream_update(spark, seq_dir, state, _specs(),
+                               group_cols=("source",),
+                               checkpoint_dir=str(tmp_path / "ck2"),
+                               salt_buckets=4)
+
+
+def test_stream_cli_roundtrip(spark, seq_dir, tmp_path, capsys):
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "stream", "--input", seq_dir, "--state", state,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--group-cols", "source", "--value-col", "n_tok",
+        "--tokens-col", "tokens", "--hll-p", "12", "--salt-buckets", "4"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["version"] >= 1 and not stats["noop"]
+    rc = rollup_sketches.main([
+        "query", "--state", state, "--quantiles", "0.5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] and all(r["estimate"] > 0 for r in out["rows"])
