@@ -187,10 +187,18 @@ def _merge_and_commit(spark: SparkSession, state_dir: str, partials: DataFrame,
     # have advanced _latest), and retrying over its half-written blobs
     # is exactly the recovery path the manifest-last protocol promises
     out.write.mode("overwrite").parquet(_blobs_path(state_dir, version))
-    # count the PUBLISHED parquet, not `out` — re-counting the plan
-    # would recompute the merge tree twice over
-    n_rows = spark.read.parquet(_blobs_path(state_dir, version)).count()
+    # aggregate the PUBLISHED parquet, not `out` — re-counting the plan
+    # would recompute the merge tree twice over; the blob table is tiny
+    # (|groups| × |specs| rows) so these are metadata-cost jobs
+    published = spark.read.parquet(_blobs_path(state_dir, version))
+    n_rows = published.count()
     n_groups = n_rows // max(len(specs), 1)
+    # the north rule's metrics leg: cumulative rows folded into each
+    # sketch family, recorded per version — deltas between manifests
+    # give per-update ingest volume with no extra input scan
+    rows_seen = {r["sketch_name"]: int(r["total"]) for r in
+                 (published.groupBy("sketch_name")
+                  .agg(F.sum("rows_seen").alias("total")).collect())}
     manifest = {
         "version": version,
         "files": sorted(done | set(new)),
@@ -199,6 +207,7 @@ def _merge_and_commit(spark: SparkSession, state_dir: str, partials: DataFrame,
         "spec_signatures": _spec_signature(specs),
         "group_cols": list(group_cols),
         "n_blob_rows": int(n_rows),
+        "rows_seen_total": rows_seen,
         "updated_unix": time.time(),
         "generated_by": "p2pddsketch_spark.operators.rollup",
         **(extra or {}),

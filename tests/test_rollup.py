@@ -90,6 +90,12 @@ def test_incremental_equals_one_shot_byte_identical(spark, seq_dir, tmp_path):
                          group_cols=("source",), salt_buckets=4)
     assert s3["noop"] and s3["version"] == 2
 
+    # metrics leg: cumulative rows_seen recorded per version; the
+    # version-to-version delta is the wave-2 ingest volume
+    vers = dict(R.rollup_versions(spark, state))
+    m1, m2 = vers[1]["rows_seen_total"], vers[2]["rows_seen_total"]
+    assert set(m2) == {"dds", "hll"} and m2["dds"] > m1["dds"] > 0
+
     # byte identity vs a one-shot build over everything
     direct = collect_sketches(
         build_sketches_from_files(spark, half, _specs(),
