@@ -32,17 +32,58 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int):
+def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
+           names: str = "dds,hll"):
+    """Build the sketch-family specs for `--sketches`. Scalar families
+    ingest `value_col`; token families ingest the `tokens_col` arrays
+    (and require it). Every family is mergeable, so the warehouse
+    stores whichever mix the pipeline wants in ONE pass."""
+    from p2pddsketch_spark.errors import UsageError
     from p2pddsketch_spark.operators.harness import (SketchSpec,
                                                      array_extractor,
                                                      scalar_extractor)
+    from p2pddsketch_spark.sketches.bloom import BloomFilter
+    from p2pddsketch_spark.sketches.cms import CountMinSketch
     from p2pddsketch_spark.sketches.ddsketch import DDSketch
     from p2pddsketch_spark.sketches.hll import HyperLogLog
-    specs = [SketchSpec("dds", lambda: DDSketch(alpha=alpha, bin_limit=1 << 22),
-                        scalar_extractor(value_col))]
-    if tokens_col:
-        specs.append(SketchSpec("hll", lambda: HyperLogLog(p=hll_p),
-                                array_extractor(tokens_col)))
+    from p2pddsketch_spark.sketches.kll import KLLSketch
+    from p2pddsketch_spark.sketches.moments import MomentSketch
+    from p2pddsketch_spark.sketches.req import ReqSketch
+    from p2pddsketch_spark.sketches.tdigest import TDigest
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+    scalar = {
+        "dds": lambda: DDSketch(alpha=alpha, bin_limit=1 << 22),
+        "kll": lambda: KLLSketch(k=256),
+        "tdigest": lambda: TDigest(delta=200.0),
+        "req": lambda: ReqSketch(k=32),
+        "moments": lambda: MomentSketch(),
+    }
+    tokens = {
+        "hll": lambda: HyperLogLog(p=hll_p),
+        "theta": lambda: ThetaSketch(k=4096),
+        "cms": lambda: CountMinSketch(depth=5, width=1 << 16),
+        "bloom": lambda: BloomFilter(m_bits=1 << 21, k=5),
+    }
+    specs = []
+    for n in [x for x in names.split(",") if x]:
+        if n in scalar:
+            specs.append(SketchSpec(n, scalar[n], scalar_extractor(value_col)))
+        elif n in tokens:
+            if not tokens_col:
+                # hll stays opt-in like before: token families without a
+                # tokens column are skipped only for the DEFAULT set,
+                # an explicit request errors
+                if names == "dds,hll":
+                    continue
+                raise UsageError(f"sketch family {n!r} ingests token "
+                                 "arrays: pass --tokens-col")
+            specs.append(SketchSpec(n, tokens[n], array_extractor(tokens_col)))
+        else:
+            raise UsageError(
+                f"unknown sketch family {n!r} (scalar: {sorted(scalar)}; "
+                f"token: {sorted(tokens)})")
+    if not specs:
+        raise UsageError("--sketches selected no families")
     return specs
 
 
@@ -61,6 +102,8 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--hll-p", type=int, default=14)
     up.add_argument("--salt-buckets", type=int, default=8)
     up.add_argument("--files-per-task", type=int, default=4)
+    up.add_argument("--sketches", default="dds,hll",
+                    help="comma-separated sketch families to build")
 
     st = sub.add_parser("stream", help="advance the rollup continuously "
                         "(availableNow streaming pass over a drop dir)")
@@ -76,6 +119,8 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--hll-p", type=int, default=14)
     st.add_argument("--salt-buckets", type=int, default=8)
     st.add_argument("--max-files-per-trigger", type=int, default=None)
+    st.add_argument("--sketches", default="dds,hll",
+                    help="comma-separated sketch families to build")
 
     q = sub.add_parser("query", help="quantiles from the stored blobs")
     q.add_argument("--state", required=True)
@@ -105,7 +150,8 @@ def main(argv: list[str] | None = None) -> int:
             gcols = tuple(c for c in args.group_cols.split(",") if c)
             stats = R.rollup_update(
                 spark, args.input, args.state,
-                _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p),
+                _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p,
+                       names=args.sketches),
                 group_cols=gcols, salt_buckets=args.salt_buckets,
                 files_per_task=args.files_per_task)
             print(json.dumps(stats, sort_keys=True))
@@ -113,7 +159,8 @@ def main(argv: list[str] | None = None) -> int:
             gcols = tuple(c for c in args.group_cols.split(",") if c)
             stats = R.rollup_stream_update(
                 spark, args.input, args.state,
-                _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p),
+                _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p,
+                       names=args.sketches),
                 group_cols=gcols, checkpoint_dir=args.checkpoint,
                 salt_buckets=args.salt_buckets,
                 max_files_per_trigger=args.max_files_per_trigger)

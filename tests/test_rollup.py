@@ -411,3 +411,54 @@ def test_stream_cli_roundtrip(spark, seq_dir, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] and all(r["estimate"] > 0 for r in out["rows"])
+
+
+def test_multi_family_warehouse_cli(spark, seq_dir, tmp_path, capsys):
+    """One update pass stores all nine sketch families; quantile queries
+    answer from any scalar family's blobs and cardinality from any
+    token family's — the north rule's sketch set behind one CLI."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    state = str(tmp_path / "state")
+    fams = "dds,kll,tdigest,req,moments,hll,theta,cms,bloom"
+    rc = rollup_sketches.main([
+        "update", "--input", seq_dir, "--state", state,
+        "--group-cols", "source", "--tokens-col", "tokens",
+        "--sketches", fams, "--salt-buckets", "4"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["version"] == 1
+    names = {r["sketch_name"]
+             for r in R.rollup_state(spark, state).collect()}
+    assert names == set(fams.split(","))
+    for fam in ("kll", "tdigest", "req"):
+        rc = rollup_sketches.main([
+            "query", "--state", state, "--sketch", fam,
+            "--quantiles", "0.5,0.99"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows"] and all(r["estimate"] > 0 for r in out["rows"])
+    rc = rollup_sketches.main(
+        ["cardinality", "--state", state, "--sketch", "theta"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] and all(r["estimate"] > 0 for r in out["rows"])
+
+
+def test_unknown_sketch_family_is_clean_error(spark, seq_dir, tmp_path, capsys):
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    rc = rollup_sketches.main([
+        "update", "--input", seq_dir, "--state", str(tmp_path / "s"),
+        "--sketches", "dds,nope"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "unknown sketch family" in err["error"]
+    rc = rollup_sketches.main([
+        "update", "--input", seq_dir, "--state", str(tmp_path / "s2"),
+        "--sketches", "theta"])  # token family without --tokens-col
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "ingests token" in err["error"]
