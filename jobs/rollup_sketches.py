@@ -16,7 +16,8 @@ Run via spark-submit (north_rule):
 state's manifest and merges them with the stored per-group blobs
 (associative merge ⇒ identical to a full rebuild); `stream` does the
 same continuously (one availableNow Structured-Streaming pass per
-invocation, micro-batch commits fenced by batch id); `query` and
+invocation, replayed micro-batches fenced by manifest file lineage);
+`query` and
 `cardinality` answer from the stored blobs with zero input re-scan.
 Each subcommand prints one JSON line. Errors print a {"error": ...}
 JSON line and exit 1 (same contract as jobs/optimize_table.py).
@@ -33,11 +34,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
-           names: str = "dds,hll"):
+           names: str | None = None):
     """Build the sketch-family specs for `--sketches`. Scalar families
     ingest `value_col`; token families ingest the `tokens_col` arrays
-    (and require it). Every family is mergeable, so the warehouse
-    stores whichever mix the pipeline wants in ONE pass."""
+    (and require it — EXPLICITLY requested token families without a
+    tokens column error; only the implicit default's hll is silently
+    skipped). names=None means the default set (dds, plus hll when a
+    tokens column exists)."""
     from p2pddsketch_spark.errors import UsageError
     from p2pddsketch_spark.operators.harness import (SketchSpec,
                                                      array_extractor,
@@ -64,17 +67,20 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
         "cms": lambda: CountMinSketch(depth=5, width=1 << 16),
         "bloom": lambda: BloomFilter(m_bits=1 << 21, k=5),
     }
-    specs = []
-    for n in [x for x in names.split(",") if x]:
+    explicit = names is not None
+    specs, seen = [], set()
+    for n in [x for x in (names or "dds,hll").split(",") if x]:
+        if n in seen:
+            # two same-named specs would fold together in the merge
+            # tree and silently double every count
+            raise UsageError(f"duplicate sketch family {n!r} in --sketches")
+        seen.add(n)
         if n in scalar:
             specs.append(SketchSpec(n, scalar[n], scalar_extractor(value_col)))
         elif n in tokens:
             if not tokens_col:
-                # hll stays opt-in like before: token families without a
-                # tokens column are skipped only for the DEFAULT set,
-                # an explicit request errors
-                if names == "dds,hll":
-                    continue
+                if not explicit and n == "hll":
+                    continue  # implicit default: hll is opt-in via --tokens-col
                 raise UsageError(f"sketch family {n!r} ingests token "
                                  "arrays: pass --tokens-col")
             specs.append(SketchSpec(n, tokens[n], array_extractor(tokens_col)))
@@ -102,8 +108,9 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--hll-p", type=int, default=14)
     up.add_argument("--salt-buckets", type=int, default=8)
     up.add_argument("--files-per-task", type=int, default=4)
-    up.add_argument("--sketches", default="dds,hll",
-                    help="comma-separated sketch families to build")
+    up.add_argument("--sketches", default=None,
+                    help="comma-separated sketch families to build "
+                    "(default: dds, plus hll when --tokens-col is given)")
 
     st = sub.add_parser("stream", help="advance the rollup continuously "
                         "(availableNow streaming pass over a drop dir)")
@@ -119,8 +126,9 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--hll-p", type=int, default=14)
     st.add_argument("--salt-buckets", type=int, default=8)
     st.add_argument("--max-files-per-trigger", type=int, default=None)
-    st.add_argument("--sketches", default="dds,hll",
-                    help="comma-separated sketch families to build")
+    st.add_argument("--sketches", default=None,
+                    help="comma-separated sketch families to build "
+                    "(default: dds, plus hll when --tokens-col is given)")
 
     q = sub.add_parser("query", help="quantiles from the stored blobs")
     q.add_argument("--state", required=True)

@@ -250,14 +250,20 @@ def rollup_update(spark: SparkSession, input_path: str, state_dir: str,
 
 
 def _norm_uri(p: str) -> str:
-    """Map a Spark file URI (`file:/x`, `file:///x`) onto the manifest's
-    canonical local-path identity; non-file URIs pass through."""
-    if p.startswith("file:"):
-        tail = p[5:]
-        while tail.startswith("//"):
-            tail = tail[1:]
-        return _canon_path(tail)
-    return _canon_path(p)
+    """Map a Spark file URI (`file:/x`, `file:///x`, percent-encoded)
+    onto the manifest's canonical local-path identity — Spark's
+    metadata logs record URIs with %20-style escaping, while batch-mode
+    `parquet_file_list` records plain globbed paths, and the two MUST
+    agree or the anti-join / overlap guard silently break. Non-file
+    URIs (and file URIs with a remote authority) pass through verbatim:
+    both maintenance modes record those in the same spelling."""
+    if not p.startswith("file:"):
+        return _canon_path(p)
+    from urllib.parse import unquote, urlparse
+    u = urlparse(p)
+    if u.netloc not in ("", "localhost"):
+        return p  # remote-host file URI: no local identity to fold to
+    return _canon_path(unquote(u.path))
 
 
 def _source_log_files(spark: SparkSession, checkpoint_dir: str,
@@ -301,16 +307,24 @@ def rollup_stream_update(spark: SparkSession, input_dir: str, state_dir: str,
     Exactly-once across the two ledgers involved:
       * the file-source CHECKPOINT is the discovery ledger (which files
         each batch contains);
-      * the state MANIFEST records `(stream_checkpoint, stream_batch_id)`
-        at every commit, so a micro-batch replayed after a crash between
-        manifest commit and checkpoint commit is fenced (skipped), never
-        double-merged;
-      * batch-file lineage still lands in the manifest `files` list, so
-        a later batch-mode `rollup_update` over the same directory is a
+      * the fence is the manifest FILE LINEAGE itself: a micro-batch
+        whose files are ALL already in the committed manifest is a
+        replay (crash between manifest commit and checkpoint commit,
+        or a reset checkpoint re-emitting history) and is skipped —
+        this stays correct even when batch-mode updates interleave and
+        advance the manifest in between, which a batch-id comparison
+        would not (`stream_checkpoint`/`stream_batch_id` are still
+        recorded per commit, but only as observability metadata);
+      * batch-file lineage lands in the manifest `files` list, so a
+        later batch-mode `rollup_update` over the same directory is a
         no-op (stream → batch interop is seamless). The REVERSE hazard —
-        pointing a FRESH checkpoint at a state that already ingested
-        some of these files, which would re-emit and double-merge them —
-        is detected per batch and refused loudly.
+        a batch MIXING already-ingested files with new ones (a fresh
+        checkpoint pointed at a state built from this directory plus
+        newly landed files), where skipping loses data and merging
+        double-counts — is refused loudly. Corollary: batch → stream
+        migration is pointing a fresh checkpoint at the drop dir while
+        it is quiescent — the first pass fences the whole history and
+        later passes ingest only files that land afterwards.
 
     The reference simulator has no streaming ingest at all (its event
     loop re-reads the full dataset per run, /root/reference/main.cpp:
@@ -321,33 +335,45 @@ def rollup_stream_update(spark: SparkSession, input_dir: str, state_dir: str,
                          "exactly-once discovery ledger)")
     spec_names = sorted(s.name for s in specs)
     spec_sig = _spec_signature(specs)
-    # static probe for the schema the file source requires
-    schema = spark.read.parquet(input_dir).schema
+    # static probe for the schema the file source requires; a drop dir
+    # that doesn't exist yet / has no files yet is a routine cron race,
+    # not an error — the pass is a no-op exactly like zero new batches
+    from pyspark.errors import AnalysisException
+    try:
+        schema = spark.read.parquet(input_dir).schema
+    except AnalysisException:
+        latest = _latest(spark, state_dir)
+        return {"version": latest[0] if latest else 0, "batches": 0,
+                "batches_fenced": 0, "new_files": 0,
+                "total_files": len(latest[1]["files"]) if latest else 0,
+                "noop": True}
 
     stats = {"batches": 0, "skipped": 0, "new_files": 0}
 
     def advance(batch_df: DataFrame, batch_id: int) -> None:
         latest = _latest(spark, state_dir)
         done = _check_config(latest, spec_names, spec_sig, group_cols)
-        if latest is not None:
-            m = latest[1]
-            if (m.get("stream_checkpoint") == checkpoint_dir
-                    and m.get("stream_batch_id") is not None
-                    and int(batch_id) <= m["stream_batch_id"]):
-                stats["skipped"] += 1  # crash-replayed batch: fenced
-                return
         files = _source_log_files(spark, checkpoint_dir, int(batch_id))
         if files is None:  # non-file source: pay one scan for lineage
             files = sorted({_norm_uri(r[0]) for r in batch_df
                             .select(F.input_file_name()).distinct().collect()})
+        if not files or all(p in done for p in files):
+            # every file already committed (or nothing to ingest): a
+            # crash-replayed or checkpoint-reset batch — fenced. The
+            # lineage-subset rule, NOT a batch-id comparison, so an
+            # interleaved batch-mode update (which advances the
+            # manifest without stream keys) can't break the fence.
+            stats["skipped"] += 1
+            return
         overlap = [p for p in files if p in done]
         if overlap:
             raise UsageError(
-                "streaming batch re-emits files already in the rollup "
-                f"manifest (e.g. {overlap[0]!r}): this checkpoint's "
-                "discovery ledger disagrees with the state lineage — "
-                "double-merging would corrupt the warehouse. Use the "
-                "checkpoint that built this state, or a fresh state dir.")
+                "streaming batch mixes files already in the rollup "
+                f"manifest (e.g. {overlap[0]!r}) with new ones: this "
+                "checkpoint's discovery ledger disagrees with the state "
+                "lineage — skipping would lose the new files, merging "
+                "would double-count the old. Use the checkpoint that "
+                "built this state, or a fresh state dir.")
         partials = build_partials(batch_df, specs, group_cols, salt_buckets)
         got = _merge_and_commit(
             spark, state_dir, partials, specs, group_cols, latest, done,

@@ -378,21 +378,6 @@ def test_stream_update_matches_one_shot(spark, seq_dir, tmp_path):
     assert s4["noop"] and s4["batches"] == 0
 
 
-def test_stream_fresh_checkpoint_over_batch_state_refused(
-        spark, seq_dir, tmp_path):
-    """A FRESH checkpoint pointed at a state that already ingested these
-    files would re-emit and double-merge every row — the overlap guard
-    must refuse loudly."""
-    state = str(tmp_path / "state")
-    R.rollup_update(spark, seq_dir, state, _specs(),
-                    group_cols=("source",), salt_buckets=4)
-    with pytest.raises(Exception, match="already in the rollup manifest"):
-        R.rollup_stream_update(spark, seq_dir, state, _specs(),
-                               group_cols=("source",),
-                               checkpoint_dir=str(tmp_path / "ck2"),
-                               salt_buckets=4)
-
-
 def test_stream_cli_roundtrip(spark, seq_dir, tmp_path, capsys):
     import sys
     sys.path.insert(0, "/root/repo/jobs")
@@ -462,3 +447,109 @@ def test_unknown_sketch_family_is_clean_error(spark, seq_dir, tmp_path, capsys):
     assert rc == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "ingests token" in err["error"]
+
+
+def test_duplicate_and_explicit_default_families(spark, seq_dir, tmp_path, capsys):
+    """Review findings: duplicate family names must be refused (they
+    would fold together and double counts), and an EXPLICIT
+    '--sketches dds,hll' without --tokens-col must error rather than
+    silently dropping hll (only the implicit default skips it)."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    rc = rollup_sketches.main([
+        "update", "--input", seq_dir, "--state", str(tmp_path / "s"),
+        "--sketches", "dds,dds"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "duplicate sketch family" in err["error"]
+    rc = rollup_sketches.main([
+        "update", "--input", seq_dir, "--state", str(tmp_path / "s2"),
+        "--sketches", "dds,hll"])  # explicit, no --tokens-col
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "ingests token" in err["error"]
+
+
+def test_stream_empty_drop_dir_is_noop(spark, tmp_path):
+    """A cron'd stream pass racing the producer (drop dir absent or
+    empty) is a no-op, not a schema-inference error."""
+    import os
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    for d in (str(tmp_path / "absent"), empty):
+        got = R.rollup_stream_update(
+            spark, d, str(tmp_path / "state"), _specs(),
+            group_cols=("source",), checkpoint_dir=str(tmp_path / "ck"))
+        assert got == {"version": 0, "batches": 0, "batches_fenced": 0,
+                       "new_files": 0, "total_files": 0, "noop": True}
+
+
+def test_checkpoint_reset_fences_or_refuses(spark, seq_dir, tmp_path):
+    """Deleting and recreating the checkpoint must NOT silently lose
+    files: a reset over unchanged input re-emits only committed files
+    (subset rule -> fenced no-op); a reset after NEW files landed mixes
+    old and new in one batch and is refused loudly."""
+    import os
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    files = parquet_file_list(seq_dir)
+    for f in files[:4]:
+        shutil.copy(f, drop)
+    R.rollup_stream_update(spark, drop, state, _specs(),
+                           group_cols=("source",), checkpoint_dir=ck,
+                           salt_buckets=4)
+    # reset 1: same input -> every re-emitted batch is a fenced replay
+    shutil.rmtree(ck)
+    s2 = R.rollup_stream_update(spark, drop, state, _specs(),
+                                group_cols=("source",), checkpoint_dir=ck,
+                                salt_buckets=4)
+    assert s2["batches"] == 0 and s2["batches_fenced"] >= 1
+    # reset 2: new files landed -> mixed batch refused, nothing merged
+    shutil.rmtree(ck)
+    for f in files[4:]:
+        shutil.copy(f, drop)
+    before = _blob_map(spark, state)
+    with pytest.raises(Exception, match="mixes files already"):
+        R.rollup_stream_update(spark, drop, state, _specs(),
+                               group_cols=("source",), checkpoint_dir=ck,
+                               salt_buckets=4)
+    assert _blob_map(spark, state) == before
+
+
+def test_batch_built_state_then_stream_fenced_not_wedged(
+        spark, seq_dir, tmp_path):
+    """Review finding: the fence must not depend on stream keys in the
+    LATEST manifest (a batch-mode commit carries none). Batch-build the
+    state, then point a FRESH stream checkpoint at the same quiescent
+    drop dir: every re-emitted batch is file-subset fenced (no loss, no
+    double-merge, no wedge), and a later pass ingests ONLY files that
+    landed after the migration — the batch -> stream migration path."""
+    import os
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    files = parquet_file_list(seq_dir)
+    for f in files[:4]:
+        shutil.copy(f, drop)
+    R.rollup_update(spark, drop, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+    s1 = R.rollup_stream_update(spark, drop, state, _specs(),
+                                group_cols=("source",), checkpoint_dir=ck,
+                                salt_buckets=4)
+    assert s1["batches"] == 0 and s1["batches_fenced"] >= 1
+    for f in files[4:]:
+        shutil.copy(f, drop)
+    s2 = R.rollup_stream_update(spark, drop, state, _specs(),
+                                group_cols=("source",), checkpoint_dir=ck,
+                                salt_buckets=4)
+    assert s2["batches"] == 1 and s2["new_files"] == 4
+    direct = collect_sketches(
+        build_sketches_from_files(spark, drop, _specs(),
+                                  group_cols=("source",), salt_buckets=4),
+        group_cols=("source",))
+    assert _blob_map(spark, state) == \
+        {k: v.to_bytes() for k, v in direct.items()}
