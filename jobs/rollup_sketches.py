@@ -17,8 +17,9 @@ state's manifest and merges them with the stored per-group blobs
 (associative merge ⇒ identical to a full rebuild); `stream` does the
 same continuously (one availableNow Structured-Streaming pass per
 invocation, replayed micro-batches fenced by manifest file lineage);
-`query` and
-`cardinality` answer from the stored blobs with zero input re-scan.
+`query` / `cardinality` / `drift` answer from the stored blobs with
+zero input re-scan (`drift` compares two committed versions per group —
+the monitoring query versioning exists for).
 Each subcommand prints one JSON line. Errors print a {"error": ...}
 JSON line and exit 1 (same contract as jobs/optimize_table.py).
 """
@@ -139,6 +140,18 @@ def main(argv: list[str] | None = None) -> int:
     card.add_argument("--state", required=True)
     card.add_argument("--sketch", default="hll")
 
+    dr = sub.add_parser("drift", help="per-group drift between two "
+                        "committed versions, from blobs only")
+    dr.add_argument("--state", required=True)
+    dr.add_argument("--sketch", default="dds")
+    dr.add_argument("--quantiles", default="0.5,0.95,0.99",
+                    help="quantiles to compare; empty string switches to "
+                    "cardinality drift (hll/theta)")
+    dr.add_argument("--from", dest="v_from", type=int, default=None,
+                    help="baseline version (default: previous committed)")
+    dr.add_argument("--to", dest="v_to", type=int, default=None,
+                    help="target version (default: latest committed)")
+
     ver = sub.add_parser("versions", help="committed versions + manifests")
     ver.add_argument("--state", required=True)
 
@@ -184,6 +197,28 @@ def main(argv: list[str] | None = None) -> int:
             rows = R.rollup_cardinality(spark, args.state,
                                         args.sketch).collect()
             print(json.dumps({"sketch": args.sketch,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "drift":
+            qs = tuple(float(x) for x in args.quantiles.split(",") if x)
+            rows = R.rollup_drift(spark, args.state, args.sketch, qs=qs,
+                                  v_from=args.v_from,
+                                  v_to=args.v_to).collect()
+            # manifest-level ingest delta between the two versions: the
+            # volume context for the per-group estimate deltas, free
+            # from the metrics already recorded at each commit
+            vs = dict(R.rollup_versions(spark, args.state))
+            v_to = args.v_to if args.v_to is not None else max(vs)
+            v_from = args.v_from if args.v_from is not None else \
+                max((v for v in vs if v < v_to), default=None)
+            ingest = None
+            if v_from in vs and v_to in vs:
+                f_tot = vs[v_from].get("rows_seen_total", {})
+                t_tot = vs[v_to].get("rows_seen_total", {})
+                ingest = {k: int(t_tot.get(k, 0)) - int(f_tot.get(k, 0))
+                          for k in sorted(set(f_tot) | set(t_tot))}
+            print(json.dumps({"sketch": args.sketch, "from": v_from,
+                              "to": v_to, "rows_ingested_between": ingest,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
         elif args.cmd == "prune":

@@ -66,7 +66,7 @@ from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
 
 __all__ = ["rollup_update", "rollup_stream_update", "rollup_state",
            "rollup_versions", "rollup_quantiles", "rollup_cardinality",
-           "rollup_prune"]
+           "rollup_drift", "rollup_prune"]
 
 _PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
                  "build_secs", "sketch"]
@@ -466,18 +466,35 @@ def _decode_map(sketch_name: str, fn_name: str, args: tuple, out_ddl: str):
     return run
 
 
-def _grouped_state(spark: SparkSession, state_dir: str, sketch_name: str):
-    """(filtered blob table, group_cols from the committed manifest)."""
-    latest = _latest(spark, state_dir)
-    if latest is None:
+def _version_state(spark: SparkSession, state_dir: str, sketch_name: str,
+                   version: int | None = None):
+    """(filtered blob table, group_cols, version, manifest) for one
+    committed version — the latest when `version` is None."""
+    versions = rollup_versions(spark, state_dir)
+    if not versions:
         raise UsageError(f"no committed rollup state at {state_dir!r}")
-    stored = latest[1]["spec_names"]
+    if version is None:
+        version, manifest = versions[-1]
+    else:
+        vmap = dict(versions)
+        if version not in vmap:
+            raise UsageError(
+                f"no committed version {version} at {state_dir!r} "
+                f"(committed: {[v for v, _ in versions]})")
+        manifest = vmap[version]
+    stored = manifest["spec_names"]
     if sketch_name not in stored:
         raise UsageError(
             f"no {sketch_name!r} blobs in this state (stored: {stored})")
-    group_cols = tuple(latest[1]["group_cols"])
-    st = (spark.read.parquet(_blobs_path(state_dir, latest[0]))
+    group_cols = tuple(manifest["group_cols"])
+    st = (spark.read.parquet(_blobs_path(state_dir, version))
           .where(F.col("sketch_name") == sketch_name))
+    return st, group_cols, version, manifest
+
+
+def _grouped_state(spark: SparkSession, state_dir: str, sketch_name: str):
+    """(filtered blob table, group_cols from the committed manifest)."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name)
     return st, group_cols
 
 
@@ -507,3 +524,79 @@ def rollup_cardinality(spark: SparkSession, state_dir: str,
     return (st.mapInPandas(_decode_map(sketch_name, "cardinality", (), ddl),
                            schema=ddl)
             .orderBy(*group_cols))
+
+
+def rollup_drift(spark: SparkSession, state_dir: str, sketch_name: str = "dds",
+                 qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                 v_from: int | None = None,
+                 v_to: int | None = None) -> DataFrame:
+    """Per-group distribution drift between two committed versions of
+    one rollup state, answered ENTIRELY from the stored blobs — the
+    monitoring query the versioned warehouse makes O(groups) instead of
+    O(data): "after yesterday's ingest, which sources' token-length
+    p99 moved, and by how much?".
+
+    Defaults compare the previous committed version (`v_from`) to the
+    latest (`v_to`). With quantiles (any sketch exposing `.quantile`)
+    each output row is (group…, q, est_from, est_to, delta); with
+    `qs=()` the sketch's `.cardinality` drives the same shape without
+    the q column (HLL/theta distinct-count growth). Groups present in
+    only one version surface with NULL on the absent side — new and
+    retired groups ARE drift. `n_from`/`n_to` carry each side's
+    ingested-row count so a delta can be weighted by volume.
+
+    Both versions belong to one state, so the update path has already
+    pinned their spec signature and group columns equal — the estimates
+    are comparable by construction. Cost: two |groups|-row mapInPandas
+    decodes and one tiny join; no input re-scan, so the query costs the
+    same at sf0.001 and at 10^12 rows. The reference can only answer
+    this by re-running its whole simulator on both datasets
+    (/root/reference/main.cpp:214-396 keeps no state between runs)."""
+    versions = rollup_versions(spark, state_dir)
+    if not versions:
+        raise UsageError(f"no committed rollup state at {state_dir!r}")
+    if v_to is None:
+        v_to = versions[-1][0]
+    if v_from is None:
+        committed = [v for v, _ in versions if v < v_to]
+        if not committed:
+            raise UsageError(
+                f"version {v_to} has no earlier committed version to "
+                "drift against; pass v_from explicitly")
+        v_from = committed[-1]
+
+    def estimates(version: int, suffix: str) -> tuple[DataFrame, tuple]:
+        st, gcols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                         version)
+        gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                       for c in gcols)
+        if qs:
+            ddl = f"{gddl}q double, estimate double, n long"
+            df = st.mapInPandas(
+                _decode_map(sketch_name, "quantile", tuple(qs), ddl),
+                schema=ddl)
+        else:
+            ddl = f"{gddl}estimate double, rows_seen long"
+            df = st.mapInPandas(
+                _decode_map(sketch_name, "cardinality", (), ddl),
+                schema=ddl).withColumnRenamed("rows_seen", "n")
+        return (df.withColumnRenamed("estimate", f"est_{suffix}")
+                .withColumnRenamed("n", f"n_{suffix}")), gcols
+
+    a, gcols = estimates(v_from, "from")
+    b, _ = estimates(v_to, "to")
+    keys = list(gcols) + (["q"] if qs else [])
+    # full outer, NULL-safe on every key: a group (or a NULL-valued
+    # group key) on one side only must still emit its drift row
+    cond = None
+    for k in keys:
+        c = a[k].eqNullSafe(b[k])
+        cond = c if cond is None else cond & c
+    joined = a.join(b, cond, "full_outer")
+    out_keys = [F.coalesce(a[k], b[k]).alias(k) for k in keys]
+    return (joined.select(
+        *out_keys,
+        a["est_from"], b["est_to"],
+        (b["est_to"] - a["est_from"]).alias("delta"),
+        a["n_from"], b["n_to"])
+        .orderBy(*keys))

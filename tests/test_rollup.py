@@ -553,3 +553,119 @@ def test_batch_built_state_then_stream_fenced_not_wedged(
         group_cols=("source",))
     assert _blob_map(spark, state) == \
         {k: v.to_bytes() for k, v in direct.items()}
+
+
+def test_drift_quantiles_between_versions(spark, seq_dir, tmp_path):
+    """Two updates -> two committed versions; drift rows must equal the
+    independently-computed per-version quantile estimates joined per
+    (group, q), with delta = est_to - est_from and each side's n."""
+    import os
+    state = str(tmp_path / "state")
+    files = parquet_file_list(seq_dir)
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for f in files[:4]:
+        shutil.copy(f, half)
+    R.rollup_update(spark, half, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+    R.rollup_update(spark, seq_dir, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+
+    qs = (0.5, 0.99)
+    drift = {(r["source"], r["q"]): r for r in
+             R.rollup_drift(spark, state, "dds", qs=qs).collect()}
+    # independent per-version answers through the public query path
+    v1 = {(r["source"], r["q"]): r for r in
+          R.rollup_quantiles(spark, state, "dds", list(qs)).collect()}
+    assert len(drift) == len(v1)
+    for k, r in drift.items():
+        assert r["est_to"] == v1[k]["estimate"]
+        assert r["delta"] == pytest.approx(r["est_to"] - r["est_from"])
+        assert r["n_from"] <= r["n_to"]
+
+
+def test_drift_cardinality_and_new_group(spark, seq_dir, tmp_path):
+    """qs=() drives cardinality drift; a group that exists only in the
+    newer version emits est_from NULL (new groups ARE drift)."""
+    import os
+    state = str(tmp_path / "state")
+    files = parquet_file_list(seq_dir)
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for f in files[:4]:
+        shutil.copy(f, half)
+    R.rollup_update(spark, half, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+    # second update adds a brand-new group on top of the full corpus
+    extra = str(tmp_path / "extra")
+    (spark.read.parquet(seq_dir)
+     .withColumn("source", F.lit("brand_new_source"))
+     .limit(50).write.parquet(extra))
+    full = str(tmp_path / "full")
+    os.makedirs(full)
+    for f in files[4:]:
+        shutil.copy(f, full)
+    for f in parquet_file_list(extra):
+        shutil.copy(f, full)
+    R.rollup_update(spark, full, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+
+    rows = {r["source"]: r for r in
+            R.rollup_drift(spark, state, "hll", qs=()).collect()}
+    nw = rows["brand_new_source"]
+    assert nw["est_from"] is None and nw["n_from"] is None
+    assert nw["est_to"] > 0 and nw["delta"] is None
+    old = [r for s, r in rows.items() if s != "brand_new_source"]
+    assert old and all(r["est_from"] is not None and
+                       r["est_to"] >= r["est_from"] - 1e-9 for r in old)
+
+
+def test_drift_version_selection_and_errors(spark, seq_dir, tmp_path):
+    """Explicit --from/--to pick versions; a single-version state has
+    nothing to drift against; unknown versions are clean errors."""
+    import os
+    state = str(tmp_path / "state")
+    files = parquet_file_list(seq_dir)
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for f in files[:4]:
+        shutil.copy(f, half)
+    R.rollup_update(spark, half, state, _specs(),
+                    group_cols=("source",), salt_buckets=4)
+    with pytest.raises(UsageError, match="no earlier committed version"):
+        R.rollup_drift(spark, state, "dds")
+    # self-drift via explicit versions: delta identically 0
+    same = R.rollup_drift(spark, state, "dds", qs=(0.5,),
+                          v_from=1, v_to=1).collect()
+    assert same and all(r["delta"] == 0.0 for r in same)
+    with pytest.raises(UsageError, match="no committed version 9"):
+        R.rollup_drift(spark, state, "dds", v_from=9, v_to=1)
+
+
+def test_drift_cli_roundtrip(spark, seq_dir, tmp_path, capsys):
+    import sys
+    import os
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    state = str(tmp_path / "state")
+    files = parquet_file_list(seq_dir)
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for f in files[:4]:
+        shutil.copy(f, half)
+    for inp in (half, seq_dir):
+        rc = rollup_sketches.main([
+            "update", "--input", inp, "--state", state,
+            "--group-cols", "source", "--value-col", "n_tok",
+            "--tokens-col", "tokens", "--hll-p", "12",
+            "--salt-buckets", "4"])
+        assert rc == 0
+        capsys.readouterr()
+    rc = rollup_sketches.main([
+        "drift", "--state", state, "--quantiles", "0.5,0.99"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["from"] == 1 and out["to"] == 2
+    assert out["rows"] and all("delta" in r for r in out["rows"])
+    # ingest context comes from the manifests' cumulative metrics
+    assert out["rows_ingested_between"]["dds"] > 0
