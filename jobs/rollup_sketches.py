@@ -201,22 +201,24 @@ def main(argv: list[str] | None = None) -> int:
                              sort_keys=True))
         elif args.cmd == "drift":
             qs = tuple(float(x) for x in args.quantiles.split(",") if x)
+            # list versions ONCE and resolve the pair from that snapshot:
+            # resolving inside rollup_drift and again here could straddle
+            # a concurrent commit and print ingest metadata for a
+            # different version pair than the drift rows describe
+            versions = R.rollup_versions(spark, args.state)
+            v_from, v_to = R.resolve_drift_versions(versions, args.v_from,
+                                                    args.v_to)
             rows = R.rollup_drift(spark, args.state, args.sketch, qs=qs,
-                                  v_from=args.v_from,
-                                  v_to=args.v_to).collect()
+                                  v_from=v_from, v_to=v_to,
+                                  _versions=versions).collect()
             # manifest-level ingest delta between the two versions: the
             # volume context for the per-group estimate deltas, free
             # from the metrics already recorded at each commit
-            vs = dict(R.rollup_versions(spark, args.state))
-            v_to = args.v_to if args.v_to is not None else max(vs)
-            v_from = args.v_from if args.v_from is not None else \
-                max((v for v in vs if v < v_to), default=None)
-            ingest = None
-            if v_from in vs and v_to in vs:
-                f_tot = vs[v_from].get("rows_seen_total", {})
-                t_tot = vs[v_to].get("rows_seen_total", {})
-                ingest = {k: int(t_tot.get(k, 0)) - int(f_tot.get(k, 0))
-                          for k in sorted(set(f_tot) | set(t_tot))}
+            vs = dict(versions)
+            f_tot = vs[v_from].get("rows_seen_total", {})
+            t_tot = vs[v_to].get("rows_seen_total", {})
+            ingest = {k: int(t_tot.get(k, 0)) - int(f_tot.get(k, 0))
+                      for k in sorted(set(f_tot) | set(t_tot))}
             print(json.dumps({"sketch": args.sketch, "from": v_from,
                               "to": v_to, "rows_ingested_between": ingest,
                               "rows": [row.asDict() for row in rows]},

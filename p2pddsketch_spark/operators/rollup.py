@@ -66,7 +66,7 @@ from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
 
 __all__ = ["rollup_update", "rollup_stream_update", "rollup_state",
            "rollup_versions", "rollup_quantiles", "rollup_cardinality",
-           "rollup_drift", "rollup_prune"]
+           "rollup_drift", "resolve_drift_versions", "rollup_prune"]
 
 _PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
                  "build_secs", "sketch"]
@@ -335,18 +335,27 @@ def rollup_stream_update(spark: SparkSession, input_dir: str, state_dir: str,
                          "exactly-once discovery ledger)")
     spec_names = sorted(s.name for s in specs)
     spec_sig = _spec_signature(specs)
-    # static probe for the schema the file source requires; a drop dir
-    # that doesn't exist yet / has no files yet is a routine cron race,
-    # not an error — the pass is a no-op exactly like zero new batches
-    from pyspark.errors import AnalysisException
-    try:
-        schema = spark.read.parquet(input_dir).schema
-    except AnalysisException:
-        latest = _latest(spark, state_dir)
-        return {"version": latest[0] if latest else 0, "batches": 0,
-                "batches_fenced": 0, "new_files": 0,
-                "total_files": len(latest[1]["files"]) if latest else 0,
-                "noop": True}
+    # static probe for the schema the file source requires. A drop dir
+    # that VERIFIABLY doesn't exist yet / has no files yet is a routine
+    # cron race with the producer — that pass is a no-op exactly like
+    # zero new batches. The check is an explicit FS probe, NOT a broad
+    # except around schema inference: a typo'd path must keep raising
+    # loudly, or a cron'd stream job reports healthy-idle forever while
+    # ingesting nothing. Glob inputs skip the probe (exists() doesn't
+    # expand patterns) and keep the strict raise-on-no-match behavior.
+    if not any(ch in input_dir for ch in "*?[{"):
+        fs, jpath = _hadoop_fs(spark, input_dir)
+        empty = not fs.exists(jpath)
+        if not empty and fs.getFileStatus(jpath).isDirectory():
+            empty = not fs.listFiles(jpath, True).hasNext()
+        if empty:
+            latest = _latest(spark, state_dir)
+            return {"version": latest[0] if latest else 0, "batches": 0,
+                    "batches_fenced": 0, "new_files": 0,
+                    "total_files": len(latest[1]["files"]) if latest else 0,
+                    "noop": True,
+                    "reason": "input dir absent or empty (producer race)"}
+    schema = spark.read.parquet(input_dir).schema
 
     stats = {"batches": 0, "skipped": 0, "new_files": 0}
 
@@ -467,10 +476,15 @@ def _decode_map(sketch_name: str, fn_name: str, args: tuple, out_ddl: str):
 
 
 def _version_state(spark: SparkSession, state_dir: str, sketch_name: str,
-                   version: int | None = None):
+                   version: int | None = None,
+                   versions: list[tuple[int, dict]] | None = None):
     """(filtered blob table, group_cols, version, manifest) for one
-    committed version — the latest when `version` is None."""
-    versions = rollup_versions(spark, state_dir)
+    committed version — the latest when `version` is None. Pass a
+    pre-fetched `rollup_versions` result to avoid re-listing the state
+    dir and re-reading every manifest (they carry full file lineage, so
+    a long-lived warehouse's manifest scan is not free)."""
+    if versions is None:
+        versions = rollup_versions(spark, state_dir)
     if not versions:
         raise UsageError(f"no committed rollup state at {state_dir!r}")
     if version is None:
@@ -499,12 +513,15 @@ def _grouped_state(spark: SparkSession, state_dir: str, sketch_name: str):
 
 
 def rollup_quantiles(spark: SparkSession, state_dir: str, sketch_name: str,
-                     qs: list[float]) -> DataFrame:
+                     qs: list[float], version: int | None = None,
+                     _versions: list | None = None) -> DataFrame:
     """Quantile estimates straight from the stored blobs (DDSketch, KLL,
     t-digest, REQ, moment — anything with `.quantile(q)`): one
     mapInPandas over |groups| rows, zero input-data re-scan. Grouping
-    columns are read from the committed manifest."""
-    st, group_cols = _grouped_state(spark, state_dir, sketch_name)
+    columns are read from the committed manifest; `version` picks a
+    specific committed version (default latest)."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
     gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
                    for c in group_cols)
     ddl = f"{gddl}q double, estimate double, n long"
@@ -514,10 +531,13 @@ def rollup_quantiles(spark: SparkSession, state_dir: str, sketch_name: str,
 
 
 def rollup_cardinality(spark: SparkSession, state_dir: str,
-                       sketch_name: str) -> DataFrame:
+                       sketch_name: str, version: int | None = None,
+                       _versions: list | None = None) -> DataFrame:
     """Distinct-count estimates from stored HLL/theta blobs; grouping
-    columns are read from the committed manifest."""
-    st, group_cols = _grouped_state(spark, state_dir, sketch_name)
+    columns are read from the committed manifest; `version` picks a
+    specific committed version (default latest)."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
     gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
                    for c in group_cols)
     ddl = f"{gddl}estimate double, rows_seen long"
@@ -526,10 +546,42 @@ def rollup_cardinality(spark: SparkSession, state_dir: str,
             .orderBy(*group_cols))
 
 
+def resolve_drift_versions(versions: list[tuple[int, dict]],
+                           v_from: int | None = None,
+                           v_to: int | None = None) -> tuple[int, int]:
+    """Resolve a drift comparison's (v_from, v_to) against one
+    `rollup_versions` listing: `v_to` defaults to the latest committed
+    version, `v_from` to the newest version strictly before it. Public
+    so a caller that also needs the manifests (the CLI prints ingest
+    deltas between the two) lists versions ONCE and resolves from that
+    single snapshot — resolving twice can straddle a concurrent commit
+    and report metadata for a different pair than the drift rows."""
+    if not versions:
+        raise UsageError("no committed rollup state to drift against")
+    committed = [v for v, _ in versions]
+    if v_to is None:
+        v_to = committed[-1]
+    elif v_to not in committed:
+        raise UsageError(f"no committed version {v_to} "
+                         f"(committed: {committed})")
+    if v_from is None:
+        earlier = [v for v in committed if v < v_to]
+        if not earlier:
+            raise UsageError(
+                f"version {v_to} has no earlier committed version to "
+                "drift against; pass v_from explicitly")
+        v_from = earlier[-1]
+    elif v_from not in committed:
+        raise UsageError(f"no committed version {v_from} "
+                         f"(committed: {committed})")
+    return v_from, v_to
+
+
 def rollup_drift(spark: SparkSession, state_dir: str, sketch_name: str = "dds",
                  qs: tuple[float, ...] = (0.5, 0.95, 0.99),
                  v_from: int | None = None,
-                 v_to: int | None = None) -> DataFrame:
+                 v_to: int | None = None,
+                 _versions: list[tuple[int, dict]] | None = None) -> DataFrame:
     """Per-group distribution drift between two committed versions of
     one rollup state, answered ENTIRELY from the stored blobs — the
     monitoring query the versioned warehouse makes O(groups) instead of
@@ -552,39 +604,24 @@ def rollup_drift(spark: SparkSession, state_dir: str, sketch_name: str = "dds",
     same at sf0.001 and at 10^12 rows. The reference can only answer
     this by re-running its whole simulator on both datasets
     (/root/reference/main.cpp:214-396 keeps no state between runs)."""
-    versions = rollup_versions(spark, state_dir)
-    if not versions:
-        raise UsageError(f"no committed rollup state at {state_dir!r}")
-    if v_to is None:
-        v_to = versions[-1][0]
-    if v_from is None:
-        committed = [v for v, _ in versions if v < v_to]
-        if not committed:
-            raise UsageError(
-                f"version {v_to} has no earlier committed version to "
-                "drift against; pass v_from explicitly")
-        v_from = committed[-1]
+    versions = (_versions if _versions is not None
+                else rollup_versions(spark, state_dir))
+    v_from, v_to = resolve_drift_versions(versions, v_from, v_to)
+    gcols = tuple(dict(versions)[v_to]["group_cols"])
 
-    def estimates(version: int, suffix: str) -> tuple[DataFrame, tuple]:
-        st, gcols, _, _ = _version_state(spark, state_dir, sketch_name,
-                                         version)
-        gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
-                       for c in gcols)
+    def estimates(version: int, suffix: str) -> DataFrame:
         if qs:
-            ddl = f"{gddl}q double, estimate double, n long"
-            df = st.mapInPandas(
-                _decode_map(sketch_name, "quantile", tuple(qs), ddl),
-                schema=ddl)
+            df = rollup_quantiles(spark, state_dir, sketch_name, list(qs),
+                                  version=version, _versions=versions)
         else:
-            ddl = f"{gddl}estimate double, rows_seen long"
-            df = st.mapInPandas(
-                _decode_map(sketch_name, "cardinality", (), ddl),
-                schema=ddl).withColumnRenamed("rows_seen", "n")
+            df = rollup_cardinality(spark, state_dir, sketch_name,
+                                    version=version, _versions=versions)
+            df = df.withColumnRenamed("rows_seen", "n")
         return (df.withColumnRenamed("estimate", f"est_{suffix}")
-                .withColumnRenamed("n", f"n_{suffix}")), gcols
+                .withColumnRenamed("n", f"n_{suffix}"))
 
-    a, gcols = estimates(v_from, "from")
-    b, _ = estimates(v_to, "to")
+    a = estimates(v_from, "from")
+    b = estimates(v_to, "to")
     keys = list(gcols) + (["q"] if qs else [])
     # full outer, NULL-safe on every key: a group (or a NULL-valued
     # group key) on one side only must still emit its drift row

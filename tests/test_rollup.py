@@ -472,8 +472,10 @@ def test_duplicate_and_explicit_default_families(spark, seq_dir, tmp_path, capsy
 
 
 def test_stream_empty_drop_dir_is_noop(spark, tmp_path):
-    """A cron'd stream pass racing the producer (drop dir absent or
-    empty) is a no-op, not a schema-inference error."""
+    """A cron'd stream pass racing the producer (drop dir VERIFIABLY
+    absent or empty, by FS probe) is a no-op — but a glob input that
+    matches nothing keeps raising loudly: exists() can't expand
+    patterns, so a typo'd glob must not report healthy-idle forever."""
     import os
     empty = str(tmp_path / "empty")
     os.makedirs(empty)
@@ -482,7 +484,32 @@ def test_stream_empty_drop_dir_is_noop(spark, tmp_path):
             spark, d, str(tmp_path / "state"), _specs(),
             group_cols=("source",), checkpoint_dir=str(tmp_path / "ck"))
         assert got == {"version": 0, "batches": 0, "batches_fenced": 0,
-                       "new_files": 0, "total_files": 0, "noop": True}
+                       "new_files": 0, "total_files": 0, "noop": True,
+                       "reason": "input dir absent or empty "
+                                 "(producer race)"}
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        R.rollup_stream_update(
+            spark, str(tmp_path / "nope-*"), str(tmp_path / "state"),
+            _specs(), group_cols=("source",),
+            checkpoint_dir=str(tmp_path / "ck2"))
+
+
+def test_resolve_drift_versions_snapshot():
+    """Pure resolution over one rollup_versions listing: defaults pick
+    (previous, latest); explicit picks validate against the snapshot."""
+    versions = [(1, {}), (2, {}), (4, {})]
+    assert R.resolve_drift_versions(versions) == (2, 4)
+    assert R.resolve_drift_versions(versions, v_to=2) == (1, 2)
+    assert R.resolve_drift_versions(versions, v_from=1, v_to=4) == (1, 4)
+    with pytest.raises(UsageError, match="no committed version 3"):
+        R.resolve_drift_versions(versions, v_to=3)
+    with pytest.raises(UsageError, match="no committed version 0"):
+        R.resolve_drift_versions(versions, v_from=0, v_to=2)
+    with pytest.raises(UsageError, match="no earlier committed"):
+        R.resolve_drift_versions([(1, {})])
+    with pytest.raises(UsageError, match="no committed rollup state"):
+        R.resolve_drift_versions([])
 
 
 def test_checkpoint_reset_fences_or_refuses(spark, seq_dir, tmp_path):
@@ -578,8 +605,14 @@ def test_drift_quantiles_between_versions(spark, seq_dir, tmp_path):
     v1 = {(r["source"], r["q"]): r for r in
           R.rollup_quantiles(spark, state, "dds", list(qs)).collect()}
     assert len(drift) == len(v1)
+    # version pinning: querying the older committed version directly
+    # must reproduce the drift rows' from-side exactly
+    v0 = {(r["source"], r["q"]): r for r in
+          R.rollup_quantiles(spark, state, "dds", list(qs),
+                             version=1).collect()}
     for k, r in drift.items():
         assert r["est_to"] == v1[k]["estimate"]
+        assert r["est_from"] == v0[k]["estimate"]
         assert r["delta"] == pytest.approx(r["est_to"] - r["est_from"])
         assert r["n_from"] <= r["n_to"]
 
