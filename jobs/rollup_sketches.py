@@ -17,9 +17,10 @@ state's manifest and merges them with the stored per-group blobs
 (associative merge ⇒ identical to a full rebuild); `stream` does the
 same continuously (one availableNow Structured-Streaming pass per
 invocation, replayed micro-batches fenced by manifest file lineage);
-`query` / `cardinality` / `drift` answer from the stored blobs with
-zero input re-scan (`drift` compares two committed versions per group —
-the monitoring query versioning exists for).
+`query` / `cardinality` / `topk` / `drift` answer from the stored
+blobs with zero input re-scan (`topk` ranks per-group heavy hitters
+from SpaceSaving blobs; `drift` compares two committed versions per
+group — the monitoring query versioning exists for).
 Each subcommand prints one JSON line. Errors print a {"error": ...}
 JSON line and exit 1 (same contract as jobs/optimize_table.py).
 """
@@ -35,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
-           names: str | None = None):
+           names: str | None = None, ss_k: int = 64):
     """Build the sketch-family specs for `--sketches`. Scalar families
     ingest `value_col`; token families ingest the `tokens_col` arrays
     (and require it — EXPLICITLY requested token families without a
@@ -53,6 +54,7 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
     from p2pddsketch_spark.sketches.kll import KLLSketch
     from p2pddsketch_spark.sketches.moments import MomentSketch
     from p2pddsketch_spark.sketches.req import ReqSketch
+    from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
     from p2pddsketch_spark.sketches.tdigest import TDigest
     from p2pddsketch_spark.sketches.theta import ThetaSketch
     scalar = {
@@ -67,6 +69,7 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
         "theta": lambda: ThetaSketch(k=4096),
         "cms": lambda: CountMinSketch(depth=5, width=1 << 16),
         "bloom": lambda: BloomFilter(m_bits=1 << 21, k=5),
+        "spacesaving": lambda: SpaceSaving(k=ss_k),
     }
     explicit = names is not None
     specs, seen = [], set()
@@ -109,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--hll-p", type=int, default=14)
     up.add_argument("--salt-buckets", type=int, default=8)
     up.add_argument("--files-per-task", type=int, default=4)
+    up.add_argument("--ss-k", type=int, default=64,
+                    help="SpaceSaving capacity (spacesaving family)")
     up.add_argument("--sketches", default=None,
                     help="comma-separated sketch families to build "
                     "(default: dds, plus hll when --tokens-col is given)")
@@ -127,6 +132,8 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--hll-p", type=int, default=14)
     st.add_argument("--salt-buckets", type=int, default=8)
     st.add_argument("--max-files-per-trigger", type=int, default=None)
+    st.add_argument("--ss-k", type=int, default=64,
+                    help="SpaceSaving capacity (spacesaving family)")
     st.add_argument("--sketches", default=None,
                     help="comma-separated sketch families to build "
                     "(default: dds, plus hll when --tokens-col is given)")
@@ -139,6 +146,13 @@ def main(argv: list[str] | None = None) -> int:
     card = sub.add_parser("cardinality", help="distinct counts from blobs")
     card.add_argument("--state", required=True)
     card.add_argument("--sketch", default="hll")
+
+    tk = sub.add_parser("topk", help="per-group heavy hitters from "
+                        "stored SpaceSaving blobs")
+    tk.add_argument("--state", required=True)
+    tk.add_argument("--sketch", default="spacesaving")
+    tk.add_argument("--m", type=int, default=10,
+                    help="ranks to emit per group")
 
     dr = sub.add_parser("drift", help="per-group drift between two "
                         "committed versions, from blobs only")
@@ -172,7 +186,7 @@ def main(argv: list[str] | None = None) -> int:
             stats = R.rollup_update(
                 spark, args.input, args.state,
                 _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p,
-                       names=args.sketches),
+                       names=args.sketches, ss_k=args.ss_k),
                 group_cols=gcols, salt_buckets=args.salt_buckets,
                 files_per_task=args.files_per_task)
             print(json.dumps(stats, sort_keys=True))
@@ -181,7 +195,7 @@ def main(argv: list[str] | None = None) -> int:
             stats = R.rollup_stream_update(
                 spark, args.input, args.state,
                 _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p,
-                       names=args.sketches),
+                       names=args.sketches, ss_k=args.ss_k),
                 group_cols=gcols, checkpoint_dir=args.checkpoint,
                 salt_buckets=args.salt_buckets,
                 max_files_per_trigger=args.max_files_per_trigger)
@@ -197,6 +211,12 @@ def main(argv: list[str] | None = None) -> int:
             rows = R.rollup_cardinality(spark, args.state,
                                         args.sketch).collect()
             print(json.dumps({"sketch": args.sketch,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "topk":
+            rows = R.rollup_topk(spark, args.state, args.sketch,
+                                 m=args.m).collect()
+            print(json.dumps({"sketch": args.sketch, "m": args.m,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
         elif args.cmd == "drift":

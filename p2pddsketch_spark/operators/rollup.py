@@ -66,7 +66,8 @@ from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
 
 __all__ = ["rollup_update", "rollup_stream_update", "rollup_state",
            "rollup_versions", "rollup_quantiles", "rollup_cardinality",
-           "rollup_drift", "resolve_drift_versions", "rollup_prune"]
+           "rollup_topk", "rollup_drift", "resolve_drift_versions",
+           "rollup_prune"]
 
 _PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
                  "build_secs", "sketch"]
@@ -544,6 +545,49 @@ def rollup_cardinality(spark: SparkSession, state_dir: str,
     return (st.mapInPandas(_decode_map(sketch_name, "cardinality", (), ddl),
                            schema=ddl)
             .orderBy(*group_cols))
+
+
+def rollup_topk(spark: SparkSession, state_dir: str,
+                sketch_name: str = "spacesaving", m: int = 10,
+                version: int | None = None,
+                _versions: list | None = None) -> DataFrame:
+    """Per-group heavy hitters straight from stored SpaceSaving blobs
+    (any sketch exposing `.top(m)`): "which token ids dominate each
+    source, as of the committed warehouse state" — answered in
+    O(groups · k) with zero input re-scan. Each output row is
+    (group…, rank, item, count_est, count_err); SpaceSaving only ever
+    overestimates, so the true count lies in
+    [count_est - count_err, count_est]. A group whose sketch ingested
+    nothing emits no rows (top-0 of an empty stream), unlike the
+    quantile path's NULL-estimate row: an absent ranking is the honest
+    answer, a NULL rank-1 item is not. Ordering (count desc, item asc)
+    is the sketch's own deterministic tie-break."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
+    gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                   for c in group_cols)
+    ddl = f"{gddl}rank int, item long, count_est long, count_err long"
+    cols = [c.split(" ")[0] for c in ddl.split(", ")]
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sk = sketch_from_bytes(bytes(row["sketch"]))
+                fn = getattr(sk, "top", None)
+                if fn is None:
+                    raise UsageError(
+                        f"sketch {sketch_name!r} ({type(sk).__name__}) "
+                        "does not support 'top'")
+                base = [row[c] for c in pdf.columns
+                        if c not in ("sketch", "sketch_name", "rows_seen")]
+                for rank, (item, cnt, err) in enumerate(fn(m), start=1):
+                    rows.append(base + [rank, item, cnt, err])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (st.mapInPandas(run, schema=ddl)
+            .orderBy(*group_cols, "rank"))
 
 
 def resolve_drift_versions(versions: list[tuple[int, dict]],

@@ -495,6 +495,77 @@ def test_stream_empty_drop_dir_is_noop(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ck2"))
 
 
+def test_topk_exact_when_capacity_exceeds_universe(spark, seq_dir, tmp_path):
+    """k >= the distinct-item universe means SpaceSaving never evicts:
+    the warehouse top-m must equal the exact per-group frequency
+    ranking (count desc, item asc) with zero error bars — including
+    after an incremental second update (merge keeps exactness)."""
+    import os
+    from pyspark.sql import Window
+    from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
+    state = str(tmp_path / "state")
+    specs = [SketchSpec("spacesaving", lambda: SpaceSaving(k=2048),
+                        array_extractor("tokens"))]
+    files = parquet_file_list(seq_dir)
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    for f in files[:4]:
+        shutil.copy(f, drop)
+    R.rollup_update(spark, drop, state, specs,
+                    group_cols=("source",), salt_buckets=4)
+    for f in files[4:]:
+        shutil.copy(f, drop)
+    R.rollup_update(spark, drop, state, specs,
+                    group_cols=("source",), salt_buckets=4)
+    got = R.rollup_topk(spark, state, "spacesaving", m=5).collect()
+    exact = (spark.read.parquet(seq_dir)
+             .select("source", F.explode("tokens").alias("item"))
+             .groupBy("source", "item").count()
+             .withColumn("rank", F.row_number().over(
+                 Window.partitionBy("source")
+                 .orderBy(F.desc("count"), F.asc("item"))))
+             .where(F.col("rank") <= 5).collect())
+    em = {(r["source"], r["rank"]): (r["item"], r["count"]) for r in exact}
+    assert got and len(got) == len(em)
+    for r in got:
+        item, cnt = em[(r["source"], r["rank"])]
+        assert (r["item"], r["count_est"], r["count_err"]) == (item, cnt, 0)
+
+
+def test_topk_cli_guarantee_and_unsupported_sketch(spark, seq_dir, tmp_path,
+                                                   capsys):
+    """Small-k SpaceSaving overestimates but never past its error bar:
+    every CLI topk row must satisfy est - err <= true <= est. A stored
+    family without `.top` (hll) is a clean JSON error, not a crash."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "update", "--input", seq_dir, "--state", state,
+        "--group-cols", "source", "--tokens-col", "tokens",
+        "--sketches", "spacesaving,hll", "--ss-k", "16",
+        "--salt-buckets", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = rollup_sketches.main(["topk", "--state", state, "--m", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    true = {(r["source"], r["item"]): r["count"] for r in
+            (spark.read.parquet(seq_dir)
+             .select("source", F.explode("tokens").alias("item"))
+             .groupBy("source", "item").count()).collect()}
+    assert out["rows"]
+    for r in out["rows"]:
+        t = true[(r["source"], r["item"])]
+        assert r["count_est"] - r["count_err"] <= t <= r["count_est"]
+        assert 1 <= r["rank"] <= 3
+    rc = rollup_sketches.main(["topk", "--state", state, "--sketch", "hll"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err
+
+
 def test_resolve_drift_versions_snapshot():
     """Pure resolution over one rollup_versions listing: defaults pick
     (previous, latest); explicit picks validate against the snapshot."""
