@@ -154,6 +154,16 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--m", type=int, default=10,
                     help="ranks to emit per group")
 
+    td = sub.add_parser("topk-drift", help="heavy-hitter churn between "
+                        "two committed versions (entered/left/moved)")
+    td.add_argument("--state", required=True)
+    td.add_argument("--sketch", default="spacesaving")
+    td.add_argument("--m", type=int, default=10)
+    td.add_argument("--from", dest="v_from", type=int, default=None,
+                    help="baseline version (default: previous committed)")
+    td.add_argument("--to", dest="v_to", type=int, default=None,
+                    help="target version (default: latest committed)")
+
     dr = sub.add_parser("drift", help="per-group drift between two "
                         "committed versions, from blobs only")
     dr.add_argument("--state", required=True)
@@ -217,6 +227,17 @@ def main(argv: list[str] | None = None) -> int:
             rows = R.rollup_topk(spark, args.state, args.sketch,
                                  m=args.m).collect()
             print(json.dumps({"sketch": args.sketch, "m": args.m,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "topk-drift":
+            versions = R.rollup_versions(spark, args.state)
+            v_from, v_to = R.resolve_drift_versions(versions, args.v_from,
+                                                    args.v_to)
+            rows = R.rollup_topk_drift(spark, args.state, args.sketch,
+                                       m=args.m, v_from=v_from, v_to=v_to,
+                                       _versions=versions).collect()
+            print(json.dumps({"sketch": args.sketch, "m": args.m,
+                              "from": v_from, "to": v_to,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
         elif args.cmd == "drift":

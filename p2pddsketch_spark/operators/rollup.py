@@ -66,8 +66,8 @@ from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
 
 __all__ = ["rollup_update", "rollup_stream_update", "rollup_state",
            "rollup_versions", "rollup_quantiles", "rollup_cardinality",
-           "rollup_topk", "rollup_drift", "resolve_drift_versions",
-           "rollup_prune"]
+           "rollup_topk", "rollup_drift", "rollup_topk_drift",
+           "resolve_drift_versions", "rollup_prune"]
 
 _PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
                  "build_secs", "sketch"]
@@ -588,6 +588,60 @@ def rollup_topk(spark: SparkSession, state_dir: str,
 
     return (st.mapInPandas(run, schema=ddl)
             .orderBy(*group_cols, "rank"))
+
+
+def rollup_topk_drift(spark: SparkSession, state_dir: str,
+                      sketch_name: str = "spacesaving", m: int = 10,
+                      v_from: int | None = None,
+                      v_to: int | None = None,
+                      _versions: list | None = None) -> DataFrame:
+    """Heavy-hitter churn between two committed versions of one rollup
+    state: which items ENTERED each group's top-m, which LEFT, and how
+    the survivors' counts moved — all from stored SpaceSaving blobs,
+    O(groups · k), zero input re-scan. The set-churn complement of
+    `rollup_drift`'s quantile deltas: a p99 that held steady while the
+    top token ids turned over is exactly the regression quantile drift
+    cannot see.
+
+    Output: (group…, item, rank_from, rank_to, count_from, count_to,
+    delta, status) where status is 'entered' (in the to-side top-m
+    only), 'left' (from-side only), or 'moved' (both sides; delta =
+    count_to - count_from, which for a monotone ingest-only stream is
+    the item's count gained between the versions). Counts carry each
+    side's SpaceSaving overestimate; at k ≥ universe they are exact.
+    Defaults compare the previous committed version to the latest,
+    resolved by `resolve_drift_versions`."""
+    versions = (_versions if _versions is not None
+                else rollup_versions(spark, state_dir))
+    v_from, v_to = resolve_drift_versions(versions, v_from, v_to)
+    gcols = tuple(dict(versions)[v_to]["group_cols"])
+
+    def side(version: int, suffix: str) -> DataFrame:
+        df = rollup_topk(spark, state_dir, sketch_name, m=m,
+                         version=version, _versions=versions)
+        return (df.drop("count_err")
+                .withColumnRenamed("rank", f"rank_{suffix}")
+                .withColumnRenamed("count_est", f"count_{suffix}"))
+
+    a = side(v_from, "from")
+    b = side(v_to, "to")
+    keys = list(gcols) + ["item"]
+    cond = None
+    for k in keys:
+        c = a[k].eqNullSafe(b[k])
+        cond = c if cond is None else cond & c
+    joined = a.join(b, cond, "full_outer")
+    out_keys = [F.coalesce(a[k], b[k]).alias(k) for k in keys]
+    status = (F.when(a["rank_from"].isNull(), F.lit("entered"))
+              .when(b["rank_to"].isNull(), F.lit("left"))
+              .otherwise(F.lit("moved")))
+    return (joined.select(
+        *out_keys, a["rank_from"], b["rank_to"],
+        a["count_from"], b["count_to"],
+        (b["count_to"] - a["count_from"]).alias("delta"),
+        status.alias("status"))
+        .orderBy(*gcols, F.coalesce(F.col("rank_to"), F.lit(1 << 30)),
+                 "rank_from"))
 
 
 def resolve_drift_versions(versions: list[tuple[int, dict]],

@@ -566,6 +566,97 @@ def test_topk_cli_guarantee_and_unsupported_sketch(spark, seq_dir, tmp_path,
     assert "error" in err
 
 
+def test_topk_drift_churn_matches_exact_rankings(spark, seq_dir, tmp_path):
+    """Top-k churn between two committed versions must agree with the
+    exact per-version rankings computed independently: every to-side
+    top-m item is 'entered' or 'moved', every vanished from-side item
+    is 'left', and at k >= universe the survivor deltas equal the exact
+    count gained between the versions."""
+    import os
+    from pyspark.sql import Window
+    from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
+    state = str(tmp_path / "state")
+    specs = [SketchSpec("spacesaving", lambda: SpaceSaving(k=2048),
+                        array_extractor("tokens"))]
+    files = parquet_file_list(seq_dir)
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    for f in files[:4]:
+        shutil.copy(f, drop)
+    R.rollup_update(spark, drop, state, specs,
+                    group_cols=("source",), salt_buckets=4)
+    for f in files[4:]:
+        shutil.copy(f, drop)
+    R.rollup_update(spark, drop, state, specs,
+                    group_cols=("source",), salt_buckets=4)
+
+    m = 5
+    got = R.rollup_topk_drift(spark, state, "spacesaving", m=m).collect()
+
+    def exact_top(paths):
+        w = Window.partitionBy("source").orderBy(F.desc("count"),
+                                                 F.asc("item"))
+        return {(r["source"], r["item"]): (r["rank"], r["count"]) for r in
+                (spark.read.parquet(*paths)
+                 .select("source", F.explode("tokens").alias("item"))
+                 .groupBy("source", "item").count()
+                 .withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= m)).collect()}
+
+    t1 = exact_top([os.path.join(drop, os.path.basename(f))
+                    for f in files[:4]])
+    t2 = exact_top([drop])
+    assert {(r["source"], r["item"]) for r in got} == set(t1) | set(t2)
+    # exact full-corpus counts for survivor delta verification
+    full = {(r["source"], r["item"]): r["count"] for r in
+            (spark.read.parquet(drop)
+             .select("source", F.explode("tokens").alias("item"))
+             .groupBy("source", "item").count()).collect()}
+    for r in got:
+        key = (r["source"], r["item"])
+        if key in t1 and key in t2:
+            assert r["status"] == "moved"
+            assert (r["rank_from"], r["count_from"]) == t1[key]
+            assert (r["rank_to"], r["count_to"]) == t2[key]
+            assert r["delta"] == full[key] - t1[key][1]
+        elif key in t2:
+            assert r["status"] == "entered" and r["rank_from"] is None \
+                and r["count_from"] is None and r["delta"] is None
+            assert (r["rank_to"], r["count_to"]) == t2[key]
+        else:
+            assert r["status"] == "left" and r["rank_to"] is None
+            assert (r["rank_from"], r["count_from"]) == t1[key]
+
+
+def test_topk_drift_cli_roundtrip(spark, seq_dir, tmp_path, capsys):
+    import sys
+    import os
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    state = str(tmp_path / "state")
+    files = parquet_file_list(seq_dir)
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    for f in files[:4]:
+        shutil.copy(f, drop)
+    common = ["--state", state, "--group-cols", "source",
+              "--tokens-col", "tokens", "--sketches", "spacesaving",
+              "--ss-k", "32", "--salt-buckets", "4"]
+    assert rollup_sketches.main(["update", "--input", drop] + common) == 0
+    for f in files[4:]:
+        shutil.copy(f, drop)
+    assert rollup_sketches.main(["update", "--input", drop] + common) == 0
+    capsys.readouterr()
+    rc = rollup_sketches.main(["topk-drift", "--state", state, "--m", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["from"] == 1 and out["to"] == 2 and out["rows"]
+    assert {r["status"] for r in out["rows"]} <= {"entered", "left", "moved"}
+    moved = [r for r in out["rows"] if r["status"] == "moved"]
+    assert moved and all(r["delta"] == r["count_to"] - r["count_from"]
+                         for r in moved)
+
+
 def test_resolve_drift_versions_snapshot():
     """Pure resolution over one rollup_versions listing: defaults pick
     (previous, latest); explicit picks validate against the snapshot."""
