@@ -17,10 +17,12 @@ state's manifest and merges them with the stored per-group blobs
 (associative merge ⇒ identical to a full rebuild); `stream` does the
 same continuously (one availableNow Structured-Streaming pass per
 invocation, replayed micro-batches fenced by manifest file lineage);
-`query` / `cardinality` / `topk` / `drift` answer from the stored
-blobs with zero input re-scan (`topk` ranks per-group heavy hitters
-from SpaceSaving blobs; `drift` compares two committed versions per
-group — the monitoring query versioning exists for).
+`query` / `cardinality` / `topk` / `drift` / `topk-drift` answer from
+the stored blobs with zero input re-scan (`topk` ranks per-group heavy
+hitters from SpaceSaving blobs; `drift` and `topk-drift` compare two
+committed versions per group — the monitoring queries versioning
+exists for; `--version` time-travels any point query to an older
+committed version).
 Each subcommand prints one JSON line. Errors print a {"error": ...}
 JSON line and exit 1 (same contract as jobs/optimize_table.py).
 """
@@ -142,10 +144,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--state", required=True)
     q.add_argument("--sketch", default="dds")
     q.add_argument("--quantiles", default="0.5,0.95,0.99,0.999")
+    q.add_argument("--version", type=int, default=None,
+                   help="committed version to query (default: latest)")
 
     card = sub.add_parser("cardinality", help="distinct counts from blobs")
     card.add_argument("--state", required=True)
     card.add_argument("--sketch", default="hll")
+    card.add_argument("--version", type=int, default=None,
+                      help="committed version to query (default: latest)")
 
     tk = sub.add_parser("topk", help="per-group heavy hitters from "
                         "stored SpaceSaving blobs")
@@ -153,6 +159,8 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--sketch", default="spacesaving")
     tk.add_argument("--m", type=int, default=10,
                     help="ranks to emit per group")
+    tk.add_argument("--version", type=int, default=None,
+                    help="committed version to query (default: latest)")
 
     td = sub.add_parser("topk-drift", help="heavy-hitter churn between "
                         "two committed versions (entered/left/moved)")
@@ -213,19 +221,19 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "query":
             qs = [float(x) for x in args.quantiles.split(",") if x]
             rows = R.rollup_quantiles(spark, args.state, args.sketch,
-                                      qs).collect()
+                                      qs, version=args.version).collect()
             print(json.dumps({"sketch": args.sketch,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
         elif args.cmd == "cardinality":
-            rows = R.rollup_cardinality(spark, args.state,
-                                        args.sketch).collect()
+            rows = R.rollup_cardinality(spark, args.state, args.sketch,
+                                        version=args.version).collect()
             print(json.dumps({"sketch": args.sketch,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
         elif args.cmd == "topk":
             rows = R.rollup_topk(spark, args.state, args.sketch,
-                                 m=args.m).collect()
+                                 m=args.m, version=args.version).collect()
             print(json.dumps({"sketch": args.sketch, "m": args.m,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))

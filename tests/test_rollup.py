@@ -655,6 +655,16 @@ def test_topk_drift_cli_roundtrip(spark, seq_dir, tmp_path, capsys):
     moved = [r for r in out["rows"] if r["status"] == "moved"]
     assert moved and all(r["delta"] == r["count_to"] - r["count_from"]
                          for r in moved)
+    # --version time-travel: the v1 top-k through the CLI must restate
+    # the drift rows' from-side exactly
+    rc = rollup_sketches.main(["topk", "--state", state, "--m", "4",
+                               "--version", "1"])
+    assert rc == 0
+    v1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    from_side = {(r["source"], r["item"]): (r["rank_from"], r["count_from"])
+                 for r in out["rows"] if r["rank_from"] is not None}
+    assert from_side == {(r["source"], r["item"]):
+                         (r["rank"], r["count_est"]) for r in v1["rows"]}
 
 
 def test_resolve_drift_versions_snapshot():
