@@ -53,8 +53,12 @@ from p2pddsketch_spark.sketches.moments import MomentSketch
 from p2pddsketch_spark.sketches.req import ReqSketch
 from p2pddsketch_spark.sketches.weightedk import WeightedTopK
 from p2pddsketch_spark.sketches.ams import AmsSketch
+from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
+from p2pddsketch_spark.sketches.eh import ExpHistogram
+from p2pddsketch_spark.sketches.ecm import EcmSketch
 
 __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
+           "pair_extractor",
            "build_sketches", "build_partials", "merge_partials",
            "build_sketches_from_files", "build_partials_from_files",
            "parquet_file_list", "collect_sketches", "merge_blobs",
@@ -86,6 +90,9 @@ SKETCH_TYPES = {
     b"MOM1": MomentSketch,
     b"REQ1": ReqSketch,
     b"AMS1": AmsSketch,
+    b"SHL1": SlidingHyperLogLog,
+    b"EXH1": ExpHistogram,
+    b"ECM1": EcmSketch,
 }
 
 
@@ -136,6 +143,29 @@ def scalar_extractor(column: str) -> Callable[[pa.RecordBatch], np.ndarray]:
         return col.to_numpy(zero_copy_only=False).astype(np.float64)
     extract.columns = [column]
     extract.key = f"scalar:{column}"
+    return extract
+
+
+def pair_extractor(value_col: str, ts_col: str) -> Callable[[pa.RecordBatch], np.ndarray]:
+    """Extract two int64-able columns as an (n, 2) [value, ts] array for
+    the sliding-window sketches (SlidingHyperLogLog / EcmSketch /
+    ExpHistogram), which need each observation's timestamp alongside its
+    identity. Timestamp columns become int64 epoch units (Arrow's native
+    resolution); rows where either side is null are dropped (the same
+    explicit null policy as scalar_extractor)."""
+    def _int64(col: pa.Array) -> np.ndarray:
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def extract(batch: pa.RecordBatch) -> np.ndarray:
+        v, t = batch.column(value_col), batch.column(ts_col)
+        if v.null_count or t.null_count:
+            ok = pa.compute.and_(v.is_valid(), t.is_valid())
+            v, t = v.filter(ok), t.filter(ok)
+        return np.column_stack((_int64(v), _int64(t)))
+    extract.columns = [value_col, ts_col]
+    extract.key = f"pair:{value_col}:{ts_col}"
     return extract
 
 
