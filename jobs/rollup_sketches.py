@@ -17,12 +17,16 @@ state's manifest and merges them with the stored per-group blobs
 (associative merge ⇒ identical to a full rebuild); `stream` does the
 same continuously (one availableNow Structured-Streaming pass per
 invocation, replayed micro-batches fenced by manifest file lineage);
-`query` / `cardinality` / `topk` / `drift` / `topk-drift` answer from
-the stored blobs with zero input re-scan (`topk` ranks per-group heavy
-hitters from SpaceSaving blobs; `drift` and `topk-drift` compare two
-committed versions per group — the monitoring queries versioning
-exists for; `--version` time-travels any point query to an older
-committed version).
+`query` / `cardinality` / `topk` / `drift` / `topk-drift` /
+`window-cardinality` / `window-count` answer from the stored blobs with
+zero input re-scan (`topk` ranks per-group heavy hitters from
+SpaceSaving blobs; `drift` and `topk-drift` compare two committed
+versions per group — the monitoring queries versioning exists for;
+`window-cardinality` / `window-count` / `window-rows` answer
+trailing-event-time-window distinct/frequency/rate questions from the
+sliding families
+`--sketches shll,ecm,eh` + `--ts-col`; `--version` time-travels any
+point query to an older committed version).
 Each subcommand prints one JSON line. Errors print a {"error": ...}
 JSON line and exit 1 (same contract as jobs/optimize_table.py).
 """
@@ -38,16 +42,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
-           names: str | None = None, ss_k: int = 64):
+           names: str | None = None, ss_k: int = 64,
+           ts_col: str | None = None, eh_k: int = 32,
+           ecm_width: int = 2048):
     """Build the sketch-family specs for `--sketches`. Scalar families
     ingest `value_col`; token families ingest the `tokens_col` arrays
     (and require it — EXPLICITLY requested token families without a
     tokens column error; only the implicit default's hll is silently
-    skipped). names=None means the default set (dds, plus hll when a
-    tokens column exists)."""
+    skipped); sliding-window families (shll/ecm key on `value_col`, eh
+    counts rows) additionally require `ts_col` for event time.
+    names=None means the default set (dds, plus hll when a tokens
+    column exists)."""
     from p2pddsketch_spark.errors import UsageError
     from p2pddsketch_spark.operators.harness import (SketchSpec,
                                                      array_extractor,
+                                                     pair_extractor,
                                                      scalar_extractor)
     from p2pddsketch_spark.sketches.bloom import BloomFilter
     from p2pddsketch_spark.sketches.cms import CountMinSketch
@@ -73,6 +82,14 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
         "bloom": lambda: BloomFilter(m_bits=1 << 21, k=5),
         "spacesaving": lambda: SpaceSaving(k=ss_k),
     }
+    from p2pddsketch_spark.sketches.ecm import EcmSketch
+    from p2pddsketch_spark.sketches.eh import ExpHistogram
+    from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
+    sliding = {
+        "shll": lambda: SlidingHyperLogLog(p=hll_p),
+        "ecm": lambda: EcmSketch(depth=4, width=ecm_width, k=eh_k),
+        "eh": lambda: ExpHistogram(k=eh_k),
+    }
     explicit = names is not None
     specs, seen = [], set()
     for n in [x for x in (names or "dds,hll").split(",") if x]:
@@ -90,10 +107,21 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
                 raise UsageError(f"sketch family {n!r} ingests token "
                                  "arrays: pass --tokens-col")
             specs.append(SketchSpec(n, tokens[n], array_extractor(tokens_col)))
+        elif n in sliding:
+            if not ts_col:
+                raise UsageError(f"sketch family {n!r} is sliding-window: "
+                                 "pass --ts-col")
+            if n == "eh":
+                # row counts over time: only the timestamp column matters
+                specs.append(SketchSpec(n, sliding[n],
+                                        scalar_extractor(ts_col)))
+            else:
+                specs.append(SketchSpec(n, sliding[n],
+                                        pair_extractor(value_col, ts_col)))
         else:
             raise UsageError(
                 f"unknown sketch family {n!r} (scalar: {sorted(scalar)}; "
-                f"token: {sorted(tokens)})")
+                f"token: {sorted(tokens)}; sliding: {sorted(sliding)})")
     if not specs:
         raise UsageError("--sketches selected no families")
     return specs
@@ -116,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--files-per-task", type=int, default=4)
     up.add_argument("--ss-k", type=int, default=64,
                     help="SpaceSaving capacity (spacesaving family)")
+    up.add_argument("--ts-col", default=None,
+                    help="event-time column (required by the sliding "
+                    "families shll/ecm/eh)")
+    up.add_argument("--eh-k", type=int, default=32,
+                    help="exponential-histogram k (eh/ecm families)")
+    up.add_argument("--ecm-width", type=int, default=2048,
+                    help="ECM count-min width (ecm family)")
     up.add_argument("--sketches", default=None,
                     help="comma-separated sketch families to build "
                     "(default: dds, plus hll when --tokens-col is given)")
@@ -136,6 +171,13 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--max-files-per-trigger", type=int, default=None)
     st.add_argument("--ss-k", type=int, default=64,
                     help="SpaceSaving capacity (spacesaving family)")
+    st.add_argument("--ts-col", default=None,
+                    help="event-time column (required by the sliding "
+                    "families shll/ecm/eh)")
+    st.add_argument("--eh-k", type=int, default=32,
+                    help="exponential-histogram k (eh/ecm families)")
+    st.add_argument("--ecm-width", type=int, default=2048,
+                    help="ECM count-min width (ecm family)")
     st.add_argument("--sketches", default=None,
                     help="comma-separated sketch families to build "
                     "(default: dds, plus hll when --tokens-col is given)")
@@ -172,6 +214,53 @@ def main(argv: list[str] | None = None) -> int:
     td.add_argument("--to", dest="v_to", type=int, default=None,
                     help="target version (default: latest committed)")
 
+    wc = sub.add_parser("window-cardinality", help="trailing-window "
+                        "distinct counts from stored SlidingHLL blobs")
+    wc.add_argument("--state", required=True)
+    wc.add_argument("--sketch", default="shll")
+    wc.add_argument("--windows", required=True,
+                    help="comma-separated trailing windows: plain ints "
+                    "are the ts column's native units; s/m/h/d suffixes "
+                    "scale via --ts-unit (e.g. '15m,1h,1d')")
+    wc.add_argument("--ts-unit", default="us", choices=["us", "ms", "s"],
+                    help="native unit of the ingested ts column "
+                    "(Spark timestamp columns are us)")
+    wc.add_argument("--now", type=int, default=None,
+                    help="window anchor in native units (default: each "
+                    "group's newest-seen timestamp)")
+    wc.add_argument("--version", type=int, default=None,
+                    help="committed version to query (default: latest)")
+
+    wr = sub.add_parser("window-rows", help="trailing-window row counts "
+                        "from stored ExpHistogram blobs (ingest rate)")
+    wr.add_argument("--state", required=True)
+    wr.add_argument("--sketch", default="eh")
+    wr.add_argument("--windows", required=True,
+                    help="comma-separated trailing windows (same parsing "
+                    "as window-cardinality)")
+    wr.add_argument("--ts-unit", default="us", choices=["us", "ms", "s"])
+    wr.add_argument("--now", type=int, default=None,
+                    help="window anchor in native units (default: each "
+                    "group's newest-seen timestamp)")
+    wr.add_argument("--version", type=int, default=None,
+                    help="committed version to query (default: latest)")
+
+    wk = sub.add_parser("window-count", help="trailing-window frequency "
+                        "estimates for specific keys from ECM blobs")
+    wk.add_argument("--state", required=True)
+    wk.add_argument("--sketch", default="ecm")
+    wk.add_argument("--keys", required=True,
+                    help="comma-separated int64 keys to estimate")
+    wk.add_argument("--windows", required=True,
+                    help="comma-separated trailing windows (same parsing "
+                    "as window-cardinality)")
+    wk.add_argument("--ts-unit", default="us", choices=["us", "ms", "s"])
+    wk.add_argument("--now", type=int, default=None,
+                    help="window anchor in native units (default: each "
+                    "group's newest-seen timestamp)")
+    wk.add_argument("--version", type=int, default=None,
+                    help="committed version to query (default: latest)")
+
     dr = sub.add_parser("drift", help="per-group drift between two "
                         "committed versions, from blobs only")
     dr.add_argument("--state", required=True)
@@ -192,6 +281,23 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--keep", type=int, default=2)
 
     args = ap.parse_args(argv)
+
+    def _windows(spec: str, unit: str) -> list[int]:
+        """'15m,1h,86400' -> native-unit ints; suffixed values scale by
+        the ts column's unit, plain ints pass through untouched."""
+        scale = {"us": 1_000_000, "ms": 1_000, "s": 1}[unit]
+        per = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+        out = []
+        for tok in (t for t in spec.split(",") if t):
+            if tok[-1] in per and tok[:-1].lstrip("-").isdigit():
+                out.append(int(tok[:-1]) * per[tok[-1]] * scale)
+            elif tok.lstrip("-").isdigit():
+                out.append(int(tok))
+            else:
+                from p2pddsketch_spark.errors import UsageError
+                raise UsageError(f"bad window {tok!r} (int or s/m/h/d suffix)")
+        return out
+
     from pyspark.sql import SparkSession
     from p2pddsketch_spark.operators import rollup as R
     spark = (SparkSession.builder
@@ -204,7 +310,9 @@ def main(argv: list[str] | None = None) -> int:
             stats = R.rollup_update(
                 spark, args.input, args.state,
                 _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p,
-                       names=args.sketches, ss_k=args.ss_k),
+                       names=args.sketches, ss_k=args.ss_k,
+                       ts_col=args.ts_col, eh_k=args.eh_k,
+                       ecm_width=args.ecm_width),
                 group_cols=gcols, salt_buckets=args.salt_buckets,
                 files_per_task=args.files_per_task)
             print(json.dumps(stats, sort_keys=True))
@@ -213,7 +321,9 @@ def main(argv: list[str] | None = None) -> int:
             stats = R.rollup_stream_update(
                 spark, args.input, args.state,
                 _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p,
-                       names=args.sketches, ss_k=args.ss_k),
+                       names=args.sketches, ss_k=args.ss_k,
+                       ts_col=args.ts_col, eh_k=args.eh_k,
+                       ecm_width=args.ecm_width),
                 group_cols=gcols, checkpoint_dir=args.checkpoint,
                 salt_buckets=args.salt_buckets,
                 max_files_per_trigger=args.max_files_per_trigger)
@@ -246,6 +356,34 @@ def main(argv: list[str] | None = None) -> int:
                                        _versions=versions).collect()
             print(json.dumps({"sketch": args.sketch, "m": args.m,
                               "from": v_from, "to": v_to,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "window-cardinality":
+            wins = _windows(args.windows, args.ts_unit)
+            rows = R.rollup_window_cardinality(
+                spark, args.state, wins, sketch_name=args.sketch,
+                now=args.now, version=args.version).collect()
+            print(json.dumps({"sketch": args.sketch, "windows": wins,
+                              "now": args.now,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "window-rows":
+            wins = _windows(args.windows, args.ts_unit)
+            rows = R.rollup_window_rows(
+                spark, args.state, wins, sketch_name=args.sketch,
+                now=args.now, version=args.version).collect()
+            print(json.dumps({"sketch": args.sketch, "windows": wins,
+                              "now": args.now,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "window-count":
+            wins = _windows(args.windows, args.ts_unit)
+            keys = [int(k) for k in args.keys.split(",") if k]
+            rows = R.rollup_window_counts(
+                spark, args.state, keys, wins, sketch_name=args.sketch,
+                now=args.now, version=args.version).collect()
+            print(json.dumps({"sketch": args.sketch, "windows": wins,
+                              "keys": keys, "now": args.now,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
         elif args.cmd == "drift":

@@ -67,6 +67,8 @@ from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
 __all__ = ["rollup_update", "rollup_stream_update", "rollup_state",
            "rollup_versions", "rollup_quantiles", "rollup_cardinality",
            "rollup_topk", "rollup_drift", "rollup_topk_drift",
+           "rollup_window_cardinality", "rollup_window_counts",
+           "rollup_window_rows",
            "resolve_drift_versions", "rollup_prune"]
 
 _PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
@@ -588,6 +590,153 @@ def rollup_topk(spark: SparkSession, state_dir: str,
 
     return (st.mapInPandas(run, schema=ddl)
             .orderBy(*group_cols, "rank"))
+
+
+def rollup_window_cardinality(spark: SparkSession, state_dir: str,
+                              windows: list[int], sketch_name: str = "shll",
+                              now: int | None = None,
+                              version: int | None = None,
+                              _versions: list | None = None) -> DataFrame:
+    """Trailing-window distinct counts straight from stored
+    SlidingHyperLogLog blobs: "how many distinct ids did each group see
+    in the last hour / day / week, as of the committed state" — every
+    window answered from ONE stored sketch per group, zero input
+    re-scan (`sketches/sliding_hll.py`; the windowed registers are
+    byte-identical to a fresh HLL over just the window, so estimates
+    carry plain HLL++ accuracy).
+
+    Windows are in the ingested timestamp column's native units (epoch
+    microseconds for Spark timestamp columns). `now` anchors the
+    windows; None uses each group's own newest-seen timestamp, which
+    compares activity-relative windows — pass an explicit warehouse
+    clock for cross-group comparability. Output: (group…, window,
+    estimate, rows_seen)."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
+    gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                   for c in group_cols)
+    ddl = f"{gddl}window long, estimate double, rows_seen long"
+    cols = [c.split(" ")[0] for c in ddl.split(", ")]
+    wins = [int(w) for w in windows]
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sk = sketch_from_bytes(bytes(row["sketch"]))
+                fn = getattr(sk, "distinct_in_last", None)
+                if fn is None:
+                    raise UsageError(
+                        f"sketch {sketch_name!r} ({type(sk).__name__}) "
+                        "does not support 'distinct_in_last'")
+                base = [row[c] for c in pdf.columns
+                        if c not in ("sketch", "sketch_name", "rows_seen")]
+                empty = sk.n_pairs == 0
+                for w in wins:
+                    est = np.nan if empty else float(fn(w, now=now))
+                    rows.append(base + [w, est, int(row["rows_seen"])])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (st.mapInPandas(run, schema=ddl)
+            .orderBy(*group_cols, "window"))
+
+
+def rollup_window_rows(spark: SparkSession, state_dir: str,
+                       windows: list[int], sketch_name: str = "eh",
+                       now: int | None = None,
+                       version: int | None = None,
+                       _versions: list | None = None) -> DataFrame:
+    """Trailing-window ROW counts from stored ExpHistogram blobs
+    (`sketches/eh.py`): per-group ingest-rate monitoring — "how many
+    events landed in each group in the last hour / day" — answered from
+    one stored bucket table per group with the per-query hard error
+    receipt (|estimate - truth| <= err_bound, any arrival order).
+    Window units / `now` semantics match `rollup_window_cardinality`.
+    Output: (group…, window, estimate, err_bound)."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
+    gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                   for c in group_cols)
+    ddl = f"{gddl}window long, estimate double, err_bound double"
+    cols = [c.split(" ")[0] for c in ddl.split(", ")]
+    wins = [int(w) for w in windows]
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sk = sketch_from_bytes(bytes(row["sketch"]))
+                fn = getattr(sk, "count_last", None)
+                if fn is None:
+                    raise UsageError(
+                        f"sketch {sketch_name!r} ({type(sk).__name__}) "
+                        "does not support 'count_last'")
+                base = [row[c] for c in pdf.columns
+                        if c not in ("sketch", "sketch_name", "rows_seen")]
+                empty = sk.n_buckets == 0
+                for w in wins:
+                    est, err = ((np.nan, np.nan) if empty
+                                else fn(w, now=now))
+                    rows.append(base + [w, float(est), float(err)])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (st.mapInPandas(run, schema=ddl)
+            .orderBy(*group_cols, "window"))
+
+
+def rollup_window_counts(spark: SparkSession, state_dir: str,
+                         keys: list[int], windows: list[int],
+                         sketch_name: str = "ecm",
+                         now: int | None = None,
+                         version: int | None = None,
+                         _versions: list | None = None) -> DataFrame:
+    """Trailing-window frequency estimates for specific keys from stored
+    ECM-sketch blobs (`sketches/ecm.py`): "how often did id x occur in
+    each group in the last hour / day", every (key, window) answered
+    from one stored sketch per group, zero input re-scan. Output rows
+    carry the per-query exponential-histogram error receipt:
+    est + err_bound is a HARD upper bound on the true windowed count,
+    and downward excursions are bounded by the count-min collision mass.
+    Window units / `now` semantics match `rollup_window_cardinality`.
+    Output: (group…, item, window, estimate, err_bound)."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
+    gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                   for c in group_cols)
+    ddl = f"{gddl}item long, window long, estimate double, err_bound double"
+    cols = [c.split(" ")[0] for c in ddl.split(", ")]
+    kq = np.asarray(sorted({int(k) for k in keys}), dtype=np.int64)
+    wins = [int(w) for w in windows]
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sk = sketch_from_bytes(bytes(row["sketch"]))
+                fn = getattr(sk, "estimate_last", None)
+                if fn is None:
+                    raise UsageError(
+                        f"sketch {sketch_name!r} ({type(sk).__name__}) "
+                        "does not support 'estimate_last'")
+                base = [row[c] for c in pdf.columns
+                        if c not in ("sketch", "sketch_name", "rows_seen")]
+                empty = sk.n_buckets == 0
+                for w in wins:
+                    if empty:
+                        est = np.full(kq.size, np.nan)
+                        err = np.full(kq.size, np.nan)
+                    else:
+                        est, err = fn(kq, w, now=now)
+                    for i, k in enumerate(kq):
+                        rows.append(base + [int(k), w, float(est[i]),
+                                            float(err[i])])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (st.mapInPandas(run, schema=ddl)
+            .orderBy(*group_cols, "item", "window"))
 
 
 def rollup_topk_drift(spark: SparkSession, state_dir: str,

@@ -874,3 +874,140 @@ def test_drift_cli_roundtrip(spark, seq_dir, tmp_path, capsys):
     assert out["rows"] and all("delta" in r for r in out["rows"])
     # ingest context comes from the manifests' cumulative metrics
     assert out["rows_ingested_between"]["dds"] > 0
+
+
+# ---------------------------------------------------- sliding-window families
+
+def test_sliding_warehouse_window_queries_match_exact(spark, tmp_path, capsys):
+    """shll/ecm/eh families through the full warehouse path: update from
+    events, then answer trailing-window distinct / frequency / row-rate
+    questions from the stored blobs — pinned against exact pandas
+    recomputation (SHLL windows are byte-identical to fresh HLLs, so the
+    distinct estimate must EQUAL the fresh-HLL estimate; ECM/EH carry
+    their hard error receipts)."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    from p2pddsketch_spark.sketches.hll import HyperLogLog
+
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "update", "--input", f"{SF_DIR}/events.parquet", "--state", state,
+        "--group-cols", "event_type", "--value-col", "user_id",
+        "--ts-col", "ts", "--sketches", "shll,ecm,eh",
+        "--hll-p", "12", "--ecm-width", "512", "--salt-buckets", "4"])
+    assert rc == 0
+    capsys.readouterr()
+
+    pdf = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+           .select("event_type", "user_id", "ts").toPandas())
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    day_us = 86_400_000_000
+
+    # window-cardinality: per-group estimate == fresh HLL over the window
+    rc = rollup_sketches.main([
+        "window-cardinality", "--state", state, "--windows", "7d"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["windows"] == [7 * day_us]
+    for row in out["rows"]:
+        g = pdf["event_type"] == row["event_type"]
+        cutoff = ts_us[g].max() - 7 * day_us + 1
+        win_vals = pdf.loc[g & (ts_us >= cutoff), "user_id"].to_numpy("int64")
+        fresh = HyperLogLog(p=12).update_batch(win_vals).cardinality()
+        assert row["estimate"] == pytest.approx(fresh)
+        exact = len(np.unique(win_vals))
+        assert row["estimate"] == pytest.approx(exact, rel=0.15)
+
+    # window-count: hard upper bound holds per (group, key)
+    keys = [int(k) for k in np.unique(pdf["user_id"])[:5]]
+    rc = rollup_sketches.main([
+        "window-count", "--state", state,
+        "--keys", ",".join(map(str, keys)), "--windows", "3d"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"]
+    for row in out["rows"]:
+        g = pdf["event_type"] == row["event_type"]
+        cutoff = ts_us[g].max() - 3 * day_us
+        true = int((g & (ts_us > cutoff)
+                    & (pdf["user_id"] == row["item"])).sum())
+        assert row["estimate"] + row["err_bound"] + 1e-6 >= true
+
+    # window-rows: |estimate - truth| <= err_bound per group
+    rc = rollup_sketches.main([
+        "window-rows", "--state", state, "--windows", "1d,30d"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"]
+    for row in out["rows"]:
+        g = pdf["event_type"] == row["event_type"]
+        cutoff = ts_us[g].max() - row["window"]
+        true = int((g & (ts_us > cutoff)).sum())
+        assert abs(row["estimate"] - true) <= row["err_bound"] + 1e-6
+
+
+def test_sliding_incremental_shll_byte_identical(spark, tmp_path):
+    """Split ingest of the shll family == one-shot, byte-identical blobs
+    (the skyline is canonical, so warehouse increments commute)."""
+    from p2pddsketch_spark.operators.harness import pair_extractor
+    from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a_dir = str(tmp_path / "a")
+    b_dir = str(tmp_path / "b")
+    full_dir = str(tmp_path / "full")
+    ev.where(F.dayofmonth("ts") <= 15).write.parquet(a_dir)
+    ev.where(F.dayofmonth("ts") > 15).write.parquet(b_dir)
+    ev.write.parquet(full_dir)
+
+    def specs():
+        return [SketchSpec("shll", lambda: SlidingHyperLogLog(p=12),
+                           pair_extractor("user_id", "ts"))]
+
+    inc = str(tmp_path / "inc")
+    one = str(tmp_path / "one")
+    R.rollup_update(spark, a_dir, inc, specs(), group_cols=("event_type",))
+    R.rollup_update(spark, b_dir, inc, specs(), group_cols=("event_type",))
+    R.rollup_update(spark, full_dir, one, specs(), group_cols=("event_type",))
+    bi = {r["event_type"]: bytes(r["sketch"])
+          for r in R.rollup_state(spark, inc).collect()}
+    bo = {r["event_type"]: bytes(r["sketch"])
+          for r in R.rollup_state(spark, one).collect()}
+    assert bi == bo
+
+
+def test_sliding_family_without_ts_col_is_clean_error(spark, tmp_path,
+                                                      capsys):
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    rc = rollup_sketches.main([
+        "update", "--input", f"{SF_DIR}/events.parquet",
+        "--state", str(tmp_path / "state"),
+        "--value-col", "user_id", "--sketches", "shll"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "--ts-col" in err["error"]
+
+
+def test_window_query_on_wrong_family_is_clean_error(spark, tmp_path,
+                                                     capsys):
+    """window-cardinality over an eh blob (no distinct_in_last) must be
+    the documented one-line JSON error, not a traceback."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "update", "--input", f"{SF_DIR}/events.parquet", "--state", state,
+        "--group-cols", "event_type", "--value-col", "user_id",
+        "--ts-col", "ts", "--sketches", "eh", "--salt-buckets", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = rollup_sketches.main([
+        "window-cardinality", "--state", state, "--sketch", "eh",
+        "--windows", "1d"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "distinct_in_last" in err["error"]
