@@ -54,7 +54,7 @@ class EcmSketch:
     """d x width count-min of exponential-histogram counters."""
 
     __slots__ = ("depth", "width", "k", "seed", "cell", "size", "t_old",
-                 "t_new", "t_max")
+                 "t_new", "t_max", "_compacted_at")
 
     NEEDS_RAW = True  # harness feeds raw (key, ts) pair batches
 
@@ -73,6 +73,22 @@ class EcmSketch:
         self.t_old = np.zeros(0, dtype=np.int64)
         self.t_new = np.zeros(0, dtype=np.int64)
         self.t_max = _T_NONE
+        self._compacted_at = 0  # table size right after the last compaction
+
+    def _compact(self) -> None:
+        self.cell, self.size, self.t_old, self.t_new = compact_table(
+            self.cell, self.size, self.t_old, self.t_new, self.k)
+        self._compacted_at = int(self.cell.size)
+
+    def _ensure_compact(self) -> None:
+        """Amortized compaction: `update` only appends (queries and the
+        error receipts are correct on an un-canonicalized table, but it
+        must be SORTED and bounded before querying, serializing, or
+        merging). Recompacting every Arrow batch would rescan the whole
+        table per batch — O(table · batches); deferring to 2x growth
+        keeps the total compaction work O(n log n)."""
+        if self.cell.size > max(4096, 2 * self._compacted_at):
+            self._compact()
 
     @property
     def n_buckets(self) -> int:
@@ -119,12 +135,11 @@ class EcmSketch:
         np.add.at(sums, gid, gn)
         fc, ft = gc[newgrp], gt[newgrp]
         dc, ds, dt = decompose_counts(fc, ft, sums)
-        self.cell, self.size, self.t_old, self.t_new = compact_table(
-            np.concatenate((self.cell, dc)),
-            np.concatenate((self.size, ds)),
-            np.concatenate((self.t_old, dt)),
-            np.concatenate((self.t_new, dt)),
-            self.k)
+        self.cell = np.concatenate((self.cell, dc))
+        self.size = np.concatenate((self.size, ds))
+        self.t_old = np.concatenate((self.t_old, dt))
+        self.t_new = np.concatenate((self.t_new, dt))
+        self._ensure_compact()
         self.t_max = max(self.t_max, np.int64(t.max()))
         return self
 
@@ -144,12 +159,17 @@ class EcmSketch:
         if (self.depth, self.width, self.k, self.seed) != \
                 (other.depth, other.width, other.k, other.seed):
             raise ValueError("EcmSketch shape/seed mismatch")
+        # canonicalize BOTH sides first so the result is a function of
+        # the two serialized states — merge(a, b) == merge(b, a) bytes
+        self._compact()
+        other._compact()
         self.cell, self.size, self.t_old, self.t_new = compact_table(
             np.concatenate((self.cell, other.cell)),
             np.concatenate((self.size, other.size)),
             np.concatenate((self.t_old, other.t_old)),
             np.concatenate((self.t_new, other.t_new)),
             self.k)
+        self._compacted_at = int(self.cell.size)
         self.t_max = max(self.t_max, other.t_max)
         return self
 
@@ -164,6 +184,7 @@ class EcmSketch:
         kv = np.asarray(keys).astype(np.int64).ravel()
         if kv.size == 0:
             return (np.zeros(0), np.zeros(0))
+        self._compact()  # query_table needs the cell-sorted canonical table
         co = np.int64(cutoff) if cutoff is not None else _T_NONE
         cells = self._cells(kv)
         ests = np.empty((self.depth, kv.size), dtype=np.float64)
@@ -184,6 +205,7 @@ class EcmSketch:
     # --------------------------------------------------------- serialization
 
     def to_bytes(self) -> bytes:
+        self._compact()  # canonical wire state
         # bucket sizes are powers of two by construction: one byte of
         # log2 each instead of an int64 (21 B/bucket on the wire)
         logsz = np.log2(self.size.astype(np.float64)).astype(np.uint8) \
@@ -214,4 +236,5 @@ class EcmSketch:
         off += 8 * n
         s.t_new = np.frombuffer(data, dtype="<i8", count=n, offset=off).astype(np.int64)
         s.t_max = np.int64(t_max)
+        s._compacted_at = n  # wire state is canonical
         return s

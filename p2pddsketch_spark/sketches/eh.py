@@ -68,44 +68,68 @@ def compact_table(cell: np.ndarray, size: np.ndarray, t_old: np.ndarray,
     size = np.asarray(size, dtype=np.int64)
     t_old = np.asarray(t_old, dtype=np.int64)
     t_new = np.asarray(t_new, dtype=np.int64)
-    s = 1
-    max_size = int(size.max()) if size.size else 0
-    while s <= max_size:
-        sel = size == s
-        n_sel = int(np.count_nonzero(sel))
-        if n_sel:
-            c_sel = cell[sel]
-            # oldest-first within each cell: order by (cell, t_new, t_old)
-            order = np.lexsort((t_old[sel], t_new[sel], c_sel))
-            c_ord = c_sel[order]
-            uc, counts = np.unique(c_ord, return_counts=True)
-            merges = np.maximum(0, -(-(counts - k) // 2))  # ceil((m-k)/2)
-            if merges.any():
-                to_sel = np.flatnonzero(sel)[order]  # global rows, oldest first
-                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-                rank = np.arange(c_ord.size) - np.repeat(starts, counts)
-                lim = np.repeat(2 * merges, counts)
-                in_pair = rank < lim
-                pair_rows = to_sel[in_pair]             # 2j oldest per cell
-                # pairs are (even_i, odd_i): consecutive oldest buckets of
-                # the same cell; evens/odds interleave identically across
-                # the (cell, rank)-ordered concatenation, so position i of
-                # each slice is the same cell's i-th pair
-                even = pair_rows[(rank[in_pair] % 2) == 0]
-                odd = pair_rows[(rank[in_pair] % 2) == 1]
-                new_cell = cell[even]
-                new_told = np.minimum(t_old[even], t_old[odd])
-                new_tnew = np.maximum(t_new[even], t_new[odd])
-                keep = np.ones(cell.size, dtype=bool)
-                keep[pair_rows] = False
-                cell = np.concatenate((cell[keep], new_cell))
-                size = np.concatenate((size[keep],
-                                       np.full(new_cell.size, 2 * s,
-                                               dtype=np.int64)))
-                t_old = np.concatenate((t_old[keep], new_told))
-                t_new = np.concatenate((t_new[keep], new_tnew))
-                max_size = max(max_size, 2 * s)
-        s *= 2
+    if cell.size == 0:
+        return cell, size, t_old, t_new
+    # Bucket sizes are powers of two by construction (decompose_counts
+    # emits bit buckets; merges double). Work per LEVEL slice, never the
+    # whole table: an over-full level's oldest pairs merge upward into a
+    # carry that joins the next level's pool. O(n log n) total vs the
+    # naive per-level full-table rescan (O(n · levels) per call, which
+    # dominated batched ECM updates).
+    lvl = np.log2(size.astype(np.float64)).astype(np.int64)
+    order0 = np.argsort(lvl, kind="stable")
+    lvl_sorted = lvl[order0]
+    bounds = np.searchsorted(lvl_sorted, np.arange(64), side="left")
+    pools: dict[int, tuple] = {}
+    for v in np.unique(lvl_sorted):
+        sl = order0[bounds[v]:bounds[v + 1] if v < 63 else lvl_sorted.size]
+        pools[int(v)] = (cell[sl], t_old[sl], t_new[sl])
+    out_c, out_s, out_to, out_tn = [], [], [], []
+    carry = None
+    v = min(pools)
+    while pools or carry is not None:
+        parts = []
+        if v in pools:
+            parts.append(pools.pop(v))
+        if carry is not None:
+            parts.append(carry)
+            carry = None
+        if not parts:
+            v = min(pools) if pools else v
+            continue
+        c = np.concatenate([p[0] for p in parts])
+        to = np.concatenate([p[1] for p in parts])
+        tn = np.concatenate([p[2] for p in parts])
+        # oldest-first within each cell: order by (cell, t_new, t_old)
+        order = np.lexsort((to, tn, c))
+        c, to, tn = c[order], to[order], tn[order]
+        _, counts = np.unique(c, return_counts=True)
+        merges = np.maximum(0, -(-(counts - k) // 2))  # ceil((m-k)/2)
+        if merges.any():
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            rank = np.arange(c.size) - np.repeat(starts, counts)
+            in_pair = rank < np.repeat(2 * merges, counts)
+            # pairs are (even_i, odd_i): consecutive oldest buckets of
+            # the same cell; evens/odds interleave identically across
+            # the (cell, rank)-ordered concatenation, so position i of
+            # each slice is the same cell's i-th pair
+            even = in_pair & (rank % 2 == 0)
+            odd = in_pair & (rank % 2 == 1)
+            carry = (c[even],
+                     np.minimum(to[even], to[odd]),
+                     np.maximum(tn[even], tn[odd]))
+            keep = ~in_pair
+            c, to, tn = c[keep], to[keep], tn[keep]
+        if c.size:
+            out_c.append(c)
+            out_s.append(np.full(c.size, np.int64(1) << v, dtype=np.int64))
+            out_to.append(to)
+            out_tn.append(tn)
+        v = v + 1 if carry is not None else (min(pools) if pools else v)
+    cell = np.concatenate(out_c)
+    size = np.concatenate(out_s)
+    t_old = np.concatenate(out_to)
+    t_new = np.concatenate(out_tn)
     order = np.lexsort((size, t_old, t_new, cell))
     return cell[order], size[order], t_old[order], t_new[order]
 
