@@ -44,7 +44,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
            names: str | None = None, ss_k: int = 64,
            ts_col: str | None = None, eh_k: int = 32,
-           ecm_width: int = 2048):
+           ecm_width: int = 2048, wdds_bucket: int = 3_600_000_000,
+           wdds_max_buckets: int = 1024):
     """Build the sketch-family specs for `--sketches`. Scalar families
     ingest `value_col`; token families ingest the `tokens_col` arrays
     (and require it — EXPLICITLY requested token families without a
@@ -57,7 +58,8 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
     from p2pddsketch_spark.operators.harness import (SketchSpec,
                                                      array_extractor,
                                                      pair_extractor,
-                                                     scalar_extractor)
+                                                     scalar_extractor,
+                                                     vpair_extractor)
     from p2pddsketch_spark.sketches.bloom import BloomFilter
     from p2pddsketch_spark.sketches.cms import CountMinSketch
     from p2pddsketch_spark.sketches.ddsketch import DDSketch
@@ -85,10 +87,14 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
     from p2pddsketch_spark.sketches.ecm import EcmSketch
     from p2pddsketch_spark.sketches.eh import ExpHistogram
     from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
+    from p2pddsketch_spark.sketches.wdds import WindowedDDSketch
     sliding = {
         "shll": lambda: SlidingHyperLogLog(p=hll_p),
         "ecm": lambda: EcmSketch(depth=4, width=ecm_width, k=eh_k),
         "eh": lambda: ExpHistogram(k=eh_k),
+        "wdds": lambda: WindowedDDSketch(alpha=alpha,
+                                         bucket_width=wdds_bucket,
+                                         max_buckets=wdds_max_buckets),
     }
     explicit = names is not None
     specs, seen = [], set()
@@ -115,6 +121,10 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
                 # row counts over time: only the timestamp column matters
                 specs.append(SketchSpec(n, sliding[n],
                                         scalar_extractor(ts_col)))
+            elif n == "wdds":
+                # quantile payload keeps full float64 precision
+                specs.append(SketchSpec(n, sliding[n],
+                                        vpair_extractor(value_col, ts_col)))
             else:
                 specs.append(SketchSpec(n, sliding[n],
                                         pair_extractor(value_col, ts_col)))
@@ -151,6 +161,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="exponential-histogram k (eh/ecm families)")
     up.add_argument("--ecm-width", type=int, default=2048,
                     help="ECM count-min width (ecm family)")
+    up.add_argument("--ts-unit", default="us", choices=["us", "ms", "s"],
+                    help="native unit of --ts-col (scales --wdds-bucket "
+                    "suffixes; Spark timestamp columns are us)")
+    up.add_argument("--wdds-bucket", default="1h",
+                    help="windowed-DDSketch time-bucket width (int in "
+                    "native units, or s/m/h/d suffix scaled by --ts-unit)")
+    up.add_argument("--wdds-max-buckets", type=int, default=1024,
+                    help="windowed-DDSketch live-bucket retention cap "
+                    "(older buckets fold into the full-history tail)")
     up.add_argument("--sketches", default=None,
                     help="comma-separated sketch families to build "
                     "(default: dds, plus hll when --tokens-col is given)")
@@ -178,6 +197,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="exponential-histogram k (eh/ecm families)")
     st.add_argument("--ecm-width", type=int, default=2048,
                     help="ECM count-min width (ecm family)")
+    st.add_argument("--ts-unit", default="us", choices=["us", "ms", "s"],
+                    help="native unit of --ts-col (scales --wdds-bucket "
+                    "suffixes; Spark timestamp columns are us)")
+    st.add_argument("--wdds-bucket", default="1h",
+                    help="windowed-DDSketch time-bucket width (int in "
+                    "native units, or s/m/h/d suffix scaled by --ts-unit)")
+    st.add_argument("--wdds-max-buckets", type=int, default=1024,
+                    help="windowed-DDSketch live-bucket retention cap "
+                    "(older buckets fold into the full-history tail)")
     st.add_argument("--sketches", default=None,
                     help="comma-separated sketch families to build "
                     "(default: dds, plus hll when --tokens-col is given)")
@@ -261,6 +289,21 @@ def main(argv: list[str] | None = None) -> int:
     wk.add_argument("--version", type=int, default=None,
                     help="committed version to query (default: latest)")
 
+    wq = sub.add_parser("window-quantiles", help="trailing-window "
+                        "quantiles from stored windowed-DDSketch blobs")
+    wq.add_argument("--state", required=True)
+    wq.add_argument("--sketch", default="wdds")
+    wq.add_argument("--quantiles", default="0.5,0.95,0.99")
+    wq.add_argument("--windows", required=True,
+                    help="comma-separated trailing windows (same parsing "
+                    "as window-cardinality)")
+    wq.add_argument("--ts-unit", default="us", choices=["us", "ms", "s"])
+    wq.add_argument("--now", type=int, default=None,
+                    help="window anchor in native units (default: each "
+                    "group's newest-seen timestamp)")
+    wq.add_argument("--version", type=int, default=None,
+                    help="committed version to query (default: latest)")
+
     dr = sub.add_parser("drift", help="per-group drift between two "
                         "committed versions, from blobs only")
     dr.add_argument("--state", required=True)
@@ -312,7 +355,10 @@ def main(argv: list[str] | None = None) -> int:
                 _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p,
                        names=args.sketches, ss_k=args.ss_k,
                        ts_col=args.ts_col, eh_k=args.eh_k,
-                       ecm_width=args.ecm_width),
+                       ecm_width=args.ecm_width,
+                       wdds_bucket=_windows(args.wdds_bucket,
+                                            args.ts_unit)[0],
+                       wdds_max_buckets=args.wdds_max_buckets),
                 group_cols=gcols, salt_buckets=args.salt_buckets,
                 files_per_task=args.files_per_task)
             print(json.dumps(stats, sort_keys=True))
@@ -323,7 +369,10 @@ def main(argv: list[str] | None = None) -> int:
                 _specs(args.value_col, args.tokens_col, args.alpha, args.hll_p,
                        names=args.sketches, ss_k=args.ss_k,
                        ts_col=args.ts_col, eh_k=args.eh_k,
-                       ecm_width=args.ecm_width),
+                       ecm_width=args.ecm_width,
+                       wdds_bucket=_windows(args.wdds_bucket,
+                                            args.ts_unit)[0],
+                       wdds_max_buckets=args.wdds_max_buckets),
                 group_cols=gcols, checkpoint_dir=args.checkpoint,
                 salt_buckets=args.salt_buckets,
                 max_files_per_trigger=args.max_files_per_trigger)
@@ -384,6 +433,16 @@ def main(argv: list[str] | None = None) -> int:
                 now=args.now, version=args.version).collect()
             print(json.dumps({"sketch": args.sketch, "windows": wins,
                               "keys": keys, "now": args.now,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "window-quantiles":
+            wins = _windows(args.windows, args.ts_unit)
+            qs = [float(x) for x in args.quantiles.split(",") if x]
+            rows = R.rollup_window_quantiles(
+                spark, args.state, qs, wins, sketch_name=args.sketch,
+                now=args.now, version=args.version).collect()
+            print(json.dumps({"sketch": args.sketch, "windows": wins,
+                              "quantiles": qs, "now": args.now,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
         elif args.cmd == "drift":

@@ -56,9 +56,10 @@ from p2pddsketch_spark.sketches.ams import AmsSketch
 from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
 from p2pddsketch_spark.sketches.eh import ExpHistogram
 from p2pddsketch_spark.sketches.ecm import EcmSketch
+from p2pddsketch_spark.sketches.wdds import WindowedDDSketch
 
 __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
-           "pair_extractor",
+           "pair_extractor", "vpair_extractor",
            "build_sketches", "build_partials", "merge_partials",
            "build_sketches_from_files", "build_partials_from_files",
            "parquet_file_list", "collect_sketches", "merge_blobs",
@@ -93,6 +94,7 @@ SKETCH_TYPES = {
     b"SHL1": SlidingHyperLogLog,
     b"EXH1": ExpHistogram,
     b"ECM1": EcmSketch,
+    b"WDD1": WindowedDDSketch,
 }
 
 
@@ -166,6 +168,30 @@ def pair_extractor(value_col: str, ts_col: str) -> Callable[[pa.RecordBatch], np
         return np.column_stack((_int64(v), _int64(t)))
     extract.columns = [value_col, ts_col]
     extract.key = f"pair:{value_col}:{ts_col}"
+    return extract
+
+
+def vpair_extractor(value_col: str, ts_col: str) -> Callable[[pa.RecordBatch], np.ndarray]:
+    """Like `pair_extractor` but the value side keeps full float64
+    precision (for the windowed-quantile sketch, whose payload is the
+    measurement itself, not an identity): emits a structured
+    (v float64, t int64) array. Timestamps become int64 epoch units in
+    Arrow's native resolution; rows with a null on either side drop."""
+    from p2pddsketch_spark.sketches.wdds import PAIR_DTYPE
+
+    def extract(batch: pa.RecordBatch) -> np.ndarray:
+        v, t = batch.column(value_col), batch.column(ts_col)
+        if v.null_count or t.null_count:
+            ok = pa.compute.and_(v.is_valid(), t.is_valid())
+            v, t = v.filter(ok), t.filter(ok)
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        out = np.empty(len(v), dtype=PAIR_DTYPE)
+        out["v"] = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        out["t"] = t.to_numpy(zero_copy_only=False).astype(np.int64)
+        return out
+    extract.columns = [value_col, ts_col]
+    extract.key = f"vpair:{value_col}:{ts_col}"
     return extract
 
 

@@ -68,7 +68,7 @@ __all__ = ["rollup_update", "rollup_stream_update", "rollup_state",
            "rollup_versions", "rollup_quantiles", "rollup_cardinality",
            "rollup_topk", "rollup_drift", "rollup_topk_drift",
            "rollup_window_cardinality", "rollup_window_counts",
-           "rollup_window_rows",
+           "rollup_window_rows", "rollup_window_quantiles",
            "resolve_drift_versions", "rollup_prune"]
 
 _PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
@@ -737,6 +737,57 @@ def rollup_window_counts(spark: SparkSession, state_dir: str,
 
     return (st.mapInPandas(run, schema=ddl)
             .orderBy(*group_cols, "item", "window"))
+
+
+def rollup_window_quantiles(spark: SparkSession, state_dir: str,
+                            qs: list[float], windows: list[int],
+                            sketch_name: str = "wdds",
+                            now: int | None = None,
+                            version: int | None = None,
+                            _versions: list | None = None) -> DataFrame:
+    """Trailing-window QUANTILES from stored windowed-DDSketch blobs
+    (`sketches/wdds.py`): "p99 latency in the last hour, per group" —
+    the centerpiece metric of the library, answered from one stored
+    blob per group with zero input re-scan. Estimates carry DDSketch's
+    relative-error guarantee α over the covered rows; coverage is
+    bucket-granular, and each row reports the exact covered ts range
+    `[covered_from, covered_to)` plus the covered row count so a caller
+    can see both edge slack and retention truncation. Window units /
+    `now` semantics match `rollup_window_cardinality`.
+    Output: (group…, window, q, estimate, n_covered, covered_from,
+    covered_to)."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
+    gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                   for c in group_cols)
+    ddl = (f"{gddl}window long, q double, estimate double, "
+           "n_covered long, covered_from long, covered_to long")
+    cols = [c.split(" ")[0] for c in ddl.split(", ")]
+    qv = [float(q) for q in qs]
+    wins = [int(w) for w in windows]
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sk = sketch_from_bytes(bytes(row["sketch"]))
+                fn = getattr(sk, "window_quantiles", None)
+                if fn is None:
+                    raise UsageError(
+                        f"sketch {sketch_name!r} ({type(sk).__name__}) "
+                        "does not support 'window_quantiles'")
+                base = [row[c] for c in pdf.columns
+                        if c not in ("sketch", "sketch_name", "rows_seen")]
+                for w in wins:
+                    ests, n_cov, lo, hi = fn(qv, window=w, now=now)
+                    for q, est in zip(qv, ests):
+                        rows.append(base + [w, q, float(est), int(n_cov),
+                                            int(lo), int(hi)])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (st.mapInPandas(run, schema=ddl)
+            .orderBy(*group_cols, "window", "q"))
 
 
 def rollup_topk_drift(spark: SparkSession, state_dir: str,

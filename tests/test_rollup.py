@@ -1011,3 +1011,107 @@ def test_window_query_on_wrong_family_is_clean_error(spark, tmp_path,
     assert rc == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "distinct_in_last" in err["error"]
+
+
+def test_wdds_warehouse_window_quantiles_match_exact(spark, tmp_path, capsys):
+    """wdds family through the full warehouse path: update from events,
+    then answer trailing-window quantiles from the stored blob — pinned
+    against exact recomputation over each row's REPORTED covered range
+    (coverage is bucket-granular and the row says exactly what it
+    covered, so the estimate must satisfy DDSketch's alpha contract on
+    precisely those rows, reference testQuantile rank convention)."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "update", "--input", f"{SF_DIR}/events.parquet", "--state", state,
+        "--group-cols", "event_type", "--value-col", "value",
+        "--ts-col", "ts", "--sketches", "wdds", "--alpha", "0.01",
+        "--wdds-bucket", "1d", "--salt-buckets", "4"])
+    assert rc == 0
+    capsys.readouterr()
+
+    pdf = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+           .select("event_type", "value", "ts").toPandas())
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+
+    rc = rollup_sketches.main([
+        "window-quantiles", "--state", state, "--windows", "7d",
+        "--quantiles", "0.5,0.95,0.99"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"]
+    day_us = 86_400_000_000
+    assert out["windows"] == [7 * day_us]
+    for row in out["rows"]:
+        g = pdf["event_type"] == row["event_type"]
+        m = g & (ts_us >= row["covered_from"]) & (ts_us < row["covered_to"])
+        vals = pdf.loc[m, "value"].to_numpy(float)
+        assert row["n_covered"] == int(m.sum())
+        # bucket-granular coverage: the window's span, give or take one
+        # straddling bucket at the old edge
+        span = row["covered_to"] - row["covered_from"]
+        assert 7 * day_us <= span <= 8 * day_us
+        srt = np.sort(vals)
+        ex = float(srt[int(np.floor(1 + row["q"] * (srt.size - 1))) - 1])
+        assert abs(row["estimate"] - ex) / abs(ex) <= 0.0101
+
+    # the generic full-history `query` path answers from the same blob
+    rc = rollup_sketches.main([
+        "query", "--state", state, "--sketch", "wdds",
+        "--quantiles", "0.5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for row in out["rows"]:
+        vals = pdf.loc[pdf["event_type"] == row["event_type"],
+                       "value"].to_numpy(float)
+        srt = np.sort(vals)
+        ex = float(srt[int(np.floor(1 + 0.5 * (srt.size - 1))) - 1])
+        assert abs(row["estimate"] - ex) / abs(ex) <= 0.0101
+
+
+def test_wdds_incremental_update_byte_identical(spark, tmp_path):
+    """Two-step wdds warehouse advance == one-shot build over both
+    files, byte for byte — the fold-into-tail retention cap must not
+    break the published-state identity the warehouse is built on."""
+    from p2pddsketch_spark.operators.rollup import rollup_state, rollup_update
+    from p2pddsketch_spark.operators.harness import (SketchSpec,
+                                                     vpair_extractor)
+    from p2pddsketch_spark.sketches.wdds import WindowedDDSketch
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pdf = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+           .select("event_type", "value", "ts", "user_id").toPandas())
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't read ns
+    data = tmp_path / "data"
+    data.mkdir()
+    a = str(data / "a.parquet")
+    b = str(data / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf[pdf.user_id % 2 == 0]), a)
+    pq.write_table(pa.Table.from_pandas(pdf[pdf.user_id % 2 == 1]), b)
+
+    def spec():
+        # small cap so the fold path is actually exercised
+        return [SketchSpec("wdds",
+                           lambda: WindowedDDSketch(alpha=0.01,
+                                                    bucket_width=86_400_000_000,
+                                                    max_buckets=4),
+                           vpair_extractor("value", "ts"))]
+
+    inc = str(tmp_path / "inc")
+    rollup_update(spark, a, inc, spec(), group_cols=("event_type",),
+                  salt_buckets=4)
+    rollup_update(spark, b, inc, spec(), group_cols=("event_type",),
+                  salt_buckets=4)
+    both = str(tmp_path / "both")
+    rollup_update(spark, str(data), both, spec(),
+                  group_cols=("event_type",), salt_buckets=4)
+
+    blobs_inc = {r["event_type"]: bytes(r["sketch"])
+                 for r in rollup_state(spark, inc).collect()}
+    blobs_one = {r["event_type"]: bytes(r["sketch"])
+                 for r in rollup_state(spark, both).collect()}
+    assert blobs_inc == blobs_one

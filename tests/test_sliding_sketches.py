@@ -285,3 +285,124 @@ class TestSlidingHarness:
         assert (est + err + 1e-6 >= true).all()
         eps_mass = np.e / 1024 * (ts > cutoff).sum()
         assert (est - err - true <= eps_mass).all()
+
+
+# ------------------------------------------------------- WindowedDDSketch
+
+from p2pddsketch_spark.sketches.wdds import PAIR_DTYPE, WindowedDDSketch
+
+
+def _vt(v, t):
+    out = np.empty(len(v), dtype=PAIR_DTYPE)
+    out["v"], out["t"] = v, t
+    return out
+
+
+def _exact_q(data: np.ndarray, q: float) -> float:
+    """Reference testQuantile rank convention (main.cpp:1062-1067):
+    0-indexed floor(q*(n-1)) of the sorted data."""
+    srt = np.sort(data)
+    return float(srt[int(np.floor(1 + q * (srt.size - 1))) - 1])
+
+
+class TestWindowedDDSketch:
+    def _stream(self, seed=3, n=120_000, hours=80):
+        rng = np.random.default_rng(seed)
+        v = rng.lognormal(3.0, 1.0, n)
+        t = rng.integers(0, hours * 3600, n)
+        return v, t
+
+    def test_window_quantiles_within_alpha(self):
+        v, t = self._stream()
+        s = WindowedDDSketch(alpha=0.01, bucket_width=3600, max_buckets=256)
+        for i in range(0, v.size, 8192):
+            s.update_batch(_vt(v[i:i + 8192], t[i:i + 8192]))
+        for w_hours in (1, 12, 48):
+            ests, n_cov, lo, hi = s.window_quantiles(
+                [0.5, 0.95, 0.99], window=w_hours * 3600)
+            mask = (t >= lo) & (t < hi)
+            assert n_cov == int(mask.sum())  # coverage accounting is exact
+            for q, est in zip([0.5, 0.95, 0.99], ests):
+                ex = _exact_q(v[mask], q)
+                assert abs(est - ex) / ex <= 0.0101
+
+    def test_aligned_window_covers_exactly(self):
+        v, t = self._stream(seed=9, n=40_000)
+        s = WindowedDDSketch(alpha=0.02, bucket_width=3600,
+                             max_buckets=256).update_batch(_vt(v, t))
+        # anchor at a bucket-aligned `now`: coverage == the request
+        now = (int(t.max()) // 3600) * 3600 - 1
+        w = 10 * 3600
+        _, n_cov, lo, hi = s.window_quantiles([0.5], window=w, now=now)
+        assert (lo, hi) == (now + 1 - w, now + 1)
+        assert n_cov == int(((t > now - w) & (t <= now)).sum())
+
+    def test_merge_order_invariant_byte_identical(self):
+        v, t = self._stream(seed=5, n=30_000)
+        p = _vt(v, t)
+        chunks = [p[i::4] for i in range(4)]
+
+        def build(order, batchsize):
+            sk = WindowedDDSketch(alpha=0.01, bucket_width=3600,
+                                  max_buckets=16)
+            for i in order:
+                c = chunks[i]
+                for j in range(0, c.size, batchsize):
+                    sk.update_batch(c[j:j + batchsize])
+            return sk
+
+        a = build([0, 1, 2, 3], 8192)
+        b = build([3, 1, 0, 2], 977)
+        assert a.to_bytes() == b.to_bytes()
+        parts = [WindowedDDSketch(alpha=0.01, bucket_width=3600,
+                                  max_buckets=16).update_batch(c)
+                 for c in chunks]
+        m = parts[2].merge(parts[0]).merge(parts[3]).merge(parts[1])
+        assert m.to_bytes() == a.to_bytes()
+
+    def test_fold_bounds_memory_and_keeps_full_history(self):
+        v, t = self._stream(seed=7)
+        s = WindowedDDSketch(alpha=0.01, bucket_width=3600, max_buckets=8)
+        for i in range(0, v.size, 8192):
+            s.update_batch(_vt(v[i:i + 8192], t[i:i + 8192]))
+        assert s.n_live_buckets <= 8
+        assert s.n == v.size
+        ests, n_cov, lo, _ = s.window_quantiles([0.5, 0.99])
+        assert n_cov == v.size
+        for q, est in zip([0.5, 0.99], ests):
+            ex = _exact_q(v, q)
+            assert abs(est - ex) / ex <= 0.0101
+        # a window past the retention horizon covers only the live range
+        _, n_cov, lo, hi = s.window_quantiles([0.5], window=79 * 3600)
+        assert lo >= (int(t.max()) // 3600 - 7) * 3600
+        assert n_cov < v.size
+
+    def test_weighted_matches_repeats(self):
+        v = np.array([1.0, 5.0, 25.0, 5.0])
+        t = np.array([10, 20, 30, 4000])
+        w = np.array([3, 2, 1, 4])
+        a = WindowedDDSketch(bucket_width=100, max_buckets=50)
+        a.update_batch(_vt(v, t), weights=w)
+        b = WindowedDDSketch(bucket_width=100, max_buckets=50)
+        b.update_batch(_vt(np.repeat(v, w), np.repeat(t, w)))
+        assert a.to_bytes() == b.to_bytes()
+        assert a.n == int(w.sum())
+
+    def test_serde_roundtrip_and_validation(self):
+        v, t = self._stream(seed=1, n=5_000)
+        s = WindowedDDSketch(alpha=0.03, bucket_width=7200,
+                             max_buckets=4).update_batch(_vt(v, t))
+        r = WindowedDDSketch.from_bytes(s.to_bytes())
+        assert r.to_bytes() == s.to_bytes()
+        assert r.n == s.n
+        with pytest.raises(ValueError):
+            s.merge(WindowedDDSketch(alpha=0.03, bucket_width=3600,
+                                     max_buckets=4))
+        from p2pddsketch_spark.errors import ParamError
+        with pytest.raises(ParamError):
+            WindowedDDSketch(bucket_width=0)
+        with pytest.raises(ValueError):
+            s.update_batch(np.zeros((3, 2)))
+        empty = WindowedDDSketch()
+        ests, n_cov, _, _ = empty.window_quantiles([0.5], window=10)
+        assert np.isnan(ests).all() and n_cov == 0
