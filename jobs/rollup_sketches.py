@@ -304,6 +304,28 @@ def main(argv: list[str] | None = None) -> int:
     wq.add_argument("--version", type=int, default=None,
                     help="committed version to query (default: latest)")
 
+    wd = sub.add_parser("window-drift", help="adjacent trailing-window "
+                        "comparison from one stored sliding blob "
+                        "(current window vs the one before it)")
+    wd.add_argument("--state", required=True)
+    wd.add_argument("--sketch", default="wdds",
+                    help="sliding family: wdds (quantile shift) or eh "
+                    "(row-rate shift via suffix-count subtraction); "
+                    "shll is refused — interval distinct is not "
+                    "derivable from a suffix skyline")
+    wd.add_argument("--quantiles", default="0.5,0.99",
+                    help="quantiles to compare (wdds family only)")
+    wd.add_argument("--windows", required=True,
+                    help="comma-separated trailing windows (same parsing "
+                    "as window-cardinality)")
+    wd.add_argument("--ts-unit", default="us", choices=["us", "ms", "s"])
+    wd.add_argument("--now", type=int, default=None,
+                    help="current-window anchor in native units (default: "
+                    "each group's newest-seen timestamp); the previous "
+                    "window always ends where the current one starts")
+    wd.add_argument("--version", type=int, default=None,
+                    help="committed version to query (default: latest)")
+
     dr = sub.add_parser("drift", help="per-group drift between two "
                         "committed versions, from blobs only")
     dr.add_argument("--state", required=True)
@@ -445,6 +467,16 @@ def main(argv: list[str] | None = None) -> int:
                               "quantiles": qs, "now": args.now,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
+        elif args.cmd == "window-drift":
+            wins = _windows(args.windows, args.ts_unit)
+            qs = [float(x) for x in args.quantiles.split(",") if x]
+            rows = R.rollup_window_drift(
+                spark, args.state, wins, sketch_name=args.sketch,
+                qs=qs, now=args.now, version=args.version).collect()
+            print(json.dumps({"sketch": args.sketch, "windows": wins,
+                              "quantiles": qs, "now": args.now,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True, allow_nan=True))
         elif args.cmd == "drift":
             qs = tuple(float(x) for x in args.quantiles.split(",") if x)
             # list versions ONCE and resolve the pair from that snapshot:

@@ -69,6 +69,7 @@ __all__ = ["rollup_update", "rollup_stream_update", "rollup_state",
            "rollup_topk", "rollup_drift", "rollup_topk_drift",
            "rollup_window_cardinality", "rollup_window_counts",
            "rollup_window_rows", "rollup_window_quantiles",
+           "rollup_window_drift",
            "resolve_drift_versions", "rollup_prune"]
 
 _PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
@@ -788,6 +789,93 @@ def rollup_window_quantiles(spark: SparkSession, state_dir: str,
 
     return (st.mapInPandas(run, schema=ddl)
             .orderBy(*group_cols, "window", "q"))
+
+
+def rollup_window_drift(spark: SparkSession, state_dir: str,
+                        windows: list[int], sketch_name: str = "wdds",
+                        qs: list[float] | None = None,
+                        now: int | None = None,
+                        version: int | None = None,
+                        _versions: list | None = None) -> DataFrame:
+    """Adjacent-window comparison from ONE stored blob per group: the
+    alerting primitive "did the last window move vs the one before it"
+    — p99 shift (wdds) or ingest-rate shift (eh) — with zero input
+    re-scan and no second warehouse version needed (unlike
+    `rollup_drift`, which compares commits, this compares two windows
+    of the same sliding state).
+
+    For each window w the current window is (now - w, now] (`now` None
+    = each group's newest-seen timestamp) and the previous window tiles
+    back-to-back. wdds indexes state by time bucket, so the previous
+    window is read directly — anchored at the CURRENT coverage's lower
+    edge, so the two bucket-granular ranges are exactly disjoint (a
+    mid-bucket anchor would otherwise put the straddling bucket in
+    both windows); EH only answers
+    suffix counts (ts > cutoff), so the previous window is the
+    DIFFERENCE of two suffix counts and its hard receipt is the SUM of
+    their bounds. shll is refused: interval distinct is not derivable
+    from a suffix skyline (suffix-count subtraction would subtract ids
+    seen in both windows) — use `rollup_window_cardinality` with
+    explicit `now` anchors for cumulative comparisons instead.
+    Output: (group…, window, metric, current, previous, delta, ratio,
+    cur_err, prev_err) where metric is 'q<q>' / 'rows'; err columns
+    carry EH's hard receipts and are NaN for wdds (its guarantee is
+    the relative α contract). ratio is NaN when previous == 0."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
+    gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                   for c in group_cols)
+    ddl = (f"{gddl}window long, metric string, current double, "
+           "previous double, delta double, ratio double, "
+           "cur_err double, prev_err double")
+    cols = [c.split(" ")[0] for c in ddl.split(", ")]
+    wins = [int(w) for w in windows]
+    qv = [float(q) for q in (qs or [0.5, 0.99])]
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sk = sketch_from_bytes(bytes(row["sketch"]))
+                base = [row[c] for c in pdf.columns
+                        if c not in ("sketch", "sketch_name", "rows_seen")]
+                t_ref = getattr(sk, "t_max", None)
+                for w in wins:
+                    ref = int(t_ref) if now is None else int(now)
+                    prev_now = ref - w
+                    if hasattr(sk, "window_quantiles"):
+                        cur, _, lo_c, _ = sk.window_quantiles(
+                            qv, window=w, now=ref)
+                        prv, _, _, _ = sk.window_quantiles(
+                            qv, window=w, now=lo_c - 1)
+                        pairs = [(f"q{q:g}", float(c), float(p),
+                                  np.nan, np.nan)
+                                 for q, c, p in zip(qv, cur, prv)]
+                    elif hasattr(sk, "count_last"):
+                        c, ce = sk.count_last(w, now=ref)
+                        # previous window (ref-2w, ref-w] = suffix
+                        # difference; hard bounds add
+                        c2, e2 = sk.count(prev_now - w)
+                        p, pe = c2 - c, e2 + ce
+                        pairs = [("rows", float(c), float(p),
+                                  float(ce), float(pe))]
+                    else:
+                        raise UsageError(
+                            f"sketch {sketch_name!r} ({type(sk).__name__}) "
+                            "cannot answer adjacent-window drift: interval "
+                            "queries need time-indexed (wdds) or "
+                            "subtractable (eh) state")
+                    for metric, c, p, ce, pe in pairs:
+                        delta = c - p
+                        ratio = c / p if p == p and p != 0.0 \
+                            else float("nan")
+                        rows.append(base + [w, metric, c, p, delta, ratio,
+                                            ce, pe])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (st.mapInPandas(run, schema=ddl)
+            .orderBy(*group_cols, "window", "metric"))
 
 
 def rollup_topk_drift(spark: SparkSession, state_dir: str,

@@ -1115,3 +1115,88 @@ def test_wdds_incremental_update_byte_identical(spark, tmp_path):
     blobs_one = {r["event_type"]: bytes(r["sketch"])
                  for r in rollup_state(spark, both).collect()}
     assert blobs_inc == blobs_one
+
+
+def test_window_drift_adjacent_semantics(spark, tmp_path, capsys):
+    """window-drift compares back-to-back windows of the SAME blob:
+    wdds reads the previous window from its time-indexed buckets (CLI
+    rows must equal a local decode of the stored blob at both anchors,
+    and the EH previous window must be the suffix-count DIFFERENCE —
+    within its summed hard receipt of the true adjacent-window count,
+    NOT the naive suffix count that double-covers the current window).
+    shll is refused (interval distinct from a suffix skyline is
+    undefined) with the one-line JSON error contract."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    from p2pddsketch_spark.operators.harness import sketch_from_bytes
+    from p2pddsketch_spark.operators.rollup import rollup_state
+
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "update", "--input", f"{SF_DIR}/events.parquet", "--state", state,
+        "--group-cols", "event_type", "--value-col", "value",
+        "--ts-col", "ts", "--sketches", "wdds,eh,shll",
+        "--wdds-bucket", "1d", "--salt-buckets", "4"])
+    assert rc == 0
+    capsys.readouterr()
+
+    pdf = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+           .select("event_type", "value", "ts").toPandas())
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    day_us = 86_400_000_000
+    w = 7 * day_us
+
+    blobs = {(r["sketch_name"], r["event_type"]): bytes(r["sketch"])
+             for r in rollup_state(spark, state).collect()}
+
+    rc = rollup_sketches.main([
+        "window-drift", "--state", state, "--windows", "7d",
+        "--quantiles", "0.5,0.99"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {r["metric"] for r in out["rows"]} == {"q0.5", "q0.99"}
+    for row in out["rows"]:
+        sk = sketch_from_bytes(blobs[("wdds", row["event_type"])])
+        q = float(row["metric"][1:])
+        ref = int(sk.t_max)
+        cur, _, lo_c, _ = sk.window_quantiles([q], window=w, now=ref)
+        prv, _, lo_p, hi_p = sk.window_quantiles([q], window=w,
+                                                 now=lo_c - 1)
+        assert row["current"] == pytest.approx(float(cur[0]))
+        assert row["previous"] == pytest.approx(float(prv[0]))
+        assert row["delta"] == pytest.approx(row["current"] - row["previous"])
+        # the previous anchor reads an exactly-disjoint, tiling range
+        assert hi_p == lo_c
+        # and its estimate honors alpha over that range's exact quantile
+        g = pdf["event_type"] == row["event_type"]
+        vals = pdf.loc[g & (ts_us >= lo_p) & (ts_us < hi_p),
+                       "value"].to_numpy(float)
+        srt = np.sort(vals)
+        ex = float(srt[int(np.floor(1 + q * (srt.size - 1))) - 1])
+        assert abs(row["previous"] - ex) / abs(ex) <= 0.0101
+
+    rc = rollup_sketches.main([
+        "window-drift", "--state", state, "--sketch", "eh",
+        "--windows", "7d"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"]
+    for row in out["rows"]:
+        g = pdf["event_type"] == row["event_type"]
+        ref = int(ts_us[g].max())
+        true_cur = int((g & (ts_us > ref - w)).sum())
+        true_prev = int((g & (ts_us > ref - 2 * w) & (ts_us <= ref - w)).sum())
+        assert abs(row["current"] - true_cur) <= row["cur_err"] + 1e-6
+        assert abs(row["previous"] - true_prev) <= row["prev_err"] + 1e-6
+        # the receipt check above has teeth against the naive-suffix
+        # regression (previous = count(ts > ref-2w), off by true_cur)
+        # only while the bound is tighter than the current window:
+        assert row["prev_err"] < true_cur
+
+    rc = rollup_sketches.main([
+        "window-drift", "--state", state, "--sketch", "shll",
+        "--windows", "7d"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "adjacent-window drift" in err["error"]
