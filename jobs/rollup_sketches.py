@@ -289,6 +289,24 @@ def main(argv: list[str] | None = None) -> int:
     wk.add_argument("--version", type=int, default=None,
                     help="committed version to query (default: latest)")
 
+    hg = sub.add_parser("histogram", help="per-group log-gamma bin "
+                        "tables from stored DDSketch/wdds blobs "
+                        "(DDS_PrintCSV, warehouse edition)")
+    hg.add_argument("--state", required=True)
+    hg.add_argument("--sketch", default="dds")
+    hg.add_argument("--window", default=None,
+                    help="optional trailing window (wdds blobs only; "
+                    "same parsing as window-cardinality)")
+    hg.add_argument("--ts-unit", default="us", choices=["us", "ms", "s"])
+    hg.add_argument("--now", type=int, default=None,
+                    help="window anchor in native units (default: each "
+                    "group's newest-seen timestamp)")
+    hg.add_argument("--version", type=int, default=None,
+                    help="committed version to query (default: latest)")
+    hg.add_argument("--output", default=None,
+                    help="write the bins table as parquet here instead "
+                    "of printing JSON (histograms can be wide)")
+
     wq = sub.add_parser("window-quantiles", help="trailing-window "
                         "quantiles from stored windowed-DDSketch blobs")
     wq.add_argument("--state", required=True)
@@ -457,6 +475,24 @@ def main(argv: list[str] | None = None) -> int:
                               "keys": keys, "now": args.now,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
+        elif args.cmd == "histogram":
+            win = (_windows(args.window, args.ts_unit)[0]
+                   if args.window else None)
+            df = R.rollup_histogram(spark, args.state, args.sketch,
+                                    version=args.version, window=win,
+                                    now=args.now)
+            if args.output:
+                df.write.parquet(args.output)
+                n = spark.read.parquet(args.output).count()
+                print(json.dumps({"sketch": args.sketch, "window": win,
+                                  "output": args.output, "bins": n},
+                                 sort_keys=True))
+            else:
+                rows = df.collect()
+                print(json.dumps({"sketch": args.sketch, "window": win,
+                                  "now": args.now,
+                                  "rows": [row.asDict() for row in rows]},
+                                 sort_keys=True))
         elif args.cmd == "window-quantiles":
             wins = _windows(args.windows, args.ts_unit)
             qs = [float(x) for x in args.quantiles.split(",") if x]

@@ -66,7 +66,8 @@ from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
 
 __all__ = ["rollup_update", "rollup_stream_update", "rollup_state",
            "rollup_versions", "rollup_quantiles", "rollup_cardinality",
-           "rollup_topk", "rollup_drift", "rollup_topk_drift",
+           "rollup_topk", "rollup_histogram", "rollup_drift",
+           "rollup_topk_drift",
            "rollup_window_cardinality", "rollup_window_counts",
            "rollup_window_rows", "rollup_window_quantiles",
            "rollup_window_drift",
@@ -548,6 +549,60 @@ def rollup_cardinality(spark: SparkSession, state_dir: str,
     return (st.mapInPandas(_decode_map(sketch_name, "cardinality", (), ddl),
                            schema=ddl)
             .orderBy(*group_cols))
+
+
+def rollup_histogram(spark: SparkSession, state_dir: str,
+                     sketch_name: str = "dds", version: int | None = None,
+                     window: int | None = None, now: int | None = None,
+                     _versions: list | None = None) -> DataFrame:
+    """Per-group value histograms straight from stored DDSketch blobs —
+    the warehouse twin of the reference's CSV export (`DDS_PrintCSV`,
+    /root/reference/ddsketch.cc:913-954): one row per occupied log-γ
+    bin with its exact count and value bounds, zero input re-scan. The
+    γ-bucketed histogram IS the sketch's full state, so this is a
+    lossless dump, not an estimate. For wdds blobs pass `window`/`now`
+    to dump the histogram of a trailing window (the merge of its
+    overlapping buckets). Output: (group…, key, count, lower, upper,
+    estimate)."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
+    gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                   for c in group_cols)
+    ddl = (f"{gddl}key long, count long, lower double, upper double, "
+           "estimate double")
+    cols = [c.split(" ")[0] for c in ddl.split(", ")]
+
+    def run(batches):
+        import pandas as pd
+        from p2pddsketch_spark.sketches.ddsketch import DDSketch
+        from p2pddsketch_spark.sketches.wdds import WindowedDDSketch
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sk = sketch_from_bytes(bytes(row["sketch"]))
+                if isinstance(sk, WindowedDDSketch):
+                    merged, _, _ = sk.window_sketch(window, now)
+                    sk = merged if merged is not None else sk._mk()
+                elif isinstance(sk, DDSketch):
+                    if window is not None:
+                        raise UsageError(
+                            "windowed histograms need wdds blobs; "
+                            f"{sketch_name!r} is a plain full-stream "
+                            "DDSketch")
+                else:
+                    raise UsageError(
+                        f"sketch {sketch_name!r} ({type(sk).__name__}) "
+                        "has no log-γ bin table (histogram needs "
+                        "dds or wdds blobs)")
+                base = [row[c] for c in pdf.columns
+                        if c not in ("sketch", "sketch_name", "rows_seen")]
+                for b in sk.to_bins_table():
+                    rows.append(base + [b["key"], b["count"], b["lower"],
+                                        b["upper"], b["estimate"]])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (st.mapInPandas(run, schema=ddl)
+            .orderBy(*group_cols, "key"))
 
 
 def rollup_topk(spark: SparkSession, state_dir: str,

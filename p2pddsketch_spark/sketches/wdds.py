@@ -167,9 +167,9 @@ class WindowedDDSketch:
 
     # ----------------------------------------------------------------- query
 
-    def window_quantiles(self, qs, window: int | None = None,
-                         now: int | None = None):
-        """(estimates, n_covered, covered_from, covered_to) for the
+    def window_sketch(self, window: int | None = None,
+                      now: int | None = None):
+        """(merged DDSketch | None, covered_from, covered_to) for the
         trailing window `ts > now - window` (now defaults to t_max, the
         same convention as the counting sliders' `*_last`).
 
@@ -179,11 +179,11 @@ class WindowedDDSketch:
         window iff the window is bucket-aligned. A window reaching past
         the retention horizon silently covers only the live range (the
         returned covered_from says so); `window=None` covers everything
-        including the tail (covered_from = t_min sentinel)."""
-        qs = np.asarray(qs, dtype=np.float64)
+        including the tail (covered_from = t_min sentinel). None when
+        no bucket overlaps."""
         W = self.bucket_width
         if window is None:
-            parts = list(self.buckets.values())
+            parts = [self.buckets[b] for b in sorted(self.buckets)]
             if self.tail is not None:
                 parts.append(self.tail)
             lo_cov = int(_T_NONE)
@@ -199,10 +199,20 @@ class WindowedDDSketch:
             lo_cov = inc[0] * W if inc else 0
             hi_cov = (inc[-1] + 1) * W if inc else 0
         if not parts:
+            return None, 0, 0
+        merged = (parts[0] if len(parts) == 1
+                  else DDSketch.merge_many(parts))
+        return merged, int(lo_cov), int(hi_cov)
+
+    def window_quantiles(self, qs, window: int | None = None,
+                         now: int | None = None):
+        """(estimates, n_covered, covered_from, covered_to) — quantiles
+        of `window_sketch` (see there for coverage semantics)."""
+        qs = np.asarray(qs, dtype=np.float64)
+        merged, lo_cov, hi_cov = self.window_sketch(window, now)
+        if merged is None:
             return (np.full(qs.shape, np.nan), 0, 0, 0)
-        merged = parts[0] if len(parts) == 1 else DDSketch.merge_many(parts)
-        return (merged.quantiles(qs), int(merged.n), int(lo_cov),
-                int(hi_cov))
+        return (merged.quantiles(qs), int(merged.n), lo_cov, hi_cov)
 
     def quantile(self, q: float) -> float:
         """Full-history quantile (lets the generic `rollup_quantiles`

@@ -1200,3 +1200,74 @@ def test_window_drift_adjacent_semantics(spark, tmp_path, capsys):
     assert rc == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "adjacent-window drift" in err["error"]
+
+
+def test_histogram_is_lossless_blob_dump(spark, tmp_path, capsys):
+    """`histogram` dumps the stored DDSketch state losslessly (the
+    log-γ bin table IS the sketch): CLI rows == local decode's
+    to_bins_table row for row, counts conserve the group's row count,
+    the wdds windowed variant conserves exactly the window coverage,
+    and --window against plain dds blobs is the clean JSON error."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    from p2pddsketch_spark.operators.harness import sketch_from_bytes
+    from p2pddsketch_spark.operators.rollup import rollup_state
+
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "update", "--input", f"{SF_DIR}/events.parquet", "--state", state,
+        "--group-cols", "event_type", "--value-col", "value",
+        "--ts-col", "ts", "--sketches", "dds,wdds",
+        "--wdds-bucket", "1d", "--salt-buckets", "4"])
+    assert rc == 0
+    capsys.readouterr()
+
+    blobs = {(r["sketch_name"], r["event_type"]): bytes(r["sketch"])
+             for r in rollup_state(spark, state).collect()}
+    rows_seen = {r["event_type"]: r["rows_seen"]
+                 for r in rollup_state(spark, state)
+                 .where("sketch_name = 'dds'").collect()}
+
+    rc = rollup_sketches.main(["histogram", "--state", state])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    by_group: dict = {}
+    for r in out["rows"]:
+        by_group.setdefault(r["event_type"], []).append(r)
+    for g, rows in by_group.items():
+        sk = sketch_from_bytes(blobs[("dds", g)])
+        want = sk.to_bins_table()
+        assert [(r["key"], r["count"], r["lower"], r["upper"],
+                 r["estimate"]) for r in rows] == \
+               [(b["key"], b["count"], b["lower"], b["upper"],
+                 b["estimate"]) for b in want]
+        assert sum(r["count"] for r in rows) == rows_seen[g]
+
+    # windowed histogram over wdds conserves the coverage row count
+    rc = rollup_sketches.main([
+        "histogram", "--state", state, "--sketch", "wdds",
+        "--window", "7d"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    w = 7 * 86_400_000_000
+    for g in by_group:
+        sk = sketch_from_bytes(blobs[("wdds", g)])
+        _, n_cov, _, _ = sk.window_quantiles([0.5], window=w)
+        got = sum(r["count"] for r in out["rows"] if r["event_type"] == g)
+        assert got == n_cov
+
+    # parquet output leg
+    dest = str(tmp_path / "bins")
+    rc = rollup_sketches.main([
+        "histogram", "--state", state, "--output", dest])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["bins"] == sum(len(v) for v in by_group.values())
+    assert spark.read.parquet(dest).count() == meta["bins"]
+
+    rc = rollup_sketches.main([
+        "histogram", "--state", state, "--window", "7d"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "wdds blobs" in err["error"]
