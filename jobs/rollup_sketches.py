@@ -210,6 +210,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated sketch families to build "
                     "(default: dds, plus hll when --tokens-col is given)")
 
+    mg = sub.add_parser("merge", help="fold N independently-built "
+                        "warehouse states into a fresh one (multi-"
+                        "cluster fan-in; only blob tables move, no "
+                        "input re-scan)")
+    mg.add_argument("--sources", required=True,
+                    help="comma-separated source state dirs (>= 2)")
+    mg.add_argument("--dest", required=True,
+                    help="destination state dir (must have no "
+                    "committed state)")
+
     q = sub.add_parser("query", help="quantiles from the stored blobs")
     q.add_argument("--state", required=True)
     q.add_argument("--sketch", default="dds")
@@ -416,6 +426,10 @@ def main(argv: list[str] | None = None) -> int:
                 group_cols=gcols, checkpoint_dir=args.checkpoint,
                 salt_buckets=args.salt_buckets,
                 max_files_per_trigger=args.max_files_per_trigger)
+            print(json.dumps(stats, sort_keys=True))
+        elif args.cmd == "merge":
+            srcs = [d for d in args.sources.split(",") if d]
+            stats = R.rollup_merge_states(spark, srcs, args.dest)
             print(json.dumps(stats, sort_keys=True))
         elif args.cmd == "query":
             qs = [float(x) for x in args.quantiles.split(",") if x]

@@ -64,7 +64,8 @@ from p2pddsketch_spark.operators.harness import (SketchSpec, build_partials,
 from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
                                                      _write_text)
 
-__all__ = ["rollup_update", "rollup_stream_update", "rollup_state",
+__all__ = ["rollup_update", "rollup_stream_update", "rollup_merge_states",
+           "rollup_state",
            "rollup_versions", "rollup_quantiles", "rollup_cardinality",
            "rollup_topk", "rollup_histogram", "rollup_drift",
            "rollup_topk_drift",
@@ -442,6 +443,117 @@ def rollup_prune(spark: SparkSession, state_dir: str, keep: int = 2) -> dict:
         fs.delete(status.getPath(), True)
         deleted.append(v)
     return {"deleted": sorted(deleted), "kept": sorted(keep_set)}
+
+
+def rollup_merge_states(spark: SparkSession, source_dirs: list[str],
+                        dest_dir: str) -> dict:
+    """Merge N independently-built warehouse states into a fresh one —
+    the multi-cluster fan-in: each region/cluster maintains its own
+    rollup state over its local drop, and a periodic merge job folds
+    them into one global warehouse without ever co-locating (or even
+    re-reading) the input data. Only the per-(group, sketch) blob
+    tables move; mergeability/associativity (the same property behind
+    incremental update == one-shot rebuild) makes the result
+    byte-identical to a single warehouse built over the union of all
+    sources' input files.
+
+    Refuses loudly when (a) any source has no committed state, (b) the
+    sources were built with different spec/group configurations
+    (zero-state signatures — same guard as `rollup_update`), (c) two
+    sources share input-file lineage (merging would double-count those
+    rows), or (d) `dest_dir` already has committed state (a merge
+    target is born fresh; subsequent `rollup_update` calls can advance
+    it, since the manifest carries the sources' spec signatures).
+
+    Reference analog: the gossip protocol's whole purpose —
+    `DDS_MergeCollapse` folding peer states into a global one
+    (/root/reference/ddsketch.cc:716-789) — minus the convergence
+    rounds: one exact merge, not an epidemic average."""
+    if len(source_dirs) < 2:
+        raise UsageError("state merge needs at least 2 source dirs")
+    canon = [_canon_path(d.rstrip("/")) for d in source_dirs]
+    if len(set(canon)) != len(canon):
+        raise UsageError("duplicate source dirs in state merge")
+    if _canon_path(dest_dir.rstrip("/")) in set(canon):
+        raise UsageError("dest dir must not be one of the sources")
+    if _latest(spark, dest_dir) is not None:
+        raise UsageError(
+            f"dest {dest_dir!r} already has committed state; merge "
+            "targets are born fresh (advance them with update/stream)")
+
+    sources = []
+    for d in source_dirs:
+        latest = _latest(spark, d)
+        if latest is None:
+            raise UsageError(f"no committed rollup state at {d!r}")
+        sources.append((d, *latest))
+
+    _, _, first = sources[0]
+    config = (first["spec_names"], first["spec_signatures"],
+              first["group_cols"])
+    for d, _, m in sources[1:]:
+        got = (m["spec_names"], m["spec_signatures"], m["group_cols"])
+        if got != config:
+            raise UsageError(
+                f"state config mismatch: {sources[0][0]!r} has "
+                f"{config} but {d!r} has {got}")
+
+    seen: dict[str, str] = {}
+    overlap = []
+    for d, _, m in sources:
+        for f in m["files"]:
+            if f in seen:
+                overlap.append((f, seen[f], d))
+            seen[f] = d
+    if overlap:
+        f, a, b = overlap[0]
+        raise UsageError(
+            f"{len(overlap)} input file(s) appear in more than one "
+            f"source's lineage (first: {f!r} in both {a!r} and {b!r}); "
+            "merging would double-count their rows")
+
+    group_cols = tuple(first["group_cols"])
+    partials = None
+    for i, (d, v, _) in enumerate(sources):
+        src = (spark.read.parquet(_blobs_path(d, v))
+               .withColumn("salt", F.lit(0).cast("int"))
+               # distinct negative partition ids keep per-source
+               # provenance visible in lineage, mirroring the -2
+               # "from-state" marker in _merge_and_commit
+               .withColumn("partition_id", F.lit(-3 - i).cast("int"))
+               .withColumn("build_secs", F.lit(0.0))
+               .select(*group_cols, *_PARTIAL_COLS))
+        partials = src if partials is None else partials.unionByName(src)
+    merged = merge_partials(partials, group_cols)
+
+    out = merged.select(*group_cols, "sketch_name", "rows_seen", "sketch")
+    out.write.mode("overwrite").parquet(_blobs_path(dest_dir, 1))
+    published = spark.read.parquet(_blobs_path(dest_dir, 1))
+    n_rows = published.count()
+    rows_seen = {r["sketch_name"]: int(r["total"]) for r in
+                 (published.groupBy("sketch_name")
+                  .agg(F.sum("rows_seen").alias("total")).collect())}
+    manifest = {
+        "version": 1,
+        "files": sorted(seen),
+        "new_files": len(seen),
+        "spec_names": first["spec_names"],
+        "spec_signatures": first["spec_signatures"],
+        "group_cols": first["group_cols"],
+        "n_blob_rows": int(n_rows),
+        "rows_seen_total": rows_seen,
+        "updated_unix": time.time(),
+        "generated_by": "p2pddsketch_spark.operators.rollup",
+        "merged_from": [{"state_dir": d, "version": v,
+                         "files": len(m["files"])}
+                        for d, v, m in sources],
+    }
+    _write_text(spark, _manifest_path(dest_dir, 1),
+                json.dumps(manifest, indent=1, sort_keys=True))
+    n_specs = max(len(first["spec_names"]), 1)
+    return {"version": 1, "sources": len(sources),
+            "total_files": len(seen), "groups": int(n_rows) // n_specs,
+            "noop": False}
 
 
 def _decode_map(sketch_name: str, fn_name: str, args: tuple, out_ddl: str):

@@ -1271,3 +1271,119 @@ def test_histogram_is_lossless_blob_dump(spark, tmp_path, capsys):
     assert rc == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "wdds blobs" in err["error"]
+
+
+def test_merge_states_is_one_shot_byte_identical(spark, seq_dir, tmp_path):
+    """Multi-cluster fan-in: two warehouses built over disjoint halves
+    of the corpus, merged with `rollup_merge_states`, are byte-identical
+    to one warehouse built over everything — plus the full refusal
+    contract (config mismatch, lineage overlap, non-fresh dest, source
+    dedup) and queryability/advanceability of the merged state."""
+    import os
+    files = parquet_file_list(seq_dir)
+    half_a, half_b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(half_a), os.makedirs(half_b)
+    for f in files[:4]:
+        shutil.copy(f, half_a)
+    for f in files[4:]:
+        shutil.copy(f, half_b)
+
+    sa, sb = str(tmp_path / "state_a"), str(tmp_path / "state_b")
+    R.rollup_update(spark, half_a, sa, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+    R.rollup_update(spark, half_b, sb, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+
+    dest = str(tmp_path / "merged")
+    stats = R.rollup_merge_states(spark, [sa, sb], dest)
+    assert stats["version"] == 1 and stats["sources"] == 2
+    assert stats["total_files"] == len(files)
+
+    # byte identity vs the union state built in one shot
+    full = str(tmp_path / "full")
+    os.makedirs(full)
+    for f in files:
+        shutil.copy(f, full)
+    one = str(tmp_path / "state_one")
+    R.rollup_update(spark, full, one, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+    merged_blobs, one_blobs = _blob_map(spark, dest), _blob_map(spark, one)
+    assert set(merged_blobs) == set(one_blobs)
+    for key, blob in merged_blobs.items():
+        assert blob == one_blobs[key], key
+
+    # the manifest carries summed metrics + provenance, and the merged
+    # state answers queries / accepts further updates like any other
+    vers = dict(R.rollup_versions(spark, dest))
+    assert [m["state_dir"] for m in vers[1]["merged_from"]] == [sa, sb]
+    assert vers[1]["rows_seen_total"] == \
+        dict(R.rollup_versions(spark, one))[1]["rows_seen_total"]
+    got = {r["source"]: r["estimate"] for r in
+           R.rollup_quantiles(spark, dest, "dds", [0.5]).collect()}
+    want = {r["source"]: r["estimate"] for r in
+            R.rollup_quantiles(spark, one, "dds", [0.5]).collect()}
+    assert got == want
+    assert R.rollup_update(spark, half_a, dest, _specs(),
+                           group_cols=("source",), salt_buckets=4)["noop"]
+
+    # refusals
+    with pytest.raises(UsageError, match="at least 2"):
+        R.rollup_merge_states(spark, [sa], dest + "2")
+    with pytest.raises(UsageError, match="duplicate source"):
+        R.rollup_merge_states(spark, [sa, sa], dest + "2")
+    with pytest.raises(UsageError, match="already has committed"):
+        R.rollup_merge_states(spark, [sa, sb], dest)
+    # lineage overlap is path-identity (same semantics as update's
+    # file dedup): a state built over the SAME dir as `sa` collides
+    dup = str(tmp_path / "state_dup")
+    R.rollup_update(spark, half_a, dup, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+    with pytest.raises(UsageError, match="double-count"):
+        R.rollup_merge_states(spark, [sa, dup], dest + "2")
+    with pytest.raises(UsageError, match="no committed rollup state"):
+        R.rollup_merge_states(spark, [sa, str(tmp_path / "void")],
+                              dest + "2")
+    other = str(tmp_path / "state_other")
+    R.rollup_update(spark, half_b, other,
+                    [_specs()[0]], group_cols=("source",), salt_buckets=4)
+    with pytest.raises(UsageError, match="config mismatch"):
+        R.rollup_merge_states(spark, [sa, other], dest + "2")
+
+
+def test_merge_states_cli_roundtrip(spark, seq_dir, tmp_path, capsys):
+    """CLI `merge` fans two states in and the merged state serves the
+    query subcommands; bad input is the one-line JSON error."""
+    import os
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    files = parquet_file_list(seq_dir)
+    half_a, half_b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(half_a), os.makedirs(half_b)
+    for f in files[:4]:
+        shutil.copy(f, half_a)
+    for f in files[4:]:
+        shutil.copy(f, half_b)
+    sa, sb = str(tmp_path / "sa"), str(tmp_path / "sb")
+    for src, st in ((half_a, sa), (half_b, sb)):
+        assert rollup_sketches.main([
+            "update", "--input", src, "--state", st,
+            "--group-cols", "source", "--value-col", "n_tok",
+            "--tokens-col", "tokens", "--salt-buckets", "4"]) == 0
+    capsys.readouterr()
+
+    dest = str(tmp_path / "merged")
+    assert rollup_sketches.main([
+        "merge", "--sources", f"{sa},{sb}", "--dest", dest]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sources"] == 2 and out["total_files"] == len(files)
+
+    assert rollup_sketches.main([
+        "query", "--state", dest, "--quantiles", "0.5,0.99"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert rows and all(r["estimate"] is not None for r in rows)
+
+    assert rollup_sketches.main([
+        "merge", "--sources", sa, "--dest", str(tmp_path / "d2")]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "at least 2" in err["error"]
