@@ -22,9 +22,9 @@ invocation, replayed micro-batches fenced by manifest file lineage);
 zero input re-scan (`topk` ranks per-group heavy hitters from
 SpaceSaving blobs; `drift` and `topk-drift` compare two committed
 versions per group — the monitoring queries versioning exists for;
-`window-cardinality` / `window-count` / `window-rows` answer
-trailing-event-time-window distinct/frequency/rate questions from the
-sliding families
+`window-cardinality` / `window-count` / `window-rows` /
+`window-topk` answer trailing-event-time-window distinct/frequency/
+rate/heavy-hitter questions from the sliding families
 `--sketches shll,ecm,eh` + `--ts-col`; `--version` time-travels any
 point query to an older committed version).
 Each subcommand prints one JSON line. Errors print a {"error": ...}
@@ -45,7 +45,8 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
            names: str | None = None, ss_k: int = 64,
            ts_col: str | None = None, eh_k: int = 32,
            ecm_width: int = 2048, wdds_bucket: int = 3_600_000_000,
-           wdds_max_buckets: int = 1024):
+           wdds_max_buckets: int = 1024, wss_bucket: int = 3_600_000_000,
+           wss_max_buckets: int = 1024):
     """Build the sketch-family specs for `--sketches`. Scalar families
     ingest `value_col`; token families ingest the `tokens_col` arrays
     (and require it — EXPLICITLY requested token families without a
@@ -88,6 +89,7 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
     from p2pddsketch_spark.sketches.eh import ExpHistogram
     from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
     from p2pddsketch_spark.sketches.wdds import WindowedDDSketch
+    from p2pddsketch_spark.sketches.wss import WindowedSpaceSaving
     sliding = {
         "shll": lambda: SlidingHyperLogLog(p=hll_p),
         "ecm": lambda: EcmSketch(depth=4, width=ecm_width, k=eh_k),
@@ -95,6 +97,9 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
         "wdds": lambda: WindowedDDSketch(alpha=alpha,
                                          bucket_width=wdds_bucket,
                                          max_buckets=wdds_max_buckets),
+        "wss": lambda: WindowedSpaceSaving(k=ss_k,
+                                           bucket_width=wss_bucket,
+                                           max_buckets=wss_max_buckets),
     }
     explicit = names is not None
     specs, seen = [], set()
@@ -125,6 +130,14 @@ def _specs(value_col: str, tokens_col: str | None, alpha: float, hll_p: int,
                 # quantile payload keeps full float64 precision
                 specs.append(SketchSpec(n, sliding[n],
                                         vpair_extractor(value_col, ts_col)))
+            elif n == "wss" and tokens_col:
+                # heavy hitters over token ids when a tokens column
+                # exists; falls through to (value_col, ts) identity
+                # pairs otherwise (heavy users, heavy keys, ...)
+                from p2pddsketch_spark.operators.harness import \
+                    apair_extractor
+                specs.append(SketchSpec(n, sliding[n],
+                                        apair_extractor(tokens_col, ts_col)))
             else:
                 specs.append(SketchSpec(n, sliding[n],
                                         pair_extractor(value_col, ts_col)))
@@ -170,6 +183,14 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--wdds-max-buckets", type=int, default=1024,
                     help="windowed-DDSketch live-bucket retention cap "
                     "(older buckets fold into the full-history tail)")
+    up.add_argument("--wss-bucket", default="1h",
+                    help="windowed-SpaceSaving time-bucket width (int "
+                    "in native units, or s/m/h/d suffix scaled by "
+                    "--ts-unit)")
+    up.add_argument("--wss-max-buckets", type=int, default=1024,
+                    help="windowed-SpaceSaving live-bucket retention "
+                    "cap (older buckets fold into the full-history "
+                    "tail)")
     up.add_argument("--sketches", default=None,
                     help="comma-separated sketch families to build "
                     "(default: dds, plus hll when --tokens-col is given)")
@@ -206,6 +227,14 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--wdds-max-buckets", type=int, default=1024,
                     help="windowed-DDSketch live-bucket retention cap "
                     "(older buckets fold into the full-history tail)")
+    st.add_argument("--wss-bucket", default="1h",
+                    help="windowed-SpaceSaving time-bucket width (int "
+                    "in native units, or s/m/h/d suffix scaled by "
+                    "--ts-unit)")
+    st.add_argument("--wss-max-buckets", type=int, default=1024,
+                    help="windowed-SpaceSaving live-bucket retention "
+                    "cap (older buckets fold into the full-history "
+                    "tail)")
     st.add_argument("--sketches", default=None,
                     help="comma-separated sketch families to build "
                     "(default: dds, plus hll when --tokens-col is given)")
@@ -251,6 +280,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="baseline version (default: previous committed)")
     td.add_argument("--to", dest="v_to", type=int, default=None,
                     help="target version (default: latest committed)")
+
+    wt = sub.add_parser("window-topk", help="trailing-window heavy "
+                        "hitters from stored windowed-SpaceSaving blobs")
+    wt.add_argument("--state", required=True)
+    wt.add_argument("--sketch", default="wss")
+    wt.add_argument("--windows", required=True,
+                    help="comma-separated trailing windows: plain ints "
+                    "are the ts column's native units; s/m/h/d suffixes "
+                    "scale via --ts-unit (e.g. '15m,1h,1d')")
+    wt.add_argument("--m", type=int, default=10,
+                    help="items to rank per group and window")
+    wt.add_argument("--ts-unit", default="us", choices=["us", "ms", "s"],
+                    help="native unit of the ingested ts column "
+                    "(Spark timestamp columns are us)")
+    wt.add_argument("--now", type=int, default=None,
+                    help="window anchor in native units (default: each "
+                    "group's newest-seen timestamp)")
+    wt.add_argument("--version", type=int, default=None,
+                    help="committed version to query (default: latest)")
 
     wc = sub.add_parser("window-cardinality", help="trailing-window "
                         "distinct counts from stored SlidingHLL blobs")
@@ -408,7 +456,10 @@ def main(argv: list[str] | None = None) -> int:
                        ecm_width=args.ecm_width,
                        wdds_bucket=_windows(args.wdds_bucket,
                                             args.ts_unit)[0],
-                       wdds_max_buckets=args.wdds_max_buckets),
+                       wdds_max_buckets=args.wdds_max_buckets,
+                       wss_bucket=_windows(args.wss_bucket,
+                                           args.ts_unit)[0],
+                       wss_max_buckets=args.wss_max_buckets),
                 group_cols=gcols, salt_buckets=args.salt_buckets,
                 files_per_task=args.files_per_task)
             print(json.dumps(stats, sort_keys=True))
@@ -422,7 +473,10 @@ def main(argv: list[str] | None = None) -> int:
                        ecm_width=args.ecm_width,
                        wdds_bucket=_windows(args.wdds_bucket,
                                             args.ts_unit)[0],
-                       wdds_max_buckets=args.wdds_max_buckets),
+                       wdds_max_buckets=args.wdds_max_buckets,
+                       wss_bucket=_windows(args.wss_bucket,
+                                           args.ts_unit)[0],
+                       wss_max_buckets=args.wss_max_buckets),
                 group_cols=gcols, checkpoint_dir=args.checkpoint,
                 salt_buckets=args.salt_buckets,
                 max_files_per_trigger=args.max_files_per_trigger)
@@ -459,6 +513,15 @@ def main(argv: list[str] | None = None) -> int:
                                        _versions=versions).collect()
             print(json.dumps({"sketch": args.sketch, "m": args.m,
                               "from": v_from, "to": v_to,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "window-topk":
+            wins = _windows(args.windows, args.ts_unit)
+            rows = R.rollup_window_topk(
+                spark, args.state, wins, sketch_name=args.sketch,
+                m=args.m, now=args.now, version=args.version).collect()
+            print(json.dumps({"sketch": args.sketch, "windows": wins,
+                              "m": args.m, "now": args.now,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
         elif args.cmd == "window-cardinality":

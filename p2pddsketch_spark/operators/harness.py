@@ -57,9 +57,10 @@ from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
 from p2pddsketch_spark.sketches.eh import ExpHistogram
 from p2pddsketch_spark.sketches.ecm import EcmSketch
 from p2pddsketch_spark.sketches.wdds import WindowedDDSketch
+from p2pddsketch_spark.sketches.wss import WindowedSpaceSaving
 
 __all__ = ["SketchSpec", "scalar_extractor", "array_extractor",
-           "pair_extractor", "vpair_extractor",
+           "pair_extractor", "vpair_extractor", "apair_extractor",
            "build_sketches", "build_partials", "merge_partials",
            "build_sketches_from_files", "build_partials_from_files",
            "parquet_file_list", "collect_sketches", "merge_blobs",
@@ -95,6 +96,7 @@ SKETCH_TYPES = {
     b"EXH1": ExpHistogram,
     b"ECM1": EcmSketch,
     b"WDD1": WindowedDDSketch,
+    b"WSS1": WindowedSpaceSaving,
 }
 
 
@@ -168,6 +170,39 @@ def pair_extractor(value_col: str, ts_col: str) -> Callable[[pa.RecordBatch], np
         return np.column_stack((_int64(v), _int64(t)))
     extract.columns = [value_col, ts_col]
     extract.key = f"pair:{value_col}:{ts_col}"
+    return extract
+
+
+def apair_extractor(tokens_col: str, ts_col: str) -> Callable[[pa.RecordBatch], np.ndarray]:
+    """Flatten an array<int> column against its row timestamp into the
+    same (n, 2) [item, ts] shape `pair_extractor` emits — every element
+    of a row's array is one observation stamped with that row's event
+    time (the windowed heavy-hitter feed: "which token ids dominated
+    the last hour"). Flattening stays inside Arrow (north_rule: tokens
+    arrays never explode into per-row Python); rows with a null array
+    or null ts drop whole, null elements inside an array drop alone."""
+    def extract(batch: pa.RecordBatch) -> np.ndarray:
+        col, t = batch.column(tokens_col), batch.column(ts_col)
+        if col.null_count or t.null_count:
+            ok = pa.compute.and_(col.is_valid(), t.is_valid())
+            col, t = col.filter(ok), t.filter(ok)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        lens = (pa.compute.list_value_length(col)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        ts = np.repeat(t.to_numpy(zero_copy_only=False).astype(np.int64),
+                       lens)
+        flat = col.flatten()
+        if flat.null_count:
+            valid = flat.is_valid().to_numpy(zero_copy_only=False)
+            flat = flat.drop_null()
+            ts = ts[valid]
+        items = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.column_stack((items, ts))
+    extract.columns = [tokens_col, ts_col]
+    extract.key = f"apair:{tokens_col}:{ts_col}"
     return extract
 
 

@@ -70,6 +70,7 @@ __all__ = ["rollup_update", "rollup_stream_update", "rollup_merge_states",
            "rollup_topk", "rollup_histogram", "rollup_drift",
            "rollup_topk_drift",
            "rollup_window_cardinality", "rollup_window_counts",
+           "rollup_window_topk",
            "rollup_window_rows", "rollup_window_quantiles",
            "rollup_window_drift",
            "resolve_drift_versions", "rollup_prune"]
@@ -758,6 +759,59 @@ def rollup_topk(spark: SparkSession, state_dir: str,
 
     return (st.mapInPandas(run, schema=ddl)
             .orderBy(*group_cols, "rank"))
+
+
+def rollup_window_topk(spark: SparkSession, state_dir: str,
+                       windows: list[int], sketch_name: str = "wss",
+                       m: int = 10, now: int | None = None,
+                       version: int | None = None,
+                       _versions: list | None = None) -> DataFrame:
+    """Trailing-window heavy hitters from stored WindowedSpaceSaving
+    blobs (`sketches/wss.py`): "which ids dominated each group in the
+    last hour / day, as of the committed state" — every window ranked
+    from ONE stored sketch per group, zero input re-scan. True count of
+    a listed item lies in [count_est - count_err, count_est] over the
+    covered rows, and every item with windowed count > n_covered/k is
+    listed (m >= k). Coverage is bucket-granular: `covered_from`/
+    `covered_to` report the exact ts range ranked, equal to the
+    requested window iff bucket-aligned (same contract as
+    `rollup_window_quantiles`). Window units / `now` semantics match
+    `rollup_window_cardinality`; a group with no bucket in the window
+    emits no rows (the honest empty ranking, as in `rollup_topk`).
+    Output: (group…, window, rank, item, count_est, count_err,
+    n_covered, covered_from, covered_to)."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
+    gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                   for c in group_cols)
+    ddl = (f"{gddl}window long, rank int, item long, count_est long, "
+           "count_err long, n_covered long, covered_from long, "
+           "covered_to long")
+    cols = [c.split(" ")[0] for c in ddl.split(", ")]
+    wins = [int(w) for w in windows]
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sk = sketch_from_bytes(bytes(row["sketch"]))
+                fn = getattr(sk, "window_top", None)
+                if fn is None:
+                    raise UsageError(
+                        f"sketch {sketch_name!r} ({type(sk).__name__}) "
+                        "does not support 'window_top'")
+                base = [row[c] for c in pdf.columns
+                        if c not in ("sketch", "sketch_name", "rows_seen")]
+                for w in wins:
+                    top, n_cov, lo, hi = fn(m, w, now=now)
+                    for rank, (item, cnt, err) in enumerate(top, start=1):
+                        rows.append(base + [w, rank, item, cnt, err,
+                                            n_cov, lo, hi])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (st.mapInPandas(run, schema=ddl)
+            .orderBy(*group_cols, "window", "rank"))
 
 
 def rollup_window_cardinality(spark: SparkSession, state_dir: str,

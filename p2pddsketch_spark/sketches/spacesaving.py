@@ -106,6 +106,15 @@ class SpaceSaving:
         self._truncate()
         return self
 
+    def copy(self) -> "SpaceSaving":
+        c = SpaceSaving(k=self.k)
+        c.keys = self.keys.copy()
+        c.counts = self.counts.copy()
+        c.errors = self.errors.copy()
+        c.n = self.n
+        c.floor = self.floor
+        return c
+
     def top(self, m: int | None = None) -> list[tuple[int, int, int]]:
         """[(item, estimated_count, max_overestimate)] sorted by count desc,
         item asc for determinism."""

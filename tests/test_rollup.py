@@ -1387,3 +1387,112 @@ def test_merge_states_cli_roundtrip(spark, seq_dir, tmp_path, capsys):
         "merge", "--sources", sa, "--dest", str(tmp_path / "d2")]) == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "at least 2" in err["error"]
+
+
+def test_wss_warehouse_window_topk_matches_exact(spark, tmp_path, capsys):
+    """wss family through the full warehouse path: heavy users per
+    event_type from the stored blob, pinned against exact recomputation
+    over each row's REPORTED covered range (user universe 15 < k=64 ⇒
+    exact regime, err == 0); the generic `topk` subcommand ranks the
+    same blob's full history; window-topk on a non-wss family is the
+    clean JSON error."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    import pandas as pd
+
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "update", "--input", f"{SF_DIR}/events.parquet", "--state", state,
+        "--group-cols", "event_type", "--value-col", "user_id",
+        "--ts-col", "ts", "--sketches", "wss,shll", "--wss-bucket", "1d",
+        "--ss-k", "64", "--salt-buckets", "4"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = rollup_sketches.main([
+        "window-topk", "--state", state, "--windows", "1d,7d", "--m", "5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"], "no rankings came back"
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts_us"] = ev["ts"].astype("int64")
+    seen_groups = set()
+    for r in out["rows"]:
+        g = r["event_type"]
+        seen_groups.add(g)
+        sub = ev[(ev["event_type"] == g) & (ev["ts_us"] >= r["covered_from"])
+                 & (ev["ts_us"] < r["covered_to"])]
+        truth = sub.groupby("user_id").size()
+        assert r["count_err"] == 0
+        assert truth.get(r["item"], 0) == r["count_est"]
+        # rank order is count desc, item asc
+        srt = sorted(((int(c), int(u)) for u, c in truth.items()),
+                     key=lambda x: (-x[0], x[1]))
+        assert (srt[r["rank"] - 1][1], srt[r["rank"] - 1][0]) == \
+            (r["item"], r["count_est"])
+        assert r["n_covered"] == len(sub)
+    assert seen_groups == set(ev["event_type"].unique())
+
+    # generic topk answers full history from the same wss blob
+    rc = rollup_sketches.main([
+        "topk", "--state", state, "--sketch", "wss", "--m", "3"])
+    assert rc == 0
+    tk = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for r in tk["rows"]:
+        g = r["event_type"]
+        truth = ev[ev["event_type"] == g].groupby("user_id").size()
+        assert truth.get(r["item"], 0) == r["count_est"]
+
+    # wrong family is the documented one-line JSON error
+    rc = rollup_sketches.main([
+        "window-topk", "--state", state, "--sketch", "shll",
+        "--windows", "1d"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "window_top" in err["error"]
+
+
+def test_wss_warehouse_token_heavy_hitters(spark, seq_dir, tmp_path, capsys):
+    """wss over token ARRAYS (apair extractor): every element of a
+    row's tokens array is stamped with the row's event time; windowed
+    token rankings from the stored blob match an exact explode-and-
+    count over the covered range."""
+    import os
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    import pandas as pd
+
+    src = str(tmp_path / "toks_ts")
+    (spark.read.parquet(seq_dir)
+     .withColumn("ts", (F.xxhash64("doc_id") % 1000000) + 1000000)
+     .write.parquet(src))
+
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "update", "--input", src, "--state", state,
+        "--group-cols", "source", "--tokens-col", "tokens",
+        "--ts-col", "ts", "--sketches", "wss", "--wss-bucket", "100000",
+        "--ts-unit", "us", "--ss-k", "2000", "--salt-buckets", "4"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = rollup_sketches.main([
+        "window-topk", "--state", state, "--windows", "500000",
+        "--m", "10"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"]
+
+    df = pd.read_parquet(src)
+    for r in out["rows"][:20]:
+        sub = df[(df["source"] == r["source"]) & (df["ts"] >= r["covered_from"])
+                 & (df["ts"] < r["covered_to"])]
+        flat = np.concatenate(sub["tokens"].to_list()) if len(sub) else \
+            np.empty(0, dtype=np.int64)
+        truth = pd.Series(flat).value_counts()
+        assert r["n_covered"] == flat.size
+        tr = int(truth.get(r["item"], 0))
+        assert tr <= r["count_est"] <= tr + r["count_err"]

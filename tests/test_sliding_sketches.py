@@ -22,6 +22,7 @@ from p2pddsketch_spark.sketches.ecm import EcmSketch
 from p2pddsketch_spark.sketches.eh import ExpHistogram
 from p2pddsketch_spark.sketches.hll import HyperLogLog
 from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
+from p2pddsketch_spark.sketches.wss import WindowedSpaceSaving
 
 
 # ------------------------------------------------------------ ExpHistogram
@@ -406,3 +407,122 @@ class TestWindowedDDSketch:
         empty = WindowedDDSketch()
         ests, n_cov, _, _ = empty.window_quantiles([0.5], window=10)
         assert np.isnan(ests).all() and n_cov == 0
+
+
+# ------------------------------------------------------ WindowedSpaceSaving
+
+def _it(items, ts):
+    return np.column_stack((np.asarray(items, dtype=np.int64),
+                            np.asarray(ts, dtype=np.int64)))
+
+
+class TestWindowedSpaceSaving:
+    def _stream(self, seed=3, n=60_000, hours=80, universe=40):
+        rng = np.random.default_rng(seed)
+        items = rng.zipf(1.5, n) % universe  # skewed, bounded universe
+        t = rng.integers(0, hours * 3600, n)
+        return items.astype(np.int64), t
+
+    def _exact_top(self, items, t, lo, hi, m):
+        mask = (t >= lo) & (t < hi)
+        uk, uc = np.unique(items[mask], return_counts=True)
+        order = np.lexsort((uk, -uc))[:m]
+        return [(int(uk[i]), int(uc[i])) for i in order], int(mask.sum())
+
+    def test_exact_regime_matches_truth(self):
+        """k >= universe: no bucket ever truncates, so every windowed
+        ranking is the exact count table (err == 0) and state is a
+        canonical function of the data (byte identity across batch
+        segmentation AND merge order)."""
+        items, t = self._stream(universe=40)
+        s = WindowedSpaceSaving(k=64, bucket_width=3600, max_buckets=256)
+        for i in range(0, items.size, 8192):
+            s.update_batch(_it(items[i:i + 8192], t[i:i + 8192]))
+        for w_hours in (1, 12, 48):
+            top, n_cov, lo, hi = s.window_top(10, window=w_hours * 3600)
+            want, n_want = self._exact_top(items, t, lo, hi, 10)
+            assert n_cov == n_want
+            assert [(i, c) for i, c, _ in top] == want
+            assert all(err == 0 for _, _, err in top)
+        # byte identity: different segmentation and merge order
+        p = _it(items, t)
+        chunks = [p[i::4] for i in range(4)]
+        parts = [WindowedSpaceSaving(k=64, bucket_width=3600,
+                                     max_buckets=256).update_batch(c)
+                 for c in chunks]
+        m = parts[2].merge(parts[0]).merge(parts[3]).merge(parts[1])
+        assert m.to_bytes() == s.to_bytes()
+
+    def test_error_bounds_small_k(self):
+        """Truncating regime: for every window, tracked items satisfy
+        true <= est <= true + err, and every item with windowed count
+        > n_covered/k is listed."""
+        items, t = self._stream(seed=11, universe=5000, n=80_000)
+        k = 16
+        s = WindowedSpaceSaving(k=k, bucket_width=3600, max_buckets=256)
+        for i in range(0, items.size, 4096):
+            s.update_batch(_it(items[i:i + 4096], t[i:i + 4096]))
+        for w_hours in (2, 24, 60):
+            top, n_cov, lo, hi = s.window_top(None, window=w_hours * 3600)
+            mask = (t >= lo) & (t < hi)
+            uk, uc = np.unique(items[mask], return_counts=True)
+            truth = dict(zip(uk.tolist(), uc.tolist()))
+            assert n_cov == int(mask.sum())
+            listed = set()
+            for item, est, err in top:
+                tr = truth.get(item, 0)
+                assert tr <= est <= tr + err, (item, tr, est, err)
+                listed.add(item)
+            thresh = n_cov / k
+            for item, tr in truth.items():
+                if tr > thresh:
+                    assert item in listed, (item, tr, thresh)
+
+    def test_fold_bounds_memory_and_keeps_full_history(self):
+        items, t = self._stream(seed=7, universe=30)
+        s = WindowedSpaceSaving(k=64, bucket_width=3600, max_buckets=8)
+        for i in range(0, items.size, 8192):
+            s.update_batch(_it(items[i:i + 8192], t[i:i + 8192]))
+        assert s.n_live_buckets <= 8
+        assert s.n == items.size
+        # full history (exact regime): counts are exact even across the
+        # tail fold
+        top, n_cov, _, _ = s.window_top(5)
+        want, _ = self._exact_top(items, t, int(t.min()), int(t.max()) + 1, 5)
+        assert n_cov == items.size
+        assert [(i, c) for i, c, _ in top] == want
+        # a window past the retention horizon covers only the live range
+        _, n_cov, lo, _ = s.window_top(5, window=79 * 3600)
+        assert lo >= (int(t.max()) // 3600 - 7) * 3600
+        assert n_cov < items.size
+
+    def test_weighted_matches_repeats(self):
+        it = np.array([1, 5, 25, 5])
+        t = np.array([10, 20, 30, 4000])
+        w = np.array([3, 2, 1, 4])
+        a = WindowedSpaceSaving(k=8, bucket_width=100, max_buckets=50)
+        a.update_batch(_it(it, t), weights=w)
+        b = WindowedSpaceSaving(k=8, bucket_width=100, max_buckets=50)
+        b.update_batch(_it(np.repeat(it, w), np.repeat(t, w)))
+        assert a.to_bytes() == b.to_bytes()
+        assert a.n == int(w.sum())
+
+    def test_serde_roundtrip_and_validation(self):
+        items, t = self._stream(seed=1, n=5_000, universe=200)
+        s = WindowedSpaceSaving(k=16, bucket_width=7200,
+                                max_buckets=4).update_batch(_it(items, t))
+        r = WindowedSpaceSaving.from_bytes(s.to_bytes())
+        assert r.to_bytes() == s.to_bytes()
+        assert r.n == s.n
+        assert r.top(3) == s.top(3)
+        with pytest.raises(ValueError):
+            s.merge(WindowedSpaceSaving(k=16, bucket_width=3600,
+                                        max_buckets=4))
+        from p2pddsketch_spark.errors import ParamError
+        with pytest.raises(ParamError):
+            WindowedSpaceSaving(bucket_width=0)
+        with pytest.raises(ValueError):
+            s.update_batch(np.zeros(3))
+        empty = WindowedSpaceSaving()
+        top, n_cov, _, _ = empty.window_top(5, window=10)
+        assert top == [] and n_cov == 0
