@@ -300,6 +300,26 @@ def main(argv: list[str] | None = None) -> int:
     wt.add_argument("--version", type=int, default=None,
                     help="committed version to query (default: latest)")
 
+    wtd = sub.add_parser("window-topk-drift", help="heavy-hitter churn "
+                         "between adjacent trailing windows (one wss "
+                         "blob, no second commit)")
+    wtd.add_argument("--state", required=True)
+    wtd.add_argument("--sketch", default="wss")
+    wtd.add_argument("--windows", required=True,
+                     help="comma-separated trailing windows: plain ints "
+                     "are the ts column's native units; s/m/h/d "
+                     "suffixes scale via --ts-unit")
+    wtd.add_argument("--m", type=int, default=10,
+                     help="items to rank per group and window")
+    wtd.add_argument("--ts-unit", default="us", choices=["us", "ms", "s"],
+                     help="native unit of the ingested ts column "
+                     "(Spark timestamp columns are us)")
+    wtd.add_argument("--now", type=int, default=None,
+                     help="current-window anchor in native units "
+                     "(default: each group's newest-seen timestamp)")
+    wtd.add_argument("--version", type=int, default=None,
+                     help="committed version to query (default: latest)")
+
     wc = sub.add_parser("window-cardinality", help="trailing-window "
                         "distinct counts from stored SlidingHLL blobs")
     wc.add_argument("--state", required=True)
@@ -518,6 +538,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "window-topk":
             wins = _windows(args.windows, args.ts_unit)
             rows = R.rollup_window_topk(
+                spark, args.state, wins, sketch_name=args.sketch,
+                m=args.m, now=args.now, version=args.version).collect()
+            print(json.dumps({"sketch": args.sketch, "windows": wins,
+                              "m": args.m, "now": args.now,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "window-topk-drift":
+            wins = _windows(args.windows, args.ts_unit)
+            rows = R.rollup_window_topk_drift(
                 spark, args.state, wins, sketch_name=args.sketch,
                 m=args.m, now=args.now, version=args.version).collect()
             print(json.dumps({"sketch": args.sketch, "windows": wins,

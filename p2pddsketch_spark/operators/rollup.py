@@ -70,7 +70,7 @@ __all__ = ["rollup_update", "rollup_stream_update", "rollup_merge_states",
            "rollup_topk", "rollup_histogram", "rollup_drift",
            "rollup_topk_drift",
            "rollup_window_cardinality", "rollup_window_counts",
-           "rollup_window_topk",
+           "rollup_window_topk", "rollup_window_topk_drift",
            "rollup_window_rows", "rollup_window_quantiles",
            "rollup_window_drift",
            "resolve_drift_versions", "rollup_prune"]
@@ -1097,6 +1097,83 @@ def rollup_window_drift(spark: SparkSession, state_dir: str,
 
     return (st.mapInPandas(run, schema=ddl)
             .orderBy(*group_cols, "window", "metric"))
+
+
+def rollup_window_topk_drift(spark: SparkSession, state_dir: str,
+                             windows: list[int], sketch_name: str = "wss",
+                             m: int = 10, now: int | None = None,
+                             version: int | None = None,
+                             _versions: list | None = None) -> DataFrame:
+    """Heavy-hitter churn between ADJACENT trailing windows from ONE
+    stored WindowedSpaceSaving blob per group: which items entered /
+    left / moved in each group's top-m vs the window before — the
+    set-churn complement of `rollup_window_drift`'s metric deltas,
+    with zero input re-scan and no second commit needed (unlike
+    `rollup_topk_drift`, which compares versions, this compares two
+    windows of the same sliding state).
+
+    The current window is (now - w, now] (`now` None = each group's
+    newest-seen timestamp); the previous window is anchored at the
+    CURRENT coverage's lower edge, so the two bucket-granular ranges
+    are exactly disjoint (`prev_covered_to == cur_covered_from`, same
+    tiling contract as `rollup_window_drift`'s wdds path). Output:
+    (group…, window, item, rank_prev, rank_cur, count_prev, count_cur,
+    delta, status, prev_covered_from, cur_covered_from,
+    cur_covered_to) with status 'entered' / 'left' / 'moved' as in
+    `rollup_topk_drift`; counts carry each window's SpaceSaving
+    overestimate (exact at k ≥ universe). A group with no previous
+    coverage reports every current item as 'entered'."""
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
+    gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
+                   for c in group_cols)
+    ddl = (f"{gddl}window long, item long, rank_prev int, rank_cur int, "
+           "count_prev long, count_cur long, delta long, status string, "
+           "prev_covered_from long, cur_covered_from long, "
+           "cur_covered_to long")
+    cols = [c.split(" ")[0] for c in ddl.split(", ")]
+    wins = [int(w) for w in windows]
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sk = sketch_from_bytes(bytes(row["sketch"]))
+                fn = getattr(sk, "window_top", None)
+                if fn is None:
+                    raise UsageError(
+                        f"sketch {sketch_name!r} ({type(sk).__name__}) "
+                        "does not support 'window_top'")
+                base = [row[c] for c in pdf.columns
+                        if c not in ("sketch", "sketch_name", "rows_seen")]
+                t_ref = getattr(sk, "t_max", None)
+                for w in wins:
+                    ref = int(t_ref) if now is None else int(now)
+                    cur, _, lo_c, hi_c = fn(m, w, now=ref)
+                    prv, _, lo_p, _ = ([], 0, 0, 0) if not cur else \
+                        fn(m, w, now=lo_c - 1)
+                    cur_d = {item: (rk, cnt) for rk, (item, cnt, _)
+                             in enumerate(cur, start=1)}
+                    prv_d = {item: (rk, cnt) for rk, (item, cnt, _)
+                             in enumerate(prv, start=1)}
+                    for item in sorted(cur_d.keys() | prv_d.keys()):
+                        pr, pc = prv_d.get(item, (None, None))
+                        cr, cc = cur_d.get(item, (None, None))
+                        status = ("entered" if pr is None
+                                  else "left" if cr is None else "moved")
+                        delta = None if pc is None or cc is None \
+                            else cc - pc
+                        rows.append(base + [w, item, pr, cr, pc, cc,
+                                            delta, status, lo_p, lo_c,
+                                            hi_c])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (st.mapInPandas(run, schema=ddl)
+            .orderBy(*group_cols, "window",
+                     F.coalesce(F.col("rank_cur"), F.lit(1 << 30)),
+                     F.coalesce(F.col("rank_prev"), F.lit(1 << 30)),
+                     "item"))
 
 
 def rollup_topk_drift(spark: SparkSession, state_dir: str,
