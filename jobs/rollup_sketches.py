@@ -434,6 +434,13 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--to", dest="v_to", type=int, default=None,
                     help="target version (default: latest committed)")
 
+    fk = sub.add_parser("fsck", help="audit a state dir's commit-"
+                        "protocol invariants (read-only)")
+    fk.add_argument("--state", required=True)
+    fk.add_argument("--deep", action="store_true",
+                    help="also decode + re-serialize every blob on the "
+                    "executors (wire-corruption check)")
+
     ver = sub.add_parser("versions", help="committed versions + manifests")
     ver.add_argument("--state", required=True)
 
@@ -643,6 +650,10 @@ def main(argv: list[str] | None = None) -> int:
                               "to": v_to, "rows_ingested_between": ingest,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
+        elif args.cmd == "fsck":
+            report = R.rollup_fsck(spark, args.state, deep=args.deep)
+            print(json.dumps(report, sort_keys=True))
+            return 0 if report["ok"] else 1
         elif args.cmd == "prune":
             print(json.dumps(R.rollup_prune(spark, args.state,
                                             keep=args.keep), sort_keys=True))

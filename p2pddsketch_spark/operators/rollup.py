@@ -73,7 +73,7 @@ __all__ = ["rollup_update", "rollup_stream_update", "rollup_merge_states",
            "rollup_window_topk", "rollup_window_topk_drift",
            "rollup_window_rows", "rollup_window_quantiles",
            "rollup_window_drift",
-           "resolve_drift_versions", "rollup_prune"]
+           "resolve_drift_versions", "rollup_prune", "rollup_fsck"]
 
 _PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
                  "build_secs", "sketch"]
@@ -555,6 +555,131 @@ def rollup_merge_states(spark: SparkSession, source_dirs: list[str],
     return {"version": 1, "sources": len(sources),
             "total_files": len(seen), "groups": int(n_rows) // n_specs,
             "noop": False}
+
+
+def rollup_fsck(spark: SparkSession, state_dir: str,
+                deep: bool = False) -> dict:
+    """CI-style audit of a warehouse state dir — every commit-protocol
+    invariant the rollup relies on, checked without mutating anything:
+
+    * at least one committed version; manifests parse (corruption in
+      `rollup_versions` raises already — reported here as a finding,
+      not a traceback);
+    * per-version: blob directory exists, its row count equals the
+      manifest's `n_blob_rows`, per-family rows_seen sums equal the
+      manifest's `rows_seen_total`, and the row count is
+      groups × |spec_names|;
+    * across versions: spec_names / spec_signatures / group_cols never
+      change, `files` lineage only grows (a shrinking lineage means a
+      later commit forgot earlier input and would re-merge it), and
+      per-family rows_seen never decreases (ingest-only streams are
+      monotone);
+    * aborted manifest-less `version=k` dirs are counted (normal debris
+      below the tip, a retry in flight above it — `rollup_prune` policy);
+    * `deep=True` additionally decodes EVERY blob on the executors and
+      re-serializes it (`sketch_from_bytes(b).to_bytes() == b` — wire
+      corruption surfaces here, at audit time, not mid-query).
+
+    Returns {"ok": bool, "versions": [...], "aborted": [...],
+    "findings": [str, ...]} — empty findings iff ok. The warehouse twin
+    of `validate.py --sequences-audit`."""
+    findings: list[str] = []
+    try:
+        versions = rollup_versions(spark, state_dir)
+    except Exception as e:  # corrupt manifest: report, don't trace
+        return {"ok": False, "versions": [], "aborted": [],
+                "findings": [f"manifest unreadable: {e}"]}
+    if not versions:
+        return {"ok": False, "versions": [], "aborted": [],
+                "findings": [f"no committed rollup state at {state_dir!r}"]}
+
+    fs, jpath = _hadoop_fs(spark, state_dir)
+    aborted = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith("version="):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if v not in dict(versions):
+            aborted.append(v)
+
+    prev = None
+    for v, m in versions:
+        tag = f"version={v}"
+        for key in ("spec_names", "spec_signatures", "group_cols",
+                    "files", "n_blob_rows", "rows_seen_total"):
+            if key not in m:
+                findings.append(f"{tag}: manifest missing {key!r}")
+        try:
+            blobs = spark.read.parquet(_blobs_path(state_dir, v))
+        except Exception as e:
+            findings.append(f"{tag}: blob table unreadable: {e}")
+            prev = (v, m)
+            continue
+        n = blobs.count()
+        if n != m.get("n_blob_rows"):
+            findings.append(
+                f"{tag}: blob rows {n} != manifest n_blob_rows "
+                f"{m.get('n_blob_rows')}")
+        n_specs = max(len(m.get("spec_names", [])), 1)
+        if n % n_specs:
+            findings.append(
+                f"{tag}: blob rows {n} not a multiple of "
+                f"{n_specs} spec families (a group is missing a blob)")
+        seen_tot = {r["sketch_name"]: int(r["total"]) for r in
+                    (blobs.groupBy("sketch_name")
+                     .agg(F.sum("rows_seen").alias("total")).collect())}
+        if seen_tot != m.get("rows_seen_total"):
+            findings.append(
+                f"{tag}: per-family rows_seen {seen_tot} != manifest "
+                f"rows_seen_total {m.get('rows_seen_total')}")
+        if deep:
+            def probe(batches):
+                import pandas as pd
+                from p2pddsketch_spark.operators.harness import \
+                    sketch_from_bytes as sfb
+                for pdf in batches:
+                    bad = 0
+                    for blob in pdf["sketch"]:
+                        b = bytes(blob)
+                        try:
+                            if sfb(b).to_bytes() != b:
+                                bad += 1
+                        except Exception:
+                            bad += 1
+                    yield pd.DataFrame({"bad": [bad]})
+            n_bad = (blobs.select("sketch")
+                     .mapInPandas(probe, schema="bad long")
+                     .agg(F.sum("bad")).collect()[0][0])
+            if n_bad:
+                findings.append(
+                    f"{tag}: {n_bad} blob(s) fail decode/re-serialize")
+        if prev is not None:
+            pv, pm = prev
+            for key in ("spec_names", "spec_signatures", "group_cols"):
+                if m.get(key) != pm.get(key):
+                    findings.append(
+                        f"{tag}: {key} changed vs version={pv} "
+                        f"({pm.get(key)} -> {m.get(key)})")
+            if not set(pm.get("files", [])) <= set(m.get("files", [])):
+                lost = sorted(set(pm["files"]) - set(m["files"]))[:3]
+                findings.append(
+                    f"{tag}: file lineage shrank vs version={pv} "
+                    f"(lost {len(set(pm['files']) - set(m['files']))}, "
+                    f"first: {lost})")
+            for fam, tot in (pm.get("rows_seen_total") or {}).items():
+                cur = (m.get("rows_seen_total") or {}).get(fam)
+                if cur is not None and cur < tot:
+                    findings.append(
+                        f"{tag}: rows_seen_total[{fam}] decreased vs "
+                        f"version={pv} ({tot} -> {cur})")
+        prev = (v, m)
+
+    return {"ok": not findings, "versions": [v for v, _ in versions],
+            "aborted": sorted(aborted), "findings": findings}
 
 
 def _decode_map(sketch_name: str, fn_name: str, args: tuple, out_ddl: str):

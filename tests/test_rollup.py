@@ -1569,3 +1569,84 @@ def test_window_topk_drift_adjacent_churn(spark, tmp_path, capsys):
     assert rc == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "window_top" in err["error"]
+
+
+def test_fsck_audits_commit_protocol(spark, seq_dir, tmp_path, capsys):
+    """`fsck` passes a healthy two-version state (deep included),
+    counts aborted dirs without failing, and catches each tampered
+    invariant: metric mismatch, cross-version config change, lineage
+    shrink, and (deep) blob wire corruption."""
+    import os
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+
+    files = parquet_file_list(seq_dir)
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for f in files[:4]:
+        shutil.copy(f, half)
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, half, state, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+    for f in files[4:]:
+        shutil.copy(f, half)
+    R.rollup_update(spark, half, state, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+
+    # healthy: ok, both versions, deep decode green, exit 0
+    assert rollup_sketches.main(["fsck", "--state", state, "--deep"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] and rep["versions"] == [1, 2] and not rep["findings"]
+
+    # an aborted (manifest-less) dir is reported, not fatal
+    os.makedirs(os.path.join(state, "version=3", "blobs"))
+    assert rollup_sketches.main(["fsck", "--state", state]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] and rep["aborted"] == [3]
+
+    # tamper: inflate a rows_seen_total -> metric finding, exit 1
+    mp = os.path.join(state, "version=2", "manifest.json")
+    m = json.loads(open(mp).read())
+    good = json.dumps(m, indent=1, sort_keys=True)
+    m["rows_seen_total"]["dds"] += 1
+    open(mp, "w").write(json.dumps(m, indent=1, sort_keys=True))
+    assert rollup_sketches.main(["fsck", "--state", state]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any("rows_seen" in f for f in rep["findings"])
+    # ... and a rows_seen DECREASE vs version=1 is its own finding
+    m["rows_seen_total"]["dds"] = 1
+    open(mp, "w").write(json.dumps(m, indent=1, sort_keys=True))
+    rollup_sketches.main(["fsck", "--state", state])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any("decreased" in f for f in rep["findings"])
+
+    # tamper: config drift + lineage shrink vs version=1
+    m = json.loads(good)
+    m["group_cols"] = ["other"]
+    m["files"] = m["files"][:2]
+    open(mp, "w").write(json.dumps(m, indent=1, sort_keys=True))
+    rollup_sketches.main(["fsck", "--state", state])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any("group_cols changed" in f for f in rep["findings"])
+    assert any("lineage shrank" in f for f in rep["findings"])
+    open(mp, "w").write(good)
+
+    # deep: flip bytes inside a stored blob -> decode finding
+    bp = os.path.join(state, "version=2", "blobs")
+    pdf = spark.read.parquet(bp).toPandas()
+    pdf.loc[0, "sketch"] = b"XXXX" + bytes(pdf.loc[0, "sketch"][4:])
+    import shutil as sh
+    sh.rmtree(bp)
+    spark.createDataFrame(pdf).write.parquet(bp)
+    # shallow fsck is blind to blob bytes (counts still conserve)...
+    assert rollup_sketches.main(["fsck", "--state", state]) == 0
+    assert rollup_sketches.main(["fsck", "--state", state, "--deep"]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any("decode" in f for f in rep["findings"])
+
+    # empty dir: ok False, clean report
+    assert rollup_sketches.main(
+        ["fsck", "--state", str(tmp_path / "void")]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not rep["ok"] and "no committed" in rep["findings"][0]
