@@ -596,6 +596,8 @@ def main(argv: list[str] | None = None) -> int:
                                     now=args.now)
             if args.output:
                 df.write.parquet(args.output)
+                # count the WRITTEN parquet (footer-metadata scan),
+                # not df — counting df would re-run the blob decode
                 n = spark.read.parquet(args.output).count()
                 print(json.dumps({"sketch": args.sketch, "window": win,
                                   "output": args.output, "bins": n},

@@ -169,11 +169,18 @@ def _check_config(latest: tuple[int, dict] | None, spec_names: list[str],
 def _merge_and_commit(spark: SparkSession, state_dir: str, partials: DataFrame,
                       specs: list[SketchSpec], group_cols: tuple[str, ...],
                       latest: tuple[int, dict] | None, done: set[str],
-                      new: list[str], extra: dict | None = None) -> dict:
-    """Shared commit core for batch and streaming maintenance: fold the
-    stored blobs into the new partials' merge tree, publish version k+1
-    blobs, then commit with the manifest-last write."""
-    spec_names = sorted(s.name for s in specs)
+                      new: list[str], extra: dict | None = None,
+                      spec_names: list[str] | None = None,
+                      spec_sig: dict | None = None) -> dict:
+    """Shared commit core for batch, streaming, and state-merge
+    maintenance: fold the stored blobs into the new partials' merge
+    tree, publish version k+1 blobs, then commit with the manifest-last
+    write. `spec_names`/`spec_sig` override the specs-derived metadata
+    when the caller has only manifests, not factories (state merge)."""
+    if spec_names is None:
+        spec_names = sorted(s.name for s in specs)
+    if spec_sig is None:
+        spec_sig = _spec_signature(specs)
     if latest is not None:
         # stored blobs re-enter the merge tree as one extra "partition"
         # of partials (salt 0, partition_id −2 marks from-state rows in
@@ -199,7 +206,7 @@ def _merge_and_commit(spark: SparkSession, state_dir: str, partials: DataFrame,
     # (|groups| × |specs| rows) so these are metadata-cost jobs
     published = spark.read.parquet(_blobs_path(state_dir, version))
     n_rows = published.count()
-    n_groups = n_rows // max(len(specs), 1)
+    n_groups = n_rows // max(len(spec_names), 1)
     # the north rule's metrics leg: cumulative rows folded into each
     # sketch family, recorded per version — deltas between manifests
     # give per-update ingest volume with no extra input scan
@@ -211,7 +218,7 @@ def _merge_and_commit(spark: SparkSession, state_dir: str, partials: DataFrame,
         "files": sorted(done | set(new)),
         "new_files": len(new),
         "spec_names": spec_names,
-        "spec_signatures": _spec_signature(specs),
+        "spec_signatures": spec_sig,
         "group_cols": list(group_cols),
         "n_blob_rows": int(n_rows),
         "rows_seen_total": rows_seen,
@@ -525,36 +532,18 @@ def rollup_merge_states(spark: SparkSession, source_dirs: list[str],
                .withColumn("build_secs", F.lit(0.0))
                .select(*group_cols, *_PARTIAL_COLS))
         partials = src if partials is None else partials.unionByName(src)
-    merged = merge_partials(partials, group_cols)
 
-    out = merged.select(*group_cols, "sketch_name", "rows_seen", "sketch")
-    out.write.mode("overwrite").parquet(_blobs_path(dest_dir, 1))
-    published = spark.read.parquet(_blobs_path(dest_dir, 1))
-    n_rows = published.count()
-    rows_seen = {r["sketch_name"]: int(r["total"]) for r in
-                 (published.groupBy("sketch_name")
-                  .agg(F.sum("rows_seen").alias("total")).collect())}
-    manifest = {
-        "version": 1,
-        "files": sorted(seen),
-        "new_files": len(seen),
-        "spec_names": first["spec_names"],
-        "spec_signatures": first["spec_signatures"],
-        "group_cols": first["group_cols"],
-        "n_blob_rows": int(n_rows),
-        "rows_seen_total": rows_seen,
-        "updated_unix": time.time(),
-        "generated_by": "p2pddsketch_spark.operators.rollup",
-        "merged_from": [{"state_dir": d, "version": v,
-                         "files": len(m["files"])}
-                        for d, v, m in sources],
-    }
-    _write_text(spark, _manifest_path(dest_dir, 1),
-                json.dumps(manifest, indent=1, sort_keys=True))
-    n_specs = max(len(first["spec_names"]), 1)
-    return {"version": 1, "sources": len(sources),
-            "total_files": len(seen), "groups": int(n_rows) // n_specs,
-            "noop": False}
+    stats = _merge_and_commit(
+        spark, dest_dir, partials, [], group_cols, None, set(),
+        sorted(seen),
+        extra={"merged_from": [{"state_dir": d, "version": v,
+                                "files": len(m["files"])}
+                               for d, v, m in sources]},
+        spec_names=first["spec_names"],
+        spec_sig=first["spec_signatures"])
+    return {"version": stats["version"], "sources": len(sources),
+            "total_files": stats["total_files"],
+            "groups": stats["groups"], "noop": False}
 
 
 def rollup_fsck(spark: SparkSession, state_dir: str,
@@ -594,6 +583,7 @@ def rollup_fsck(spark: SparkSession, state_dir: str,
                 "findings": [f"no committed rollup state at {state_dir!r}"]}
 
     fs, jpath = _hadoop_fs(spark, state_dir)
+    committed = {v for v, _ in versions}
     aborted = []
     for status in fs.listStatus(jpath):
         name = status.getPath().getName()
@@ -603,7 +593,7 @@ def rollup_fsck(spark: SparkSession, state_dir: str,
             v = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        if v not in dict(versions):
+        if v not in committed:
             aborted.append(v)
 
     prev = None
@@ -613,11 +603,32 @@ def rollup_fsck(spark: SparkSession, state_dir: str,
                     "files", "n_blob_rows", "rows_seen_total"):
             if key not in m:
                 findings.append(f"{tag}: manifest missing {key!r}")
+        # cross-version manifest invariants need no blob data — check
+        # them BEFORE the blob read so an unreadable blob dir can't
+        # mask config drift / lineage shrink / metric regression
+        if prev is not None:
+            pv, pm = prev
+            for key in ("spec_names", "spec_signatures", "group_cols"):
+                if m.get(key) != pm.get(key):
+                    findings.append(
+                        f"{tag}: {key} changed vs version={pv} "
+                        f"({pm.get(key)} -> {m.get(key)})")
+            lost = set(pm.get("files", [])) - set(m.get("files", []))
+            if lost:
+                findings.append(
+                    f"{tag}: file lineage shrank vs version={pv} "
+                    f"(lost {len(lost)}, first: {sorted(lost)[:3]})")
+            for fam, tot in (pm.get("rows_seen_total") or {}).items():
+                cur = (m.get("rows_seen_total") or {}).get(fam)
+                if cur is not None and cur < tot:
+                    findings.append(
+                        f"{tag}: rows_seen_total[{fam}] decreased vs "
+                        f"version={pv} ({tot} -> {cur})")
+        prev = (v, m)
         try:
             blobs = spark.read.parquet(_blobs_path(state_dir, v))
         except Exception as e:
             findings.append(f"{tag}: blob table unreadable: {e}")
-            prev = (v, m)
             continue
         n = blobs.count()
         if n != m.get("n_blob_rows"):
@@ -657,26 +668,6 @@ def rollup_fsck(spark: SparkSession, state_dir: str,
             if n_bad:
                 findings.append(
                     f"{tag}: {n_bad} blob(s) fail decode/re-serialize")
-        if prev is not None:
-            pv, pm = prev
-            for key in ("spec_names", "spec_signatures", "group_cols"):
-                if m.get(key) != pm.get(key):
-                    findings.append(
-                        f"{tag}: {key} changed vs version={pv} "
-                        f"({pm.get(key)} -> {m.get(key)})")
-            if not set(pm.get("files", [])) <= set(m.get("files", [])):
-                lost = sorted(set(pm["files"]) - set(m["files"]))[:3]
-                findings.append(
-                    f"{tag}: file lineage shrank vs version={pv} "
-                    f"(lost {len(set(pm['files']) - set(m['files']))}, "
-                    f"first: {lost})")
-            for fam, tot in (pm.get("rows_seen_total") or {}).items():
-                cur = (m.get("rows_seen_total") or {}).get(fam)
-                if cur is not None and cur < tot:
-                    findings.append(
-                        f"{tag}: rows_seen_total[{fam}] decreased vs "
-                        f"version={pv} ({tot} -> {cur})")
-        prev = (v, m)
 
     return {"ok": not findings, "versions": [v for v, _ in versions],
             "aborted": sorted(aborted), "findings": findings}
@@ -1247,7 +1238,10 @@ def rollup_window_topk_drift(spark: SparkSession, state_dir: str,
     cur_covered_to) with status 'entered' / 'left' / 'moved' as in
     `rollup_topk_drift`; counts carry each window's SpaceSaving
     overestimate (exact at k ≥ universe). A group with no previous
-    coverage reports every current item as 'entered'."""
+    coverage reports every current item as 'entered'; a group whose
+    CURRENT window is empty anchors the previous window at `now - w`
+    instead of the (nonexistent) coverage edge and reports its former
+    top-m as 'left' — going silent is churn, not absence of rows."""
     st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
                                           version, _versions)
     gddl = "".join(f"{c} {st.schema[c].dataType.simpleString()}, "
@@ -1276,8 +1270,13 @@ def rollup_window_topk_drift(spark: SparkSession, state_dir: str,
                 for w in wins:
                     ref = int(t_ref) if now is None else int(now)
                     cur, _, lo_c, hi_c = fn(m, w, now=ref)
-                    prv, _, lo_p, _ = ([], 0, 0, 0) if not cur else \
-                        fn(m, w, now=lo_c - 1)
+                    # an empty current window can't tile at its
+                    # coverage edge — anchor the previous window at
+                    # ref - w so a group that went silent still
+                    # reports its former top-m as 'left' (the loudest
+                    # churn signal must not vanish into zero rows)
+                    prv, _, lo_p, _ = fn(m, w, now=lo_c - 1) if cur \
+                        else fn(m, w, now=ref - w)
                     cur_d = {item: (rk, cnt) for rk, (item, cnt, _)
                              in enumerate(cur, start=1)}
                     prv_d = {item: (rk, cnt) for rk, (item, cnt, _)

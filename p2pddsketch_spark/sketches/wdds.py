@@ -200,7 +200,9 @@ class WindowedDDSketch:
             hi_cov = (inc[-1] + 1) * W if inc else 0
         if not parts:
             return None, 0, 0
-        merged = (parts[0] if len(parts) == 1
+        # copy even the single-bucket case: the result is a caller-owned
+        # sketch, never an alias into live windowed state
+        merged = (parts[0].copy() if len(parts) == 1
                   else DDSketch.merge_many(parts))
         return merged, int(lo_cov), int(hi_cov)
 

@@ -1621,6 +1621,16 @@ def test_fsck_audits_commit_protocol(spark, seq_dir, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert any("decreased" in f for f in rep["findings"])
 
+    # tamper: delete 'files' entirely -> missing-key finding, and the
+    # lineage comparison degrades to a shrink finding, never a KeyError
+    m = json.loads(good)
+    del m["files"]
+    open(mp, "w").write(json.dumps(m, indent=1, sort_keys=True))
+    assert rollup_sketches.main(["fsck", "--state", state]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any("missing 'files'" in f for f in rep["findings"])
+    assert any("lineage shrank" in f for f in rep["findings"])
+
     # tamper: config drift + lineage shrink vs version=1
     m = json.loads(good)
     m["group_cols"] = ["other"]
@@ -1650,3 +1660,44 @@ def test_fsck_audits_commit_protocol(spark, seq_dir, tmp_path, capsys):
         ["fsck", "--state", str(tmp_path / "void")]) == 1
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not rep["ok"] and "no committed" in rep["findings"][0]
+
+
+def test_window_topk_drift_silent_group_reports_left(spark, tmp_path,
+                                                     capsys):
+    """A group whose CURRENT window is empty (anchor past its last
+    event) still reports its former top-m as 'left' — going silent is
+    the loudest churn, not an absence of rows."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    import pandas as pd
+
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "update", "--input", f"{SF_DIR}/events.parquet", "--state", state,
+        "--group-cols", "event_type", "--value-col", "user_id",
+        "--ts-col", "ts", "--sketches", "wss", "--wss-bucket", "1d",
+        "--ss-k", "64", "--salt-buckets", "4"])
+    assert rc == 0
+    capsys.readouterr()
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    t_max = int(ev["ts"].astype("int64").max())
+    w = 2 * 86_400_000_000
+    # anchor a full bucket past t_max's (1d) bucket so not even the
+    # straddling bucket overlaps the current window
+    rc = rollup_sketches.main([
+        "window-topk-drift", "--state", state, "--windows", str(w),
+        "--m", "3", "--now", str(t_max + w + 86_400_000_000)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"], "silent groups produced no churn rows"
+    assert {r["status"] for r in out["rows"]} == {"left"}
+    for r in out["rows"]:
+        assert r["rank_cur"] is None and r["count_cur"] is None
+        # the reported previous coverage really contains the item's
+        # counted occurrences
+        sub = ev[(ev["event_type"] == r["event_type"])
+                 & (ev["ts"].astype("int64") >= r["prev_covered_from"])]
+        truth = sub.groupby("user_id").size()
+        assert truth.get(r["item"], 0) == r["count_prev"]
