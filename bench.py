@@ -172,6 +172,78 @@ def bloom_join_receipt(spark, sf_dir: str, reps: int) -> dict:
     }
 
 
+def warehouse_receipt(spark, sf_dir: str, reps: int) -> dict:
+    """Round-over-round visibility for the warehouse path (same
+    principle as the pipeline sentinels): one full cycle over the
+    events table — `rollup_update` building five families in one pass
+    (dds quantiles, wdds windowed quantiles, shll windowed distinct,
+    eh windowed rate, wss windowed top-k) grouped by event_type into a
+    fresh state dir, then the four trailing-window monitors answered
+    from the committed blobs. Reported: update wall time and the total
+    window-query wall time (best of `reps`); the query figure is the
+    zero-input-re-scan promise made measurable."""
+    import shutil as sh
+    import tempfile
+
+    from p2pddsketch_spark.operators import rollup as R
+    from p2pddsketch_spark.operators.harness import (SketchSpec,
+                                                     pair_extractor,
+                                                     scalar_extractor,
+                                                     vpair_extractor)
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+    from p2pddsketch_spark.sketches.eh import ExpHistogram
+    from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
+    from p2pddsketch_spark.sketches.wdds import WindowedDDSketch
+    from p2pddsketch_spark.sketches.wss import WindowedSpaceSaving
+
+    day_us = 86_400_000_000
+
+    def specs():
+        return [
+            SketchSpec("dds", lambda: DDSketch(alpha=0.01,
+                                               bin_limit=1 << 22),
+                       scalar_extractor("value")),
+            SketchSpec("wdds",
+                       lambda: WindowedDDSketch(alpha=0.01,
+                                                bucket_width=day_us,
+                                                max_buckets=1024),
+                       vpair_extractor("value", "ts")),
+            SketchSpec("shll", lambda: SlidingHyperLogLog(p=14),
+                       pair_extractor("user_id", "ts")),
+            SketchSpec("eh", lambda: ExpHistogram(k=32),
+                       scalar_extractor("ts")),
+            SketchSpec("wss", lambda: WindowedSpaceSaving(
+                k=64, bucket_width=day_us, max_buckets=1024),
+                       pair_extractor("user_id", "ts")),
+        ]
+
+    t_upd = t_q = None
+    for _ in range(reps):
+        tmp = tempfile.mkdtemp(prefix="bench_warehouse_")
+        state = os.path.join(tmp, "state")
+        try:
+            t0 = time.monotonic()
+            R.rollup_update(spark, f"{sf_dir}/events.parquet", state,
+                            specs(), group_cols=("event_type",),
+                            salt_buckets=8)
+            dt = time.monotonic() - t0
+            t_upd = dt if t_upd is None else min(t_upd, dt)
+
+            t0 = time.monotonic()
+            wins = [7 * day_us]
+            R.rollup_window_quantiles(spark, state, [0.5, 0.99], wins,
+                                      sketch_name="wdds").count()
+            R.rollup_window_cardinality(spark, state, wins).count()
+            R.rollup_window_rows(spark, state, wins).count()
+            R.rollup_window_topk(spark, state, wins, m=10).count()
+            dt = time.monotonic() - t0
+            t_q = dt if t_q is None else min(t_q, dt)
+        finally:
+            sh.rmtree(tmp, ignore_errors=True)
+    return {"update_secs": round(t_upd, 3),
+            "window_queries_secs": round(t_q, 3)}
+
+
 def approx_percentile_receipt(spark, seq_path: str, reps: int) -> dict:
     """The engine's own approximate-quantile aggregate vs this library's
     pure-Catalyst DDSketch plan, on the SAME grouped question (n_tok
@@ -305,6 +377,9 @@ def main():
         ap = approx_percentile_receipt(spark, seq_path, reps)
         tp["approx_percentile"] = ap
         print(f"# approx_percentile receipt: {ap}", file=sys.stderr)
+        wr = warehouse_receipt(spark, sf_dir, reps)
+        tp["warehouse"] = wr
+        print(f"# warehouse receipt: {wr}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
