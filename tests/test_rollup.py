@@ -1701,3 +1701,82 @@ def test_window_topk_drift_silent_group_reports_left(spark, tmp_path,
                  & (ev["ts"].astype("int64") >= r["prev_covered_from"])]
         truth = sub.groupby("user_id").size()
         assert truth.get(r["item"], 0) == r["count_prev"]
+
+
+def test_merge_states_sliding_families_byte_identical(spark, tmp_path):
+    """Multi-cluster fan-in of WINDOWED state: two warehouses built
+    over disjoint day-ranges of events, merged, are byte-identical to
+    one warehouse over everything for the byte-canonical families
+    (shll skylines, wdds order-invariant buckets, wss in the exact
+    regime); eh re-association is bound-preserving, not byte-canonical
+    (its own sketch tests pin exactly that), so its receipt — estimate
+    within err_bound of the exact windowed row count — is asserted
+    instead. The merged blobs answer window queries identically to the
+    one-shot state."""
+    import os
+    from p2pddsketch_spark.operators.harness import (SketchSpec,
+                                                     pair_extractor,
+                                                     scalar_extractor,
+                                                     vpair_extractor)
+    from p2pddsketch_spark.sketches.eh import ExpHistogram
+    from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
+    from p2pddsketch_spark.sketches.wdds import WindowedDDSketch
+    from p2pddsketch_spark.sketches.wss import WindowedSpaceSaving
+
+    day_us = 86_400_000_000
+
+    def specs():
+        return [
+            SketchSpec("shll", lambda: SlidingHyperLogLog(p=12),
+                       pair_extractor("user_id", "ts")),
+            SketchSpec("eh", lambda: ExpHistogram(k=16),
+                       scalar_extractor("ts")),
+            SketchSpec("wdds", lambda: WindowedDDSketch(
+                alpha=0.02, bucket_width=day_us, max_buckets=256),
+                       vpair_extractor("value", "ts")),
+            SketchSpec("wss", lambda: WindowedSpaceSaving(
+                k=64, bucket_width=day_us, max_buckets=256),
+                       pair_extractor("user_id", "ts")),
+        ]
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a_dir, b_dir, full_dir = (str(tmp_path / d) for d in ("a", "b", "f"))
+    ev.where(F.dayofmonth("ts") <= 15).write.parquet(a_dir)
+    ev.where(F.dayofmonth("ts") > 15).write.parquet(b_dir)
+    ev.write.parquet(full_dir)
+
+    sa, sb, one = (str(tmp_path / d) for d in ("sa", "sb", "one"))
+    R.rollup_update(spark, a_dir, sa, specs(), group_cols=("event_type",),
+                    salt_buckets=4)
+    R.rollup_update(spark, b_dir, sb, specs(), group_cols=("event_type",),
+                    salt_buckets=4)
+    R.rollup_update(spark, full_dir, one, specs(),
+                    group_cols=("event_type",), salt_buckets=4)
+
+    dest = str(tmp_path / "merged")
+    stats = R.rollup_merge_states(spark, [sa, sb], dest)
+    assert stats["sources"] == 2
+
+    merged = {(r["event_type"], r["sketch_name"]): bytes(r["sketch"])
+              for r in R.rollup_state(spark, dest).collect()}
+    direct = {(r["event_type"], r["sketch_name"]): bytes(r["sketch"])
+              for r in R.rollup_state(spark, one).collect()}
+    assert set(merged) == set(direct)
+    for key, blob in merged.items():
+        if key[1] != "eh":
+            assert blob == direct[key], key
+
+    # eh: hard receipt against the exact windowed row count instead
+    import pandas as pd
+    epd = pd.read_parquet(full_dir)
+    epd["ts_us"] = epd["ts"].astype("int64")
+    wins = [7 * day_us]
+    for r in R.rollup_window_rows(spark, dest, wins).collect():
+        sub = epd[epd["event_type"] == r["event_type"]]
+        truth = int((sub["ts_us"] > sub["ts_us"].max() - wins[0]).sum())
+        assert abs(r["estimate"] - truth) <= r["err_bound"]
+    got = [r.asDict() for r in
+           R.rollup_window_topk(spark, dest, wins, m=3).collect()]
+    want = [r.asDict() for r in
+            R.rollup_window_topk(spark, one, wins, m=3).collect()]
+    assert got == want
