@@ -384,6 +384,12 @@ def main(argv: list[str] | None = None) -> int:
     hg.add_argument("--output", default=None,
                     help="write the bins table as parquet here instead "
                     "of printing JSON (histograms can be wide)")
+    hg.add_argument("--format", default="parquet",
+                    choices=["parquet", "csv"],
+                    help="csv emits the reference's DDS_PrintCSV layout "
+                    "(ddsketch.cc:927-947): one '<group>.csv' per group "
+                    "under --output, header 'key, count, max, min, "
+                    "length, ' at fixed precision 8")
 
     wq = sub.add_parser("window-quantiles", help="trailing-window "
                         "quantiles from stored windowed-DDSketch blobs")
@@ -594,7 +600,34 @@ def main(argv: list[str] | None = None) -> int:
             df = R.rollup_histogram(spark, args.state, args.sketch,
                                     version=args.version, window=win,
                                     now=args.now)
-            if args.output:
+            if args.format == "csv":
+                from p2pddsketch_spark.errors import UsageError
+                if not args.output:
+                    raise UsageError("--format csv needs --output DIR")
+                os.makedirs(args.output, exist_ok=True)
+                gcols = [c for c in df.columns
+                         if c not in ("key", "count", "lower", "upper",
+                                      "estimate")]
+                by_group: dict = {}
+                for row in df.collect():
+                    name = "_".join(str(row[c]) for c in gcols) or "all"
+                    by_group.setdefault(name, []).append(row)
+                for name, rows in by_group.items():
+                    # byte-for-byte the reference's layout: header +
+                    # 'key, count, max, min, length, ' rows, fixed
+                    # precision 8, trailing ', ' included
+                    with open(os.path.join(args.output,
+                                           f"{name}.csv"), "w") as f:
+                        f.write("key, count, max, min, length, \n")
+                        for r in rows:
+                            f.write(f"{r['key']}, {r['count']}, "
+                                    f"{r['upper']:.8f}, {r['lower']:.8f}, "
+                                    f"{r['upper'] - r['lower']:.8f}, \n")
+                print(json.dumps({"sketch": args.sketch, "window": win,
+                                  "output": args.output, "format": "csv",
+                                  "files": sorted(by_group)},
+                                 sort_keys=True))
+            elif args.output:
                 df.write.parquet(args.output)
                 # count the WRITTEN parquet (footer-metadata scan),
                 # not df — counting df would re-run the blob decode

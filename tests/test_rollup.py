@@ -1780,3 +1780,51 @@ def test_merge_states_sliding_families_byte_identical(spark, tmp_path):
     want = [r.asDict() for r in
             R.rollup_window_topk(spark, one, wins, m=3).collect()]
     assert got == want
+
+
+def test_histogram_csv_reference_layout(spark, tmp_path, capsys):
+    """`histogram --format csv` emits the reference's DDS_PrintCSV
+    layout byte-for-byte (ddsketch.cc:927-947): header
+    'key, count, max, min, length, ', fixed precision 8, trailing
+    ', ' per line, one file per group; values equal the JSON dump's."""
+    import os
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "update", "--input", f"{SF_DIR}/events.parquet", "--state", state,
+        "--group-cols", "event_type", "--value-col", "value",
+        "--sketches", "dds", "--salt-buckets", "4"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = rollup_sketches.main(["histogram", "--state", state])
+    assert rc == 0
+    js = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    dest = str(tmp_path / "csv")
+    rc = rollup_sketches.main([
+        "histogram", "--state", state, "--format", "csv",
+        "--output", dest])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    groups = sorted({r["event_type"] for r in js["rows"]})
+    assert meta["files"] == groups
+    for g in groups:
+        lines = open(os.path.join(dest, f"{g}.csv")).read().splitlines()
+        assert lines[0] == "key, count, max, min, length, "
+        want = [r for r in js["rows"] if r["event_type"] == g]
+        assert len(lines) == 1 + len(want)
+        for line, r in zip(lines[1:], want):
+            assert line == (f"{r['key']}, {r['count']}, "
+                            f"{r['upper']:.8f}, {r['lower']:.8f}, "
+                            f"{r['upper'] - r['lower']:.8f}, ")
+
+    # csv without --output is the clean JSON error
+    rc = rollup_sketches.main([
+        "histogram", "--state", state, "--format", "csv"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "--output" in err["error"]
