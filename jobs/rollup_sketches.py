@@ -17,16 +17,20 @@ state's manifest and merges them with the stored per-group blobs
 (associative merge ⇒ identical to a full rebuild); `stream` does the
 same continuously (one availableNow Structured-Streaming pass per
 invocation, replayed micro-batches fenced by manifest file lineage);
-`query` / `cardinality` / `topk` / `drift` / `topk-drift` /
-`window-cardinality` / `window-count` answer from the stored blobs with
-zero input re-scan (`topk` ranks per-group heavy hitters from
-SpaceSaving blobs; `drift` and `topk-drift` compare two committed
-versions per group — the monitoring queries versioning exists for;
+`query` / `cardinality` / `topk` / `histogram` / `drift` /
+`topk-drift` answer from the stored blobs with zero input re-scan
+(`topk` ranks per-group heavy hitters from SpaceSaving blobs;
+`histogram` dumps the log-γ bin tables — DDS_PrintCSV, warehouse
+edition; `drift` and `topk-drift` compare two committed versions per
+group — the monitoring queries versioning exists for);
 `window-cardinality` / `window-count` / `window-rows` /
-`window-topk` answer trailing-event-time-window distinct/frequency/
-rate/heavy-hitter questions from the sliding families
-`--sketches shll,ecm,eh` + `--ts-col`; `--version` time-travels any
-point query to an older committed version).
+`window-quantiles` / `window-topk` / `window-drift` /
+`window-topk-drift` answer trailing-event-time-window questions from
+the sliding families `--sketches shll,ecm,eh,wdds,wss` + `--ts-col`;
+`--version` time-travels any point query to an older committed
+version; `merge` fans N independently-built states into a fresh one
+(blob tables only); `fsck` audits the commit-protocol invariants
+read-only.
 Each subcommand prints one JSON line. Errors print a {"error": ...}
 JSON line and exit 1 (same contract as jobs/optimize_table.py).
 """
