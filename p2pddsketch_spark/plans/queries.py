@@ -1017,7 +1017,8 @@ def q_streaming_dds_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming.py)."""
     import shutil
     import tempfile
-    from p2pddsketch_spark.streaming.sketch_stream import ForeachBatchSketchWriter
+    from p2pddsketch_spark.streaming.sketch_stream import (
+        ForeachBatchSketchWriter, scoped_state_partitions)
     alpha = 0.01
     gamma, _ = gamma_of_alpha(alpha)
     ev = load(spark, sf_dir, "events")
@@ -1034,11 +1035,15 @@ def q_streaming_dds_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             [SketchSpec("dds", lambda: DDSketch(alpha=alpha, bin_limit=1 << 22),
                         scalar_extractor("value"))],
             state_dir=state, group_cols=("hour_bucket",), salt_buckets=4)
-        sq = (stream.writeStream.foreachBatch(writer)
-              .option("checkpointLocation", ckpt)
-              .trigger(availableNow=True).start())
-        sq.awaitTermination()
-        sketches = writer.current_sketches(spark)
+        # The per-micro-batch partial build groups on (hour_bucket, salt)
+        # — 4 salt buckets × few hours; 32 shuffle partitions per batch
+        # is idle-reducer overhead at gate SF.
+        with scoped_state_partitions(spark, 4):
+            sq = (stream.writeStream.foreachBatch(writer)
+                  .option("checkpointLocation", ckpt)
+                  .trigger(availableNow=True).start())
+            sq.awaitTermination()
+            sketches = writer.current_sketches(spark)
         rows = []
         for key, sk in sketches.items():
             hour = key[0]
@@ -1523,7 +1528,8 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior stays pytest-pinned (tests/test_checkpoint_streaming.py)."""
     import shutil
     import tempfile
-    from p2pddsketch_spark.streaming.sketch_stream import stream_interval_join
+    from p2pddsketch_spark.streaming.sketch_stream import (
+        scoped_state_partitions, stream_interval_join)
     ev = (load(spark, sf_dir, "events").where(F.col("event_id") < 3000))
     left = (ev.where(F.col("event_type") == "purchase")
             .select("user_id", F.col("ts").alias("l_ts"),
@@ -1545,11 +1551,15 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       max_lag="1 hour", watermark="2400 hours")
         import uuid
         name = "ssj_gate_" + uuid.uuid4().hex[:12]
-        q = (joined.select("l_id", "r_id").writeStream.format("memory")
-             .queryName(name).outputMode("append")
-             .option("checkpointLocation", ck)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+        # 4 state partitions: right-sized for a fresh sf-scale checkpoint
+        # (a stream-stream join commits FOUR stores per partition per
+        # micro-batch; see scoped_state_partitions).
+        with scoped_state_partitions(spark, 4):
+            q = (joined.select("l_id", "r_id").writeStream.format("memory")
+                 .queryName(name).outputMode("append")
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
         rows = [(r["l_id"], r["r_id"]) for r in spark.table(name).collect()]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1718,7 +1728,8 @@ def q_streaming_stateful_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     import shutil
     import tempfile
     import uuid
-    from p2pddsketch_spark.streaming.sketch_stream import stateful_sketch_stream
+    from p2pddsketch_spark.streaming.sketch_stream import (
+        scoped_state_partitions, stateful_sketch_stream)
     ev = load(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="p2pdds_state_gate_")
     try:
@@ -1728,12 +1739,15 @@ def q_streaming_stateful_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
                   .option("maxFilesPerTrigger", 2).parquet(src))
         out = stateful_sketch_stream(stream, "event_type", "value",
                                      alpha=0.01, quantiles=(0.5, 0.95))
-        q = (out.writeStream.outputMode("update")
-             .option("checkpointLocation", ck)
-             .foreachBatch(lambda df, eid:
-                           df.write.mode("append").parquet(sink))
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+        # 4 state partitions (few keys, fresh checkpoint) — see
+        # scoped_state_partitions for the sizing contract.
+        with scoped_state_partitions(spark, 4):
+            q = (out.writeStream.outputMode("update")
+                 .option("checkpointLocation", ck)
+                 .foreachBatch(lambda df, eid:
+                               df.write.mode("append").parquet(sink))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
         emitted = spark.read.parquet(sink)
         from pyspark.sql import Window
         w = Window.partitionBy("event_type").orderBy(F.desc("n"))

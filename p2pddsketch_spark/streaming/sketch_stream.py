@@ -23,6 +23,8 @@ the brief.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,7 +36,30 @@ from p2pddsketch_spark.operators.harness import (SketchSpec, build_partials,
 
 __all__ = ["windowed_bucket_counts", "session_bucket_counts",
            "quantiles_from_bucket_counts", "ForeachBatchSketchWriter",
-           "stateful_sketch_stream"]
+           "stateful_sketch_stream", "scoped_state_partitions"]
+
+
+@contextmanager
+def scoped_state_partitions(spark: SparkSession, n: int):
+    """Scope `spark.sql.shuffle.partitions` around a stateful stream.
+
+    For stateful Structured Streaming the shuffle-partition count is a
+    CAPACITY decision, not a parallelism default: the first checkpoint
+    commit pins it for the query's lifetime, and every micro-batch pays
+    one state-store commit per partition per store instance (a
+    stream-stream join keeps four stores per partition). Size it to the
+    stream — a 1000-executor ingest wants thousands of state partitions;
+    a small-SF gate or test wants a handful, or 32 idle stores burn more
+    wall time in commit/maintenance than the data does. The session
+    default is restored on exit, so surrounding batch plans are
+    untouched. (Resuming a checkpointed query re-reads the pinned count;
+    this scope only matters for the FIRST start.)"""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def windowed_bucket_counts(stream_df: DataFrame, value_col: str, ts_col: str,
