@@ -29,8 +29,10 @@ group — the monitoring queries versioning exists for);
 the sliding families `--sketches shll,ecm,eh,wdds,wss` + `--ts-col`;
 `--version` time-travels any point query to an older committed
 version; `merge` fans N independently-built states into a fresh one
-(blob tables only); `fsck` audits the commit-protocol invariants
-read-only.
+(blob tables only); `restore` rolls back to a committed version by
+committing it forward as the new tip (append-only history; the next
+`update` re-folds the undone files); `fsck` audits the
+commit-protocol invariants read-only.
 Each subcommand prints one JSON line. Errors print a {"error": ...}
 JSON line and exit 1 (same contract as jobs/optimize_table.py).
 """
@@ -458,6 +460,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--state", required=True)
     pr.add_argument("--keep", type=int, default=2)
 
+    rs = sub.add_parser("restore", help="roll back to a committed version "
+                        "by committing it forward as the new tip")
+    rs.add_argument("--state", required=True)
+    rs.add_argument("--to-version", type=int, required=True)
+
     args = ap.parse_args(argv)
 
     def _windows(spec: str, unit: str) -> list[int]:
@@ -696,6 +703,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "prune":
             print(json.dumps(R.rollup_prune(spark, args.state,
                                             keep=args.keep), sort_keys=True))
+        elif args.cmd == "restore":
+            print(json.dumps(R.rollup_restore(spark, args.state,
+                                              to_version=args.to_version),
+                             sort_keys=True))
         else:  # versions
             print(json.dumps({"versions": [
                 {"version": v, "manifest": m}

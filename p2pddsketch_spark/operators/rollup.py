@@ -73,7 +73,8 @@ __all__ = ["rollup_update", "rollup_stream_update", "rollup_merge_states",
            "rollup_window_topk", "rollup_window_topk_drift",
            "rollup_window_rows", "rollup_window_quantiles",
            "rollup_window_drift",
-           "resolve_drift_versions", "rollup_prune", "rollup_fsck"]
+           "resolve_drift_versions", "rollup_prune", "rollup_restore",
+           "rollup_fsck"]
 
 _PARTIAL_COLS = ["sketch_name", "salt", "partition_id", "rows_seen",
                  "build_secs", "sketch"]
@@ -453,6 +454,73 @@ def rollup_prune(spark: SparkSession, state_dir: str, keep: int = 2) -> dict:
     return {"deleted": sorted(deleted), "kept": sorted(keep_set)}
 
 
+def rollup_restore(spark: SparkSession, state_dir: str,
+                   to_version: int) -> dict:
+    """Roll the warehouse back to a committed version — by COMMITTING
+    FORWARD, never by deleting the tip: version k+1 is a copy of
+    `to_version`'s blobs and file lineage, manifest-marked
+    `restored_from`. Readers that pinned the bad tip keep working, the
+    commit history stays append-only (the Delta RESTORE / Iceberg
+    rollback shape), and because the restored manifest's `files` no
+    longer contain the undone inputs, the next `rollup_update` re-folds
+    exactly those files — so restore + re-ingest reproduces the
+    original state (associativity; pytest-pinned).
+
+    The copy is a blob-table read+write (tiny: |groups| × |specs| rows)
+    verified against the source manifest's `n_blob_rows` and
+    `rows_seen_total` BEFORE the manifest-last commit, so a torn copy
+    can never become the live tip. Restoring TO the tip is a no-op
+    (nothing to undo); restoring to an aborted/unknown version raises.
+    `rollup_fsck` understands the marker: a restore commit is audited
+    against its SOURCE version (identity) rather than its predecessor
+    (monotone growth), plus a containment check that it cannot
+    introduce lineage the predecessor never had."""
+    versions = rollup_versions(spark, state_dir)
+    if not versions:
+        raise UsageError(f"no committed rollup state at {state_dir!r}")
+    by_v = dict(versions)
+    tip, _ = versions[-1]
+    if to_version not in by_v:
+        raise UsageError(
+            f"version {to_version} is not committed in {state_dir!r} "
+            f"(committed: {sorted(by_v)})")
+    if to_version == tip:
+        return {"version": tip, "restored_from": to_version, "noop": True}
+    src = by_v[to_version]
+    version = tip + 1
+    (spark.read.parquet(_blobs_path(state_dir, to_version))
+     .write.mode("overwrite").parquet(_blobs_path(state_dir, version)))
+    published = spark.read.parquet(_blobs_path(state_dir, version))
+    n_rows = published.count()
+    rows_seen = {r["sketch_name"]: int(r["total"]) for r in
+                 (published.groupBy("sketch_name")
+                  .agg(F.sum("rows_seen").alias("total")).collect())}
+    if n_rows != src.get("n_blob_rows") or \
+            rows_seen != src.get("rows_seen_total"):
+        raise RuntimeError(
+            f"restore copy of version={to_version} does not match its "
+            f"manifest (rows {n_rows} vs {src.get('n_blob_rows')}, "
+            f"rows_seen {rows_seen} vs {src.get('rows_seen_total')}) — "
+            "not committing")
+    manifest = {
+        "version": version,
+        "restored_from": to_version,
+        "files": src["files"],
+        "new_files": 0,
+        "spec_names": src["spec_names"],
+        "spec_signatures": src["spec_signatures"],
+        "group_cols": src["group_cols"],
+        "n_blob_rows": int(n_rows),
+        "rows_seen_total": rows_seen,
+        "updated_unix": time.time(),
+        "generated_by": "p2pddsketch_spark.operators.rollup",
+    }
+    _write_text(spark, _manifest_path(state_dir, version),
+                json.dumps(manifest, indent=1, sort_keys=True))
+    return {"version": version, "restored_from": to_version,
+            "total_files": len(src["files"]), "noop": False}
+
+
 def rollup_merge_states(spark: SparkSession, source_dirs: list[str],
                         dest_dir: str) -> dict:
     """Merge N independently-built warehouse states into a fresh one —
@@ -562,7 +630,9 @@ def rollup_fsck(spark: SparkSession, state_dir: str,
       change, `files` lineage only grows (a shrinking lineage means a
       later commit forgot earlier input and would re-merge it), and
       per-family rows_seen never decreases (ingest-only streams are
-      monotone);
+      monotone) — EXCEPT at a `restored_from` commit, which is instead
+      audited for identity with its source version (when still
+      committed) and containment in its predecessor;
     * aborted manifest-less `version=k` dirs are counted (normal debris
       below the tip, a retry in flight above it — `rollup_prune` policy);
     * `deep=True` additionally decodes EVERY blob on the executors and
@@ -613,17 +683,48 @@ def rollup_fsck(spark: SparkSession, state_dir: str,
                     findings.append(
                         f"{tag}: {key} changed vs version={pv} "
                         f"({pm.get(key)} -> {m.get(key)})")
-            lost = set(pm.get("files", [])) - set(m.get("files", []))
-            if lost:
-                findings.append(
-                    f"{tag}: file lineage shrank vs version={pv} "
-                    f"(lost {len(lost)}, first: {sorted(lost)[:3]})")
-            for fam, tot in (pm.get("rows_seen_total") or {}).items():
-                cur = (m.get("rows_seen_total") or {}).get(fam)
-                if cur is not None and cur < tot:
+            if "restored_from" in m:
+                # a restore commit legitimately SHRINKS lineage and
+                # rows_seen — audit it against its source instead:
+                # identity with the restored version (when its manifest
+                # still exists; prune may have removed it) plus
+                # containment in the predecessor (a restore can only
+                # undo history, never invent it)
+                rf = m["restored_from"]
+                if not isinstance(rf, int) or rf >= v:
                     findings.append(
-                        f"{tag}: rows_seen_total[{fam}] decreased vs "
-                        f"version={pv} ({tot} -> {cur})")
+                        f"{tag}: restored_from={rf!r} is not an "
+                        f"earlier version")
+                sm = dict(versions).get(rf)
+                if sm is not None:
+                    for key in ("files", "rows_seen_total", "n_blob_rows"):
+                        if m.get(key) != sm.get(key):
+                            findings.append(
+                                f"{tag}: {key} differs from restore "
+                                f"source version={rf}")
+                extra = set(m.get("files", [])) - set(pm.get("files", []))
+                if extra:
+                    findings.append(
+                        f"{tag}: restore introduces files version={pv} "
+                        f"never had (first: {sorted(extra)[:3]})")
+                for fam, cur in (m.get("rows_seen_total") or {}).items():
+                    tot = (pm.get("rows_seen_total") or {}).get(fam)
+                    if tot is not None and cur > tot:
+                        findings.append(
+                            f"{tag}: restore rows_seen_total[{fam}] "
+                            f"exceeds version={pv} ({cur} > {tot})")
+            else:
+                lost = set(pm.get("files", [])) - set(m.get("files", []))
+                if lost:
+                    findings.append(
+                        f"{tag}: file lineage shrank vs version={pv} "
+                        f"(lost {len(lost)}, first: {sorted(lost)[:3]})")
+                for fam, tot in (pm.get("rows_seen_total") or {}).items():
+                    cur = (m.get("rows_seen_total") or {}).get(fam)
+                    if cur is not None and cur < tot:
+                        findings.append(
+                            f"{tag}: rows_seen_total[{fam}] decreased vs "
+                            f"version={pv} ({tot} -> {cur})")
         prev = (v, m)
         try:
             blobs = spark.read.parquet(_blobs_path(state_dir, v))

@@ -1828,3 +1828,154 @@ def test_histogram_csv_reference_layout(spark, tmp_path, capsys):
     assert rc == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "--output" in err["error"]
+
+
+def test_restore_then_reingest_reproduces_state(spark, seq_dir, tmp_path):
+    """`rollup_restore` commits the rolled-back state FORWARD: the new
+    tip's blobs are byte-identical to the restored version's, the
+    undone files leave the manifest lineage, and a subsequent update
+    over the full input re-folds exactly those files — reproducing the
+    pre-restore tip byte-for-byte (merge associativity). fsck (deep)
+    stays green across the whole restore+reingest history."""
+    import os
+    files = parquet_file_list(seq_dir)
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for f in files[:4]:
+        shutil.copy(f, half)
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, half, state, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+    v1_blobs = _blob_map(spark, state)
+    for f in files[4:]:
+        shutil.copy(f, half)
+    R.rollup_update(spark, half, state, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+    v2_blobs = _blob_map(spark, state)
+    assert v2_blobs != v1_blobs  # wave 2 actually changed the state
+
+    st = R.rollup_restore(spark, state, to_version=1)
+    assert st == {"version": 3, "restored_from": 1,
+                  "total_files": 4, "noop": False}
+    assert _blob_map(spark, state) == v1_blobs
+
+    vers = dict(R.rollup_versions(spark, state))
+    assert vers[3]["restored_from"] == 1
+    assert vers[3]["files"] == vers[1]["files"]
+    assert vers[3]["rows_seen_total"] == vers[1]["rows_seen_total"]
+
+    # re-ingest: the 4 undone files (and only those) fold back in,
+    # landing byte-identically on the pre-restore tip
+    s4 = R.rollup_update(spark, half, state, _specs(),
+                         group_cols=("source",), salt_buckets=4)
+    assert s4["version"] == 4 and s4["new_files"] == 4
+    assert _blob_map(spark, state) == v2_blobs
+
+    rep = R.rollup_fsck(spark, state, deep=True)
+    assert rep["ok"] and rep["versions"] == [1, 2, 3, 4], rep["findings"]
+
+
+def test_restore_noop_and_errors(spark, seq_dir, tmp_path):
+    import os
+    state = str(tmp_path / "state")
+    with pytest.raises(UsageError, match="no committed rollup state"):
+        R.rollup_restore(spark, state, to_version=1)
+    R.rollup_update(spark, seq_dir, state, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+    # restore to the tip: nothing to undo
+    assert R.rollup_restore(spark, state, to_version=1)["noop"]
+    assert [v for v, _ in R.rollup_versions(spark, state)] == [1]
+    with pytest.raises(UsageError, match="not committed"):
+        R.rollup_restore(spark, state, to_version=99)
+    # an aborted (manifest-less) version dir is not restorable
+    os.makedirs(os.path.join(state, "version=5", "blobs"))
+    with pytest.raises(UsageError, match="not committed"):
+        R.rollup_restore(spark, state, to_version=5)
+
+
+def test_restore_cli_roundtrip(spark, seq_dir, tmp_path, capsys):
+    import os
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    files = parquet_file_list(seq_dir)
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for f in files[:4]:
+        shutil.copy(f, half)
+    state = str(tmp_path / "state")
+    base = ["--group-cols", "source", "--value-col", "n_tok",
+            "--tokens-col", "tokens", "--hll-p", "12",
+            "--salt-buckets", "4"]
+    assert rollup_sketches.main(
+        ["update", "--input", half, "--state", state] + base) == 0
+    capsys.readouterr()
+    assert rollup_sketches.main(
+        ["query", "--state", state, "--quantiles", "0.5,0.99"]) == 0
+    q1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for f in files[4:]:
+        shutil.copy(f, half)
+    assert rollup_sketches.main(
+        ["update", "--input", half, "--state", state] + base) == 0
+    capsys.readouterr()
+
+    rc = rollup_sketches.main(
+        ["restore", "--state", state, "--to-version", "1"])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["version"] == 3 and st["restored_from"] == 1
+
+    # the restored tip answers exactly like version 1 did
+    assert rollup_sketches.main(
+        ["query", "--state", state, "--quantiles", "0.5,0.99"]) == 0
+    q3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q3["rows"] == q1["rows"]
+
+    # bad target -> documented JSON error contract
+    rc = rollup_sketches.main(
+        ["restore", "--state", state, "--to-version", "42"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "not committed" in err["error"]
+
+
+def test_fsck_flags_tampered_restore(spark, seq_dir, tmp_path):
+    """A restore manifest that claims lineage its predecessor never had,
+    or that no longer matches its source version, is caught by fsck."""
+    import os
+    files = parquet_file_list(seq_dir)
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for f in files[:4]:
+        shutil.copy(f, half)
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, half, state, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+    for f in files[4:]:
+        shutil.copy(f, half)
+    R.rollup_update(spark, half, state, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+    R.rollup_restore(spark, state, to_version=1)
+    assert R.rollup_fsck(spark, state)["ok"]
+
+    mp = os.path.join(state, "version=3", "manifest.json")
+    m = json.loads(open(mp).read())
+    tampered = dict(m, files=m["files"] + ["/nowhere/invented.parquet"])
+    open(mp, "w").write(json.dumps(tampered))
+    rep = R.rollup_fsck(spark, state)
+    assert not rep["ok"]
+    assert any("differs from restore source" in f for f in rep["findings"])
+    assert any("introduces files" in f for f in rep["findings"])
+
+    # restored_from pointing at itself / later is nonsense
+    open(mp, "w").write(json.dumps(dict(m, restored_from=3)))
+    rep = R.rollup_fsck(spark, state)
+    assert not rep["ok"]
+    assert any("not an earlier version" in f for f in rep["findings"])
+
+    # pruned source: identity check is skipped (source manifest gone),
+    # containment still holds -> healthy
+    open(mp, "w").write(json.dumps(m))
+    R.rollup_prune(spark, state, keep=1)
+    rep = R.rollup_fsck(spark, state)
+    assert rep["ok"] and rep["versions"] == [3], rep["findings"]
