@@ -476,3 +476,51 @@ def test_stream_join_tight_watermark_is_subset(spark, tmp_path):
             (rb["r_ts"] > lb["l_ts"] - F.expr("INTERVAL 1 hour")))
     want = set(map(tuple, lb.join(rb, cond).select("l_id", "r_id").collect()))
     assert got <= want
+
+
+def test_scoped_state_partitions_pins_store_count(spark, tmp_path):
+    """`scoped_state_partitions(n)` controls the stateful query's state
+    layout (one state-store directory per shuffle partition under the
+    checkpoint) and restores the session default on exit — the sizing
+    knob the streaming gate queries rely on."""
+    from p2pddsketch_spark.streaming.sketch_stream import (
+        scoped_state_partitions, stateful_sketch_stream)
+
+    src = str(tmp_path / "src_sp")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                src + "/events.parquet")
+    events = spark.read.parquet(src)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    ck = str(tmp_path / "ckpt_sp")
+    sink = str(tmp_path / "sink_sp")
+    with scoped_state_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = stateful_sketch_stream(stream, "event_type", "value",
+                                     alpha=0.01)
+        q = (out.writeStream.outputMode("update")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ck)
+             .foreachBatch(lambda df, eid:
+                           df.write.mode("append").parquet(sink))
+             .start())
+        q.awaitTermination(120)
+    # default restored even though the stream ran inside the scope
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # the checkpoint pinned 3 state partitions: state/<op>/<partition>
+    op_dir = os.path.join(ck, "state", "0")
+    parts = sorted(d for d in os.listdir(op_dir)
+                   if d.isdigit() and
+                   os.path.isdir(os.path.join(op_dir, d)))
+    assert parts == ["0", "1", "2"]
+
+    # and the emitted result is unaffected by the partition count
+    got = (spark.read.parquet(sink).toPandas()
+           .sort_values("n").groupby("event_type").last())
+    pdf = events.select("event_type", "value").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        sk = DDSketch(alpha=0.01, bin_limit=1 << 20).update_batch(
+            grp["value"].to_numpy())
+        assert got.loc[etype, "n"] == sk.n
