@@ -487,6 +487,13 @@ def rollup_restore(spark: SparkSession, state_dir: str,
     if to_version == tip:
         return {"version": tip, "restored_from": to_version, "noop": True}
     src = by_v[to_version]
+    missing = [k for k in ("files", "spec_names", "spec_signatures",
+                           "group_cols", "n_blob_rows", "rows_seen_total")
+               if k not in src]
+    if missing:
+        raise UsageError(
+            f"version {to_version} manifest is missing {missing} — "
+            "refusing to restore from a corrupt source (run fsck)")
     version = tip + 1
     (spark.read.parquet(_blobs_path(state_dir, to_version))
      .write.mode("overwrite").parquet(_blobs_path(state_dir, version)))

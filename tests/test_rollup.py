@@ -1979,3 +1979,36 @@ def test_fsck_flags_tampered_restore(spark, seq_dir, tmp_path):
     R.rollup_prune(spark, state, keep=1)
     rep = R.rollup_fsck(spark, state)
     assert rep["ok"] and rep["versions"] == [3], rep["findings"]
+
+
+def test_restore_refuses_corrupt_source_manifest(spark, seq_dir, tmp_path,
+                                                 capsys):
+    import os
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, seq_dir, state, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+    R.rollup_update(spark, seq_dir + "/", state, _specs(),
+                    group_cols=("source",), salt_buckets=4)  # noop, v stays 1
+    # force a second version so v1 is restorable, then corrupt v1
+    files = parquet_file_list(seq_dir)
+    more = str(tmp_path / "more")
+    os.makedirs(more)
+    for f in files:
+        shutil.copy(f, os.path.join(more, "x_" + os.path.basename(f)))
+    R.rollup_update(spark, more, state, _specs(), group_cols=("source",),
+                    salt_buckets=4)
+    mp = os.path.join(state, "version=1", "manifest.json")
+    m = json.loads(open(mp).read())
+    del m["files"]
+    open(mp, "w").write(json.dumps(m))
+    with pytest.raises(UsageError, match="missing.*files"):
+        R.rollup_restore(spark, state, to_version=1)
+    # and through the CLI it is the documented JSON error, not a traceback
+    rc = rollup_sketches.main(
+        ["restore", "--state", state, "--to-version", "1"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "corrupt source" in err["error"]
