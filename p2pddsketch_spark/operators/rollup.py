@@ -698,11 +698,19 @@ def rollup_fsck(spark: SparkSession, state_dir: str,
                 # containment in the predecessor (a restore can only
                 # undo history, never invent it)
                 rf = m["restored_from"]
-                if not isinstance(rf, int) or rf >= v:
+                # bool is an int subclass and JSON `true` hashes like 1,
+                # so a tampered marker could alias version 1; a list is
+                # unhashable and would TypeError out of dict.get —
+                # either way, report the finding and skip the source
+                # audit instead of crashing the auditor
+                if not isinstance(rf, int) or isinstance(rf, bool) \
+                        or rf >= v:
                     findings.append(
                         f"{tag}: restored_from={rf!r} is not an "
                         f"earlier version")
-                sm = dict(versions).get(rf)
+                    sm = None
+                else:
+                    sm = dict(versions).get(rf)
                 if sm is not None:
                     for key in ("files", "rows_seen_total", "n_blob_rows"):
                         if m.get(key) != sm.get(key):

@@ -62,6 +62,10 @@ class EcmSketch:
                  seed: int = 0) -> None:
         if depth < 1 or width < 1:
             raise ValueError("depth/width must be >= 1")
+        if depth * width > (1 << 31) - 1:
+            # the wire format stores cell ids as int32 (to_bytes)
+            raise ValueError(
+                f"depth*width must fit int32, got {depth * width}")
         if k < 2:
             raise ValueError(f"k must be >= 2, got {k}")
         self.depth = int(depth)
@@ -184,6 +188,11 @@ class EcmSketch:
         kv = np.asarray(keys).astype(np.int64).ravel()
         if kv.size == 0:
             return (np.zeros(0), np.zeros(0))
+        if self.cell.size == 0:
+            # before the int64 cast of cutoff: estimate_last on an
+            # empty sketch derives cutoff from the t_max sentinel
+            # (int64 min) minus the window, which underflows np.int64
+            return (np.zeros(kv.size), np.zeros(kv.size))
         self._compact()  # query_table needs the cell-sorted canonical table
         co = np.int64(cutoff) if cutoff is not None else _T_NONE
         cells = self._cells(kv)

@@ -1973,6 +1973,17 @@ def test_fsck_flags_tampered_restore(spark, seq_dir, tmp_path):
     assert not rep["ok"]
     assert any("not an earlier version" in f for f in rep["findings"])
 
+    # non-int markers must be FINDINGS, not auditor crashes: a list is
+    # unhashable (TypeError out of dict.get before the guard), JSON
+    # `true` is an int subclass that hashes like 1 and would silently
+    # audit against version=1
+    for bogus in ([1], True, "1"):
+        open(mp, "w").write(json.dumps(dict(m, restored_from=bogus)))
+        rep = R.rollup_fsck(spark, state)
+        assert not rep["ok"]
+        assert any("not an earlier version" in f for f in rep["findings"]), \
+            (bogus, rep["findings"])
+
     # pruned source: identity check is skipped (source manifest gone),
     # containment still holds -> healthy
     open(mp, "w").write(json.dumps(m))
