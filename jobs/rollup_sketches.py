@@ -484,6 +484,7 @@ def main(argv: list[str] | None = None) -> int:
         return out
 
     from pyspark.sql import SparkSession
+    from p2pddsketch_spark.errors import GenericError
     from p2pddsketch_spark.operators import rollup as R
     spark = (SparkSession.builder
              .config("spark.sql.shuffle.partitions", "32")
@@ -715,9 +716,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     # the full documented error contract: ValueError covers the typed
     # Usage/Param errors, OSError covers FileError (no parquet files),
-    # PySparkException covers AnalysisException and executor-side
-    # failures — all become the one parseable {"error": ...} line
-    except (ValueError, NotImplementedError, OSError,
+    # GenericError covers restore's torn-copy refusal, PySparkException
+    # covers AnalysisException and executor-side failures — all become
+    # the one parseable {"error": ...} line
+    except (ValueError, NotImplementedError, OSError, GenericError,
             PySparkException) as e:
         print(json.dumps({"error": str(e)}))
         return 1

@@ -55,7 +55,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from p2pddsketch_spark.errors import UsageError
+from p2pddsketch_spark.errors import GenericError, UsageError
 from p2pddsketch_spark.operators.harness import (SketchSpec, build_partials,
                                                  build_partials_from_files,
                                                  merge_partials,
@@ -504,7 +504,7 @@ def rollup_restore(spark: SparkSession, state_dir: str,
                   .agg(F.sum("rows_seen").alias("total")).collect())}
     if n_rows != src.get("n_blob_rows") or \
             rows_seen != src.get("rows_seen_total"):
-        raise RuntimeError(
+        raise GenericError(
             f"restore copy of version={to_version} does not match its "
             f"manifest (rows {n_rows} vs {src.get('n_blob_rows')}, "
             f"rows_seen {rows_seen} vs {src.get('rows_seen_total')}) — "

@@ -2023,3 +2023,21 @@ def test_restore_refuses_corrupt_source_manifest(spark, seq_dir, tmp_path,
     assert rc == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "corrupt source" in err["error"]
+
+    # torn copy (source blobs disagree with their manifest): the
+    # pre-commit verification refuses with the typed GenericError and
+    # the CLI still keeps the JSON error contract — no new tip appears
+    open(mp, "w").write(json.dumps(dict(m, files=[])))  # manifest valid again
+    mp1 = json.loads(open(mp).read())
+    mp1["n_blob_rows"] = 999  # blobs can never match this
+    open(mp, "w").write(json.dumps(mp1))
+    from p2pddsketch_spark.errors import GenericError
+    with pytest.raises(GenericError, match="not committing"):
+        R.rollup_restore(spark, state, to_version=1)
+    tip_before = R.rollup_versions(spark, state)[-1][0]
+    rc = rollup_sketches.main(
+        ["restore", "--state", state, "--to-version", "1"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "not committing" in err["error"]
+    assert R.rollup_versions(spark, state)[-1][0] == tip_before
