@@ -474,13 +474,17 @@ def main(argv: list[str] | None = None) -> int:
         per = {"s": 1, "m": 60, "h": 3600, "d": 86400}
         out = []
         for tok in (t for t in spec.split(",") if t):
-            if tok[-1] in per and tok[:-1].lstrip("-").isdigit():
+            if tok[-1] in per and tok[:-1].isdigit():
                 out.append(int(tok[:-1]) * per[tok[-1]] * scale)
-            elif tok.lstrip("-").isdigit():
+            elif tok.isdigit():
                 out.append(int(tok))
             else:
                 from p2pddsketch_spark.errors import UsageError
-                raise UsageError(f"bad window {tok!r} (int or s/m/h/d suffix)")
+                # a negative window is refused here too: it would
+                # silently cover nothing (ts > now + |w|) and print
+                # empty/NaN rows as if the state were empty
+                raise UsageError(f"bad window {tok!r} (positive int or "
+                                 "s/m/h/d suffix)")
         return out
 
     from pyspark.sql import SparkSession

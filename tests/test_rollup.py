@@ -899,6 +899,14 @@ def test_sliding_warehouse_window_queries_match_exact(spark, tmp_path, capsys):
     assert rc == 0
     capsys.readouterr()
 
+    # a negative window is refused loudly (it would silently cover
+    # nothing and print empty/NaN rows as if the state were empty)
+    rc = rollup_sketches.main([
+        "window-cardinality", "--state", state, "--windows=-7d"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "bad window" in err["error"]
+
     pdf = (spark.read.parquet(f"{SF_DIR}/events.parquet")
            .select("event_type", "user_id", "ts").toPandas())
     ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
