@@ -258,19 +258,27 @@ _BINCOUNT_MAX = 1 << 24
 
 
 def _unique_counts(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(uniques, counts) — np.bincount fast path for bounded non-negative
-    int ids (token vocabularies): O(n) sequential writes into an
-    L2-resident array instead of an O(n log n) sort. The sort path's
-    random-access traffic saturates memory bandwidth when 32 executor
-    threads run it concurrently; bincount keeps stage 1 compute-bound."""
+    """(uniques, counts) — np.bincount fast path for narrow-range int
+    ids (token vocabularies): O(n) sequential writes into an L2-resident
+    array instead of an O(n log n) sort. The sort path's random-access
+    traffic saturates memory bandwidth when 32 executor threads run it
+    concurrently; bincount keeps stage 1 compute-bound. The range guard
+    is computed in Python ints (an int64-extreme vmin/vmax pair must not
+    wrap) and the count array is sized by the RANGE via a vmin shift, so
+    a narrow band of high-offset (or negative) ids stays on the fast
+    path instead of allocating vmax entries or falling back to the sort."""
     if vals.size and np.issubdtype(vals.dtype, np.integer):
-        vmin = vals.min()
-        if vmin >= 0:
-            vmax = vals.max()
-            if vmax < _BINCOUNT_MAX and (vmax - vmin) < max(vals.size * 4, 1 << 16):
-                c = np.bincount(vals)
+        vmin, vmax = vals.min(), vals.max()
+        rng = int(vmax) - int(vmin)
+        if rng < max(vals.size * 4, 1 << 16):
+            if vmin >= 0 and vmax < _BINCOUNT_MAX:
+                c = np.bincount(vals)  # small ids: no shift copy needed
                 uv = np.flatnonzero(c)
                 return uv.astype(np.int64), c[uv].astype(np.int64)
+            c = np.bincount(vals - vmin)
+            uv = np.flatnonzero(c)
+            return (uv + np.int64(vmin)).astype(np.int64), \
+                c[uv].astype(np.int64)
     return np.unique(vals, return_counts=True)
 
 

@@ -284,3 +284,29 @@ def test_turnstile_delete_sketch_exact(spark):
     got = ins.delete_sketch(dels)
     assert got.to_bytes() == survivors.to_bytes()
     assert got.n == survivors.n
+
+
+def test_unique_counts_matches_np_unique_across_domains():
+    """_unique_counts must agree with np.unique(return_counts=True) on
+    every integer domain: the bincount fast path (small ids), the
+    vmin-shifted fast path (narrow band of high-offset or negative
+    ids — allocation tracks the RANGE, not vmax), and the sort
+    fallback (wide range). Also pins that an int64-extreme
+    (vmin, vmax) pair cannot wrap the range guard."""
+    from p2pddsketch_spark.operators.harness import _unique_counts
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 50_000, size=10_000),                  # bincount
+        rng.integers(10**12, 10**12 + 40_000, size=10_000),    # shifted
+        rng.integers(-20_000, 20_000, size=10_000),            # negative
+        rng.integers(-2**62, 2**62, size=10_000),              # sort path
+        np.array([], dtype=np.int64),                          # empty
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max]),
+        rng.integers(0, 300, size=5_000).astype(np.int16),     # small dtype
+    ]
+    for vals in cases:
+        uv, uc = _unique_counts(vals)
+        ev, ec = np.unique(vals, return_counts=True)
+        assert np.array_equal(np.asarray(uv, dtype=np.int64),
+                              np.asarray(ev, dtype=np.int64)), vals.dtype
+        assert np.array_equal(uc, ec), vals.dtype
