@@ -56,8 +56,14 @@ class SpaceSaving:
         alle = np.concatenate([self.errors, ue])
         mk, inv = np.unique(allk, return_inverse=True)
         self.keys = mk
-        self.counts = np.bincount(inv, weights=allc.astype(np.float64)).astype(np.int64)
-        self.errors = np.bincount(inv, weights=alle.astype(np.float64)).astype(np.int64)
+        # exact int64 accumulation (np.add.at, not float-weighted
+        # bincount): counts must stay exact past 2^53 — the same
+        # no-float-weights discipline as eh.py/ecm.py; arrays here are
+        # tiny (<= k + batch uniques) so the scatter-add costs nothing
+        self.counts = np.zeros(mk.size, dtype=np.int64)
+        np.add.at(self.counts, inv, allc)
+        self.errors = np.zeros(mk.size, dtype=np.int64)
+        np.add.at(self.errors, inv, alle)
 
     def _truncate(self) -> None:
         if self.keys.size <= self.k:
@@ -79,7 +85,8 @@ class SpaceSaving:
         else:
             w = np.asarray(weights, dtype=np.int64).ravel()
             uk, inv = np.unique(v, return_inverse=True)
-            uc = np.bincount(inv, weights=w.astype(np.float64)).astype(np.int64)
+            uc = np.zeros(uk.size, dtype=np.int64)
+            np.add.at(uc, inv, w)  # exact int64, no float weights
         self.n += int(uc.sum())
         self._absorb(uk, uc, np.zeros(uk.size, dtype=np.int64), self.floor)
         self._truncate()

@@ -278,6 +278,24 @@ def test_spacesaving_merge():
     assert len(top_true & top_est) >= 9  # top-10 essentially recovered
 
 
+def test_spacesaving_counts_exact_past_2_53():
+    """Count accumulation is exact int64, not float-weighted bincount:
+    weights past 2^53 (where float64 loses unit precision) must sum
+    exactly — same no-float-weights discipline as eh.py/ecm.py."""
+    from p2pddsketch_spark.sketches.spacesaving import SpaceSaving
+    big = (1 << 53) + 1
+    s = SpaceSaving(k=4)
+    s.update_batch(np.array([7]), weights=np.array([big]))
+    s.update_batch(np.array([7, 9]), weights=np.array([3, 5]))
+    top = dict((t, c) for t, c, _ in s.top())
+    assert top[7] == big + 3          # float64 would round the +3 away
+    assert top[9] == 5
+    m = SpaceSaving(k=4).update_batch(np.array([7]),
+                                      weights=np.array([big]))
+    m.merge(s)
+    assert dict((t, c) for t, c, _ in m.top())[7] == 2 * big + 3
+
+
 # ---------------------------------------------------------------- Theta
 
 def test_theta_cardinality_and_setops():
