@@ -200,6 +200,13 @@ class DDSketch:
         else:
             w = np.asarray(weights, dtype=np.int64).ravel()
             uk, inv = np.unique(keys, return_inverse=True)
+            # float64-weighted bincount is EXACT while every partial sum
+            # stays <= 2^53 — i.e. per-group mass up to ~9e15 rows, 9000x
+            # the 10^12-row design point (the same bound holds at every
+            # bincount below and in cms/tdigest). SpaceSaving/eh/ecm use
+            # int64 scatter-adds instead because their arrays are tiny;
+            # here bincount is the stage-1 hot path and np.add.at's
+            # unbuffered scatter would cost real build throughput.
             uc = np.bincount(inv, weights=w.astype(np.float64)).astype(np.int64)
         self._absorb_sorted(uk, uc)
         self.n += int(uc.sum())
