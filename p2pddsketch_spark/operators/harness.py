@@ -42,6 +42,7 @@ from p2pddsketch_spark.sketches.ddsketch import DDSketch
 from p2pddsketch_spark.sketches.hll import HyperLogLog
 from p2pddsketch_spark.sketches.cms import CountMinSketch
 from p2pddsketch_spark.sketches.bloom import BloomFilter
+from p2pddsketch_spark.sketches.cbloom import CountingBloomFilter
 from p2pddsketch_spark.sketches.kll import KLLSketch
 from p2pddsketch_spark.sketches.kll_turnstile import TurnstileKLL
 from p2pddsketch_spark.sketches.bottomk import BottomKSample
@@ -81,6 +82,7 @@ SKETCH_TYPES = {
     b"HLL2": HyperLogLog,  # sparse wire format, same class
     b"CMS1": CountMinSketch,
     b"BLM1": BloomFilter,
+    b"CBF1": CountingBloomFilter,
     b"KLL1": KLLSketch,
     b"KLT1": TurnstileKLL,
     b"TDG1": TDigest,

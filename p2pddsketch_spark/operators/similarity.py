@@ -216,19 +216,33 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
 
 def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  nlist: int = 16, nprobe: int = 4, sample_size: int = 10_000,
-                 seed: int = 17,
+                 seed: int = 17, fit: str = "driver",
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
-    """IVF approximate top-k: a driver-fit coarse quantizer partitions the
-    corpus into `nlist` inverted lists; each query exactly reranks only
-    the `nprobe` nearest lists. At 100 TB the corpus would be WRITTEN
+    """IVF approximate top-k: a coarse quantizer partitions the corpus
+    into `nlist` inverted lists; each query exactly reranks only the
+    `nprobe` nearest lists. At 100 TB the corpus would be WRITTEN
     bucketed by list_id so a probe is a partition-pruned scan; here the
     assignment join expresses the same plan. Same output schema as
-    `cosine_topk`."""
-    sample = np.stack([r[vec_col] for r in
-                       corpus.select(vec_col).limit(sample_size).collect()]
-                      ).astype(np.float64)
-    cent = _kmeans_fit(sample, nlist=nlist, seed=seed)
+    `cosine_topk`.
+
+    `fit="driver"` (default, the registered-query config) trains on a
+    bounded driver sample; `fit="distributed"` runs full-corpus Lloyd
+    passes via operators.kmeans.kmeans_fit_distributed — the 100 TB
+    training path (per-iteration shuffle carries only (cluster, count,
+    sum) partials, the driver sees k rows)."""
+    if fit == "distributed":
+        from p2pddsketch_spark.operators.kmeans import kmeans_fit_distributed
+        cent = kmeans_fit_distributed(
+            corpus, vec_col=vec_col, k=nlist, iters=8, seed=seed,
+            sample_size=sample_size)
+    elif fit == "driver":
+        sample = np.stack([r[vec_col] for r in
+                           corpus.select(vec_col).limit(sample_size).collect()]
+                          ).astype(np.float64)
+        cent = _kmeans_fit(sample, nlist=nlist, seed=seed)
+    else:
+        raise ValueError(f"fit must be 'driver' or 'distributed', got {fit!r}")
     assigned = ivf_assign(corpus, cent, id_col, vec_col)
     corpus2 = corpus.join(assigned, corpus[id_col] == assigned["id"]).drop("id")
 
