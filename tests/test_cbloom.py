@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from hypothesis import given, settings, strategies as st
+
 from p2pddsketch_spark.sketches.cbloom import CountingBloomFilter
 
 
@@ -100,6 +102,35 @@ def test_fully_deleted_item_reads_absent():
     mask = np.ones(1000, dtype=bool)
     mask[500] = False
     assert s.contains(np.arange(1000, dtype=np.int64))[mask].all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40),           # key
+                          st.integers(1, 9),            # insert weight
+                          st.integers(0, 9)),           # delete weight ≤ w
+                min_size=1, max_size=60),
+       st.integers(0, 3))                               # split point seed
+def test_property_interleaved_turnstile(ops, split_seed):
+    """Random insert/delete interleavings with deletes ⊆ inserts: every
+    key with positive net weight answers True (no false negatives —
+    the unconditional guarantee), and a random 2-way split merged back
+    is byte-identical to the one-shot build."""
+    one = CountingBloomFilter(m=2048, k=4, seed=1)
+    parts = [CountingBloomFilter(m=2048, k=4, seed=1) for _ in range(2)]
+    net: dict[int, int] = {}
+    for i, (key, w, d) in enumerate(ops):
+        d = min(d, w)  # delete at most what this op inserted
+        kv = np.array([key], dtype=np.int64)
+        for s in (one, parts[(i + split_seed) % 2]):
+            s.update_batch(kv, np.array([w], dtype=np.int64))
+            if d:
+                s.delete_batch(kv, np.array([d], dtype=np.int64))
+        net[key] = net.get(key, 0) + (w - d)
+    merged = parts[0].merge(parts[1])
+    assert merged.to_bytes() == one.to_bytes()
+    live = np.array([k for k, v in net.items() if v > 0], dtype=np.int64)
+    if live.size:
+        assert one.contains(live).all()
 
 
 def test_distributed_build_matches_single_node(spark, sequences_path):
