@@ -244,6 +244,38 @@ def warehouse_receipt(spark, sf_dir: str, reps: int) -> dict:
             "window_queries_secs": round(t_q, 3)}
 
 
+def semdedup_receipt(spark, sf_dir: str, reps: int) -> dict:
+    """Round-over-round visibility for the embedding-pipeline operators
+    (same principle as the pipeline sentinels): a full SemDeDup cycle
+    over the embeddings table — distributed k-means fit (k ≈ √N, 4
+    Lloyd passes, only (cluster,count,sum) partials shuffle) + exact-
+    cosine rerank of the within-cluster candidates. Reported: wall time
+    (best of `reps`), the candidate-pair volume vs all-pairs — the
+    measured pruning ratio that is the operator's 100 TB contract."""
+    from pyspark.sql import functions as F
+    from p2pddsketch_spark.operators.kmeans import (
+        kmeans_assign, kmeans_fit_distributed, semantic_dedup_pairs)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    k = max(2, int(n ** 0.5))
+    best, n_pairs, cent = None, 0, None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        cent = kmeans_fit_distributed(emb, k=k, iters=4, seed=23)
+        n_pairs = semantic_dedup_pairs(emb, threshold=0.9, k=k,
+                                       centroids=cent).count()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    sizes = kmeans_assign(emb, cent).groupBy("cluster_id").count()
+    cand = int(sizes.agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)
+                         ).collect()[0][0])
+    allpairs = n * (n - 1) // 2
+    return {"secs": round(best, 3), "n_vectors": int(n), "k": int(k),
+            "dup_pairs": int(n_pairs), "candidate_pairs": cand,
+            "allpairs": allpairs,
+            "candidate_pct": round(100.0 * cand / allpairs, 2)}
+
+
 def approx_percentile_receipt(spark, seq_path: str, reps: int) -> dict:
     """The engine's own approximate-quantile aggregate vs this library's
     pure-Catalyst DDSketch plan, on the SAME grouped question (n_tok
@@ -380,6 +412,9 @@ def main():
         wr = warehouse_receipt(spark, sf_dir, reps)
         tp["warehouse"] = wr
         print(f"# warehouse receipt: {wr}", file=sys.stderr)
+        sd = semdedup_receipt(spark, sf_dir, reps)
+        tp["semdedup"] = sd
+        print(f"# semdedup receipt: {sd}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -628,6 +628,16 @@ SELECT metric, value FROM (
   SELECT 'bloom_hits_on_inserted' AS metric,
          COUNT(DISTINCT user_id)::DOUBLE AS value FROM events
   UNION ALL
+  -- counting-Bloom turnstile: every 7th user retracted; no-FN on the
+  -- net-live set + weight-linearity make both rows exact counts
+  SELECT 'cbf_hits_after_delete',
+         (COUNT(DISTINCT user_id) FILTER (WHERE user_id % 7 <> 0))::DOUBLE
+  FROM events
+  UNION ALL
+  SELECT 'cbf_net_weight_after_delete',
+         (COUNT(user_id) FILTER (WHERE user_id % 7 <> 0))::DOUBLE
+  FROM events
+  UNION ALL
   SELECT 'cms_users_total', COUNT(user_id)::DOUBLE FROM events
   UNION ALL
   SELECT 'kll_value_n', COUNT(value)::DOUBLE FROM events

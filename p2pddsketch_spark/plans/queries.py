@@ -954,14 +954,34 @@ def q_sketch_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserted count, and `bloom_hits_on_inserted` probes the merged Bloom
     filter DISTRIBUTED (broadcast blob + mapInPandas over the distinct
     user ids, no raw collect) and must equal COUNT(DISTINCT user_id) by
-    the no-false-negative guarantee. The hash-dependent estimates from
+    the no-false-negative guarantee. The counting-Bloom rows (round 5)
+    exercise the turnstile: an insert-side and a retraction-side filter
+    built in the SAME pass, merged with negated counters, then probed on
+    the surviving ids — no-FN for net-live items makes the hit count
+    exactly COUNT(DISTINCT user_id surviving), and weight-linearity
+    makes net_weight exactly the surviving row count. The
+    hash-dependent estimates from
     the same build (HLL cardinality, quantile values, heavy-hitter
     counts) are bound-verified in pytest (tests/test_sketches.py,
     tests/test_estimates_bounds.py)."""
     import pandas as pd
+    from p2pddsketch_spark.sketches.cbloom import CountingBloomFilter
     from p2pddsketch_spark.sketches.moments import MomentSketch as _MomentSketch
     from p2pddsketch_spark.sketches.req import ReqSketch as _ReqSketch
     ev = load(spark, sf_dir, "events")
+
+    # delete-stream extractor for the turnstile demo: the ids whose rows
+    # a retraction pass would remove (every 7th user), taken from the
+    # SAME batches as the insert side — one scan builds both filters
+    def _retracted_ids(batch):
+        col = batch.column("user_id")
+        if col.null_count:
+            col = col.drop_null()
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return v[v % 7 == 0]
+    _retracted_ids.columns = ["user_id"]
+    _retracted_ids.key = "scalar_int_mod7:user_id"
+
     specs = [
         SketchSpec("dds_value", lambda: DDSketch(alpha=0.01, bin_limit=1 << 22),
                    scalar_extractor("value")),
@@ -974,10 +994,37 @@ def q_sketch_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                    scalar_int_extractor("user_id")),
         SketchSpec("bloom_users", lambda: BloomFilter(m_bits=1 << 20, k=5),
                    scalar_int_extractor("user_id")),
+        SketchSpec("cbf_users", lambda: CountingBloomFilter(m=1 << 20, k=5),
+                   scalar_int_extractor("user_id")),
+        SketchSpec("cbf_churn", lambda: CountingBloomFilter(m=1 << 20, k=5),
+                   _retracted_ids),
     ]
     out = build_sketches(ev, specs, salt_buckets=16)
     sk = collect_sketches(out)
     blob = spark.sparkContext.broadcast(sk["bloom_users"].to_bytes())
+
+    # turnstile: subtract the retraction stream's counters (merge with a
+    # negated copy — counter addition is signed), then probe the
+    # SURVIVING ids distributed; delete exactly undoes insert, so every
+    # survivor answers present (no false negatives) and net_weight drops
+    # by exactly the retracted row count — both layout-invariant
+    cbf = sk["cbf_users"]
+    churn = sk["cbf_churn"]
+    neg = CountingBloomFilter(m=churn.m, k=churn.k, seed=churn.seed)
+    neg.counts = -churn.counts
+    neg.net_weight = -churn.net_weight
+    cbf.merge(neg)
+    cbf_blob = spark.sparkContext.broadcast(cbf.to_bytes())
+
+    def probe_cbf(batches):
+        f = CountingBloomFilter.from_bytes(cbf_blob.value)
+        for pdf in batches:
+            hits = f.contains(pdf["user_id"].to_numpy(dtype=np.int64))
+            yield pd.DataFrame({"hits": [int(hits.sum())]})
+
+    cbf_hits = (ev.select("user_id").where(F.col("user_id") % 7 != 0)
+                .distinct().mapInPandas(probe_cbf, "hits long")
+                .agg(F.sum("hits")).collect()[0][0] or 0)
 
     def probe(batches):
         bf = BloomFilter.from_bytes(blob.value)
@@ -993,6 +1040,8 @@ def q_sketch_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch boundaries — only layout-invariant values qualify)
     rows = [
         ("bloom_hits_on_inserted", float(bloom_hits)),
+        ("cbf_hits_after_delete", float(cbf_hits)),
+        ("cbf_net_weight_after_delete", float(cbf.net_weight)),
         ("cms_users_total", float(sk["cms_users"].total)),
         ("kll_value_n", float(sk["kll_value"].n)),
         ("mom_value_n", float(sk["mom_value"].n)),
