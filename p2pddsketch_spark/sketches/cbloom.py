@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 import struct
+import zlib
 
 import numpy as np
 
@@ -148,19 +149,30 @@ class CountingBloomFilter:
         return (self.counts[self._slots(v)] > 0).all(axis=0)
 
     def to_bytes(self) -> bytes:
+        """Canonical wire: header + int32 counters, zlib-deflated when
+        that is smaller (codec flag byte). A partition partial's counter
+        array is overwhelmingly zeros — deflate shrinks the per-partial
+        shuffle payload from m×4 B to roughly the live-slot mass, which
+        is what the merge-tree exchange actually carries."""
         self._check_range()
-        return (struct.pack("<4sqqqq", _MAGIC, self.m, self.k, self.seed,
-                            self.net_weight)
-                + self.counts.astype("<i4").tobytes())
+        raw = self.counts.astype("<i4").tobytes()
+        packed = zlib.compress(raw, 6)
+        codec, body = (1, packed) if len(packed) < len(raw) else (0, raw)
+        return (struct.pack("<4sqqqqB", _MAGIC, self.m, self.k, self.seed,
+                            self.net_weight, codec) + body)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountingBloomFilter":
-        magic, m, k, seed, net = struct.unpack_from("<4sqqqq", data, 0)
+        magic, m, k, seed, net, codec = struct.unpack_from("<4sqqqqB", data, 0)
         if magic != _MAGIC:
             raise ValueError("bad CountingBloom magic")
         s = cls(m=int(m), k=int(k), seed=int(seed))
         s.net_weight = int(net)
-        s.counts = np.frombuffer(
-            data, dtype="<i4", count=int(m),
-            offset=struct.calcsize("<4sqqqq")).astype(np.int64)
+        body = bytes(data[struct.calcsize("<4sqqqqB"):])
+        if codec == 1:
+            body = zlib.decompress(body)
+        elif codec != 0:
+            raise ValueError(f"unknown CountingBloom codec {codec}")
+        s.counts = np.frombuffer(body, dtype="<i4", count=int(m)
+                                 ).astype(np.int64)
         return s
