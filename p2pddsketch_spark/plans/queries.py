@@ -994,9 +994,12 @@ def q_sketch_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                    scalar_int_extractor("user_id")),
         SketchSpec("bloom_users", lambda: BloomFilter(m_bits=1 << 20, k=5),
                    scalar_int_extractor("user_id")),
-        SketchSpec("cbf_users", lambda: CountingBloomFilter(m=1 << 20, k=5),
+        # m sized for the actual id universe (1.5k distinct at sf0.1 →
+        # FPP ~1e-5 at 2^16), NOT copied from the bit-Bloom: counter
+        # slots are 32x a bit, and the oracle rows depend only on no-FN
+        SketchSpec("cbf_users", lambda: CountingBloomFilter(m=1 << 16, k=5),
                    scalar_int_extractor("user_id")),
-        SketchSpec("cbf_churn", lambda: CountingBloomFilter(m=1 << 20, k=5),
+        SketchSpec("cbf_churn", lambda: CountingBloomFilter(m=1 << 16, k=5),
                    _retracted_ids),
     ]
     out = build_sketches(ev, specs, salt_buckets=16)
