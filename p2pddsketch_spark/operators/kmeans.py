@@ -97,8 +97,8 @@ def _fold_partials(pdf: pd.DataFrame) -> pd.DataFrame:
 def kmeans_fit_distributed(df: DataFrame, vec_col: str = "embedding",
                            k: int = 16, iters: int = 10, seed: int = 17,
                            sample_size: int = 10_000,
-                           init_centroids: np.ndarray | None = None
-                           ) -> np.ndarray:
+                           init_centroids: np.ndarray | None = None,
+                           tol: float = 0.0) -> np.ndarray:
     """Fit k spherical (cosine) centroids with fully-distributed Lloyd
     iterations; returns a (k, d) L2-normalized float64 array.
 
@@ -106,7 +106,13 @@ def kmeans_fit_distributed(df: DataFrame, vec_col: str = "embedding",
     carries ≤ n_partitions×k partial rows of d doubles (for k=256,
     d=1024, 10k partitions that is ~20 GB spread over the cluster —
     fine for an exchange, catastrophic for a driver collect, which is
-    why stage 2 merges distributed and the driver sees exactly k rows)."""
+    why stage 2 merges distributed and the driver sees exactly k rows).
+
+    `tol` > 0 stops early once the max centroid L2 shift falls to ≤ tol
+    — each avoided iteration is a full corpus scan, and Lloyd typically
+    converges well before a fixed iteration budget. tol=0 (default)
+    always runs exactly `iters` passes (bit-for-bit the pre-tol
+    behavior)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     rng = np.random.default_rng(seed)
@@ -175,7 +181,10 @@ def kmeans_fit_distributed(df: DataFrame, vec_col: str = "embedding",
                 # re-seed — one extra corpus pass per empty cluster is
                 # not worth it; empties are rare after init-by-sample)
                 new[cid] = sample[int(rng.integers(0, len(sample)))]
+        shift = float(np.linalg.norm(new - cent, axis=1).max())
         cent = new
+        if tol > 0.0 and shift <= tol:
+            break
     return cent
 
 

@@ -43,6 +43,11 @@ _I32_MAX = (1 << 31) - 1
 
 
 class CountingBloomFilter:
+    """Turnstile membership: Bloom with signed int32 counters instead of
+    bits — insert adds, delete subtracts, merge is counter addition, and
+    contains(x) is "all k slots positive" (no false negatives for any
+    net-live item; delete exactly undoes insert, byte-for-byte)."""
+
     __slots__ = ("m", "k", "seed", "counts", "net_weight")
 
     def __init__(self, m: int = 1 << 16, k: int = 5, seed: int = 0) -> None:

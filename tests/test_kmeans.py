@@ -87,6 +87,23 @@ def test_layout_perturbs_only_at_float_tolerance(spark):
     assert np.allclose(a, b, atol=1e-9)
 
 
+def test_tol_early_stop_converged_equivalence(spark):
+    """tol early-stop: once Lloyd has converged (assignments fixed),
+    extra iterations are no-ops — a tol run must equal the full-budget
+    run exactly; and tol=0 reproduces the untolerated path bit-for-bit."""
+    X = _make_clustered(seed=9, noise=0.02)
+    df = _to_df(spark, X, parts=3)
+    init = _norm(X.astype(np.float32).astype(np.float64)[[10, 70, 130, 190]])
+    full = kmeans_fit_distributed(df, k=4, iters=8, init_centroids=init)
+    tolled = kmeans_fit_distributed(df, k=4, iters=8, init_centroids=init,
+                                    tol=1e-12)
+    assert np.allclose(tolled, full, atol=1e-12)
+    again = kmeans_fit_distributed(df, k=4, iters=3, init_centroids=init,
+                                   tol=0.0)
+    ref = kmeans_fit_distributed(df, k=4, iters=3, init_centroids=init)
+    assert np.array_equal(again, ref)
+
+
 def test_guards(spark):
     X = _make_clustered()
     df = _to_df(spark, X)
