@@ -217,7 +217,11 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
     cent = centroids if centroids is not None else kmeans_fit_distributed(
         df, vec_col=vec_col, k=k, iters=iters, seed=seed,
         sample_size=sample_size)
-    assigned = kmeans_assign(df, cent, id_col=id_col, vec_col=vec_col)
+    # the self-join consumes the assignment twice: materialize it once
+    # (ContextCleaner-owned lifetime — the dedup.py candidate pattern)
+    # instead of running the mapInPandas pass + corpus scan per side
+    assigned = (kmeans_assign(df, cent, id_col=id_col, vec_col=vec_col)
+                .localCheckpoint(eager=True))
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a_, b_ = assigned.alias("a"), assigned.alias("b")
     cand = (a_.join(b_, (F.col("a.cluster_id") == F.col("b.cluster_id")) &
