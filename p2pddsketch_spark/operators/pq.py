@@ -1,0 +1,217 @@
+"""Product quantization (PQ) for embedding storage + ANN search
+(Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011) — the storage format a 100 TB embedding corpus
+actually serves ANN from.
+
+The vector is split into `m` contiguous subspaces; each subvector is
+replaced by the index of its nearest codeword in a 256-entry per-
+subspace codebook → the stored vector is m BYTES (d=1024 float32 →
+m=64 bytes is a 64× compression, far past int8's 4×). Search uses
+asymmetric distance computation (ADC): the query stays exact, one
+m×256 lookup table of query·codeword partial inner products is built
+per query on the driver, and a corpus row's score is m table gathers —
+no float vector is ever touched at scan time.
+
+Spark shape (the same discipline as the rest of the ANN family):
+
+* `train_pq` — per-subspace Euclidean k-means on a bounded driver
+  sample (the FAISS protocol; codebooks are m×256×(d/m) ≈ a few MB and
+  broadcast by closure). Deterministic: seeded init, fixed iteration
+  count, ties broken by lowest index.
+* `encode_pq` — one mapInPandas pass; per batch, per subspace, one
+  ‖x−c‖² argmin via the matmul identity (‖c‖² − 2x·c), emitting
+  (id, codes array<int>) — only code arrays shuffle ever after.
+* `ann_topk_pq` — broadcast LUTs, distributed gather-sum scoring, and
+  optional EXACT rerank of the top `rerank` ADC candidates per query
+  (fetch the float vectors of candidates only — the two-stage pattern
+  every production PQ system runs). With `rerank` ≥ corpus size the
+  result is exactly `cosine_topk` (pinned by test in the lossless
+  regime).
+
+Scale contract: the corpus is scanned in code space (m bytes/row);
+candidate vector fetches are |queries|×rerank rows, not |corpus|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StructField, StructType)
+from pyspark.sql.window import Window
+
+from p2pddsketch_spark.operators.similarity import cosine_sim_col
+
+__all__ = ["train_pq", "encode_pq", "ann_topk_pq"]
+
+
+def _split(mtx: np.ndarray, m: int) -> list[np.ndarray]:
+    """m contiguous (n, d/m) subspace views of an (n, d) matrix."""
+    d = mtx.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    w = d // m
+    return [mtx[:, j * w:(j + 1) * w] for j in range(m)]
+
+
+def _euclid_kmeans(x: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Plain Euclidean Lloyd on a driver sample — deterministic: seeded
+    distinct-row init (duplicates collapsed first so tiny alphabets get
+    every distinct point as a codeword — the lossless regime), argmin
+    ties to the lowest index, empty codewords keep their previous
+    position."""
+    uniq = np.unique(x, axis=0)
+    if len(uniq) <= k:
+        cent = np.zeros((k, x.shape[1]))
+        cent[:len(uniq)] = uniq           # lossless: every point is a codeword
+        cent[len(uniq):] = uniq[0] if len(uniq) else 0.0
+        return cent
+    cent = uniq[rng.choice(len(uniq), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def train_pq(df: DataFrame, vec_col: str = "embedding", m: int = 8,
+             k: int = 256, iters: int = 10, sample_size: int = 10_000,
+             seed: int = 29, normalize: bool = True) -> np.ndarray:
+    """Fit the (m, k, d/m) PQ codebooks on a bounded driver sample.
+    `normalize` L2-normalizes sample rows first so ADC inner products
+    approximate cosine (matching the rest of the ANN family)."""
+    rows = df.select(vec_col).limit(sample_size).collect()
+    if not rows:
+        raise ValueError("train_pq: empty input")
+    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    if normalize:
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    return np.stack([_euclid_kmeans(sub, k, iters, rng)
+                     for sub in _split(x, m)])
+
+
+def encode_pq(df: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              normalize: bool = True) -> DataFrame:
+    """(id, codes array<int>) — nearest codeword per subspace, one
+    ‖c‖²−2x·c argmin matmul per (batch, subspace). Deterministic
+    (argmin lowest-index tiebreak)."""
+    id_type = df.schema[id_col].dataType
+    schema = StructType([StructField("id", id_type, True),
+                         StructField("codes", ArrayType(IntegerType(), False),
+                                     False)])
+    cb = codebooks
+    m = cb.shape[0]
+
+    def enc(batches):
+        cnorm = [(c * c).sum(axis=1) for c in cb]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normalize:
+                M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                                   1e-12)
+            codes = np.empty((len(M), m), dtype=np.int32)
+            for j, sub in enumerate(_split(M, m)):
+                codes[:, j] = (cnorm[j][None, :] - 2.0 * (sub @ cb[j].T)
+                               ).argmin(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(enc, schema=schema)
+
+
+def ann_topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                m: int = 8, nk: int = 256, iters: int = 10,
+                sample_size: int = 10_000, seed: int = 29,
+                rerank: int = 0, codebooks: np.ndarray | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "query_id", qvec_col: str = "query_vec"
+                ) -> DataFrame:
+    """PQ-ADC approximate top-k, same output schema as `cosine_topk`
+    (query_id, rank, neighbor_id, cosine).
+
+    `rerank` = 0 ranks purely by ADC score (corpus scanned in code
+    space only; `cosine` is then the ADC approximation). `rerank` > 0
+    takes the top `rerank` ADC candidates per query and re-scores them
+    with EXACT cosine on the fetched vectors — the production
+    two-stage; with rerank ≥ |corpus| and lossless codebooks the output
+    equals `cosine_topk` exactly."""
+    cb = codebooks if codebooks is not None else train_pq(
+        corpus, vec_col=vec_col, m=m, k=nk, iters=iters,
+        sample_size=sample_size, seed=seed)
+    m = cb.shape[0]
+    enc = encode_pq(corpus, cb, id_col=id_col, vec_col=vec_col)
+
+    qrows = queries.collect()
+    if not qrows:
+        raise ValueError("ann_topk_pq: empty query set")
+    qv = np.stack([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
+    qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    qids = np.array([r[qid_col] for r in qrows])
+    # one m×nk inner-product LUT per query: luts[q, j, c] = q_sub_j · cb[j][c]
+    luts = np.ascontiguousarray(
+        np.stack([sub @ cb[j].T for j, sub in enumerate(_split(qv, m))],
+                 axis=1))  # (n_q, m, nk)
+
+    id_type = corpus.schema[id_col].dataType
+    schema = StructType([StructField("query_id", LongType(), False),
+                         StructField("neighbor_id", id_type, True),
+                         StructField("adc", DoubleType(), False)])
+    topn = max(k, rerank)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            ids = pdf["id"].to_numpy()
+            for qi in range(len(qids)):
+                lut = luts[qi]                         # (m, nk)
+                s = lut[np.arange(m)[None, :], codes].sum(axis=1)  # (n,)
+                # per-partition pre-top: ship only topn rows per query
+                take = min(topn, len(s))
+                part = np.argpartition(-s, take - 1)[:take]
+                yield pd.DataFrame({
+                    "query_id": np.full(take, int(qids[qi]), dtype=np.int64),
+                    "neighbor_id": ids[part],
+                    "adc": np.round(s[part], 9),
+                })
+
+    scored = enc.mapInPandas(score, schema=schema)
+    scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"),
+                                              F.asc("neighbor_id"))
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= topn))
+    if rerank <= 0:
+        return (top.where(F.col("rank") <= k)
+                .select(F.col("query_id").alias(qid_col), "rank",
+                        "neighbor_id", F.col("adc").alias("cosine"))
+                .orderBy(qid_col, "rank"))
+
+    # exact second stage: fetch ONLY the candidates' vectors
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(r[qid_col]), [float(v) for v in r[qvec_col]]) for r in qrows],
+        f"query_id long, {qvec_col} array<float>")
+    cand = (top.select("query_id", "neighbor_id")
+            .join(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+                  "neighbor_id")
+            .join(F.broadcast(qdf), "query_id"))
+    sim = F.round(cosine_sim_col(F.col(vec_col), F.col(qvec_col)), 6)
+    rescored = cand.select("query_id", "neighbor_id", sim.alias("cosine"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select(F.col("query_id").alias(qid_col), "rank", "neighbor_id",
+                    "cosine")
+            .orderBy(qid_col, "rank"))

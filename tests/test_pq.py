@@ -1,0 +1,108 @@
+"""Product quantization: codebook training, encoding, ADC search.
+
+Contracts pinned: encoding is deterministic and LOSSLESS when each
+subspace's alphabet fits the codebook (≤ 256 distinct subvectors) — in
+that regime full-rerank PQ equals brute-force cosine_topk EXACTLY; the
+trained path on real embeddings beats the random-ranking floor with
+rerank; codes are bit-reproducible run to run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.operators.pq import ann_topk_pq, encode_pq, train_pq
+from p2pddsketch_spark.operators.similarity import cosine_topk
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _lossless_fixture(spark, n=160, m=4, w=2, alpha=5, seed=3):
+    """Vectors whose every subspace draws from an alphabet of `alpha`
+    distinct subvectors (alpha^m possible vectors, alpha ≤ 256) — the
+    regime where PQ is exact."""
+    rng = np.random.default_rng(seed)
+    letters = [rng.normal(size=(alpha, w)) for _ in range(m)]
+    X = np.concatenate(
+        [letters[j][rng.integers(0, alpha, size=n)] for j in range(m)],
+        axis=1)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(3)
+    return df, X
+
+
+def test_lossless_regime_equals_brute_force(spark):
+    df, _ = _lossless_fixture(spark)
+    queries = (df.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    cb = train_pq(df, m=4, k=256, sample_size=1000)
+    brute = cosine_topk(df, queries, k=5).toPandas()
+    got = ann_topk_pq(df, queries, k=5, codebooks=cb,
+                      rerank=200).toPandas()
+    merged = got.merge(brute, on=["query_id", "rank"], suffixes=("_a", "_b"))
+    assert len(merged) == len(brute) > 0
+    assert (merged["neighbor_id_a"] == merged["neighbor_id_b"]).all()
+    assert (merged["cosine_a"] == merged["cosine_b"]).all()
+
+
+def test_encoding_lossless_and_deterministic(spark):
+    df, X = _lossless_fixture(spark)
+    cb = train_pq(df, m=4, k=256, sample_size=1000)
+    enc1 = encode_pq(df, cb).toPandas().sort_values("id").reset_index(drop=True)
+    enc2 = encode_pq(df, cb).toPandas().sort_values("id").reset_index(drop=True)
+    assert all(np.array_equal(a, b)
+               for a, b in zip(enc1["codes"], enc2["codes"]))
+    # reconstruction from codes reproduces the (normalized) input exactly
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X32 = (X.astype(np.float32).astype(np.float64))
+    X32n = X32 / np.maximum(np.linalg.norm(X32, axis=1, keepdims=True), 1e-12)
+    w = X.shape[1] // 4
+    for _, row in enc1.iterrows():
+        rec = np.concatenate([cb[j][row["codes"][j]] for j in range(4)])
+        assert np.allclose(rec, X32n[int(row["id"])], atol=1e-7)
+
+
+def test_adc_only_mode_and_guards(spark):
+    df, _ = _lossless_fixture(spark, n=60)
+    queries = (df.where(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    out = ann_topk_pq(df, queries, k=3, m=4, rerank=0,
+                      sample_size=1000).toPandas()
+    assert set(out.columns) == {"query_id", "rank", "neighbor_id", "cosine"}
+    assert (out.groupby("query_id")["rank"].max() == 3).all()
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(df, m=3)
+    with pytest.raises(ValueError, match="empty query"):
+        ann_topk_pq(df, queries.where(F.lit(False)), m=4)
+
+
+def test_trained_path_recall_on_embeddings(spark):
+    """sf0.01 embeddings (near-isotropic, the hard case): two-stage PQ
+    (ADC shortlist + exact rerank). rerank=50 of 500 → random-shortlist
+    recall ≈ 0.10; measured recall is 1.0 across seeds (64-dim at m=8
+    quantizes tightly enough that the true top-5 always survives the
+    shortlist) — pinned at ≥ 0.8 for seed robustness."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    brute = cosine_topk(emb, queries, k=5).toPandas()
+    got = ann_topk_pq(emb, queries, k=5, m=8, rerank=50,
+                      seed=31).toPandas()
+    hits = tot = 0
+    for qid in brute["query_id"].unique():
+        b = set(brute[brute["query_id"] == qid]["neighbor_id"])
+        a = set(got[got["query_id"] == qid]["neighbor_id"])
+        hits += len(a & b)
+        tot += len(b)
+    assert hits / tot >= 0.8
+    # reranked cosines are exact: every reported (pair, cosine) agrees
+    # with brute force where the pair appears in both
+    merged = got.merge(brute, on=["query_id", "neighbor_id"],
+                       suffixes=("_a", "_b"))
+    assert (merged["cosine_a"] == merged["cosine_b"]).all()
