@@ -276,6 +276,62 @@ def semdedup_receipt(spark, sf_dir: str, reps: int) -> dict:
             "candidate_pct": round(100.0 * cand / allpairs, 2)}
 
 
+def pq_index_receipt(spark, sf_dir: str, reps: int) -> dict:
+    """The ANN SERVING path end-to-end: build a persisted PQ index over
+    the embeddings table (train + encode + commit), then answer a
+    16-query top-5 batch from the STORED codes with exact rerank, vs
+    brute-force cosine over the float vectors. Reported: build and
+    query wall (best of `reps`), recall@5 vs brute force, and the
+    storage compression (d float32 bytes → m code bytes) — the ratio
+    that decides whether a 100 TB corpus is scannable at all."""
+    import shutil
+    import tempfile
+    from pyspark.sql import functions as F
+    from p2pddsketch_spark.operators.pq_index import (query_pq_index,
+                                                      save_pq_index)
+    from p2pddsketch_spark.operators.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    m = 8
+    queries = (emb.where(F.col("vec_id") < 16)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    tmp = tempfile.mkdtemp(prefix="pq_bench_")
+    try:
+        build = query = brute_t = None
+        hits = tot = 0
+        for _ in range(reps):
+            idx = os.path.join(tmp, "idx")
+            shutil.rmtree(idx, ignore_errors=True)
+            t0 = time.monotonic()
+            save_pq_index(spark, emb, idx, m=m, seed=31)
+            dt = time.monotonic() - t0
+            build = dt if build is None else min(build, dt)
+            t0 = time.monotonic()
+            got = query_pq_index(spark, idx, queries, k=5, rerank=50,
+                                 corpus=emb).toPandas()
+            dt = time.monotonic() - t0
+            query = dt if query is None else min(query, dt)
+            t0 = time.monotonic()
+            brute = cosine_topk(emb, queries, k=5).toPandas()
+            dt = time.monotonic() - t0
+            brute_t = dt if brute_t is None else min(brute_t, dt)
+            hits = tot = 0
+            for qid in brute["query_id"].unique():
+                b = set(brute[brute["query_id"] == qid]["neighbor_id"])
+                a = set(got[got["query_id"] == qid]["neighbor_id"])
+                hits += len(a & b)
+                tot += len(b)
+        return {"build_secs": round(build, 3), "query_secs": round(query, 3),
+                "brute_secs": round(brute_t, 3), "n_vectors": int(n),
+                "dim": int(dim), "m": m,
+                "recall_at_5": round(hits / max(tot, 1), 3),
+                "compression_x": round(dim * 4 / m, 1)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def approx_percentile_receipt(spark, seq_path: str, reps: int) -> dict:
     """The engine's own approximate-quantile aggregate vs this library's
     pure-Catalyst DDSketch plan, on the SAME grouped question (n_tok
@@ -415,6 +471,9 @@ def main():
         sd = semdedup_receipt(spark, sf_dir, reps)
         tp["semdedup"] = sd
         print(f"# semdedup receipt: {sd}", file=sys.stderr)
+        pr = pq_index_receipt(spark, sf_dir, reps)
+        tp["pq_index"] = pr
+        print(f"# pq index receipt: {pr}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -27,9 +27,15 @@ Spark shape (the same discipline as the rest of the ANN family):
   every production PQ system runs). With `rerank` ≥ corpus size the
   result is exactly `cosine_topk` (pinned by test in the lossless
   regime).
+* `ann_topk_pq_encoded` — the SERVING entry point: same search, but
+  over an already-encoded (id, codes) table (e.g. a persisted index
+  built once by `operators/pq_index.py`) so queries never re-encode
+  the corpus. `ann_topk_pq` is train + encode + this.
 
 Scale contract: the corpus is scanned in code space (m bytes/row);
-candidate vector fetches are |queries|×rerank rows, not |corpus|.
+the scan is vectorized across the whole query batch (one LUT gather
+per subspace, not a Python loop per query); candidate vector fetches
+are |queries|×rerank rows, not |corpus|.
 """
 
 from __future__ import annotations
@@ -45,7 +51,7 @@ from pyspark.sql.window import Window
 
 from p2pddsketch_spark.operators.similarity import cosine_sim_col
 
-__all__ = ["train_pq", "encode_pq", "ann_topk_pq"]
+__all__ = ["train_pq", "encode_pq", "ann_topk_pq", "ann_topk_pq_encoded"]
 
 
 def _split(mtx: np.ndarray, m: int) -> list[np.ndarray]:
@@ -147,21 +153,46 @@ def ann_topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cb = codebooks if codebooks is not None else train_pq(
         corpus, vec_col=vec_col, m=m, k=nk, iters=iters,
         sample_size=sample_size, seed=seed)
-    m = cb.shape[0]
     enc = encode_pq(corpus, cb, id_col=id_col, vec_col=vec_col)
+    return ann_topk_pq_encoded(enc, cb, queries, k=k, rerank=rerank,
+                               corpus=corpus, id_col=id_col, vec_col=vec_col,
+                               qid_col=qid_col, qvec_col=qvec_col)
 
+
+def ann_topk_pq_encoded(enc: DataFrame, codebooks: np.ndarray,
+                        queries: DataFrame, k: int = 5, rerank: int = 0,
+                        corpus: DataFrame | None = None,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        qid_col: str = "query_id", qvec_col: str = "query_vec"
+                        ) -> DataFrame:
+    """ADC top-k over an ALREADY-ENCODED (id, codes) table — the serving
+    path: a persisted index (`operators/pq_index.py`) is encoded once
+    and every query batch pays only the m-byte code-space scan.
+
+    `corpus` (the original id→vector table) is required only when
+    `rerank` > 0 — the exact second stage fetches the |queries|×rerank
+    candidate vectors from it. Output schema and semantics are exactly
+    `ann_topk_pq`'s (query_id, rank, neighbor_id, cosine)."""
+    cb = codebooks
+    m = int(cb.shape[0])
+    if rerank > 0 and corpus is None:
+        raise ValueError("rerank > 0 needs `corpus` (the id→vector table) "
+                         "for the exact second stage")
     qrows = queries.collect()
     if not qrows:
         raise ValueError("ann_topk_pq: empty query set")
     qv = np.stack([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
     qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
-    qids = np.array([r[qid_col] for r in qrows])
+    if qv.shape[1] != m * cb.shape[2]:
+        raise ValueError(f"query dim {qv.shape[1]} != index dim "
+                         f"{m * cb.shape[2]}")
+    qids = np.array([int(r[qid_col]) for r in qrows], dtype=np.int64)
     # one m×nk inner-product LUT per query: luts[q, j, c] = q_sub_j · cb[j][c]
     luts = np.ascontiguousarray(
         np.stack([sub @ cb[j].T for j, sub in enumerate(_split(qv, m))],
                  axis=1))  # (n_q, m, nk)
 
-    id_type = corpus.schema[id_col].dataType
+    id_type = enc.schema["id"].dataType
     schema = StructType([StructField("query_id", LongType(), False),
                          StructField("neighbor_id", id_type, True),
                          StructField("adc", DoubleType(), False)])
@@ -171,18 +202,29 @@ def ann_topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64).T
             ids = pdf["id"].to_numpy()
-            for qi in range(len(qids)):
-                lut = luts[qi]                         # (m, nk)
-                s = lut[np.arange(m)[None, :], codes].sum(axis=1)  # (n,)
+            n = codes.shape[1]
+            # +1: the self row (query_id == neighbor_id) is filtered
+            # AFTER the scan — a partition holding it must still ship
+            # topn OTHER candidates or a 1-partition corpus comes up
+            # one short
+            take = min(topn + 1, n)
+            # vectorized across queries: per chunk, ONE fancy-gather per
+            # subspace — (chunk, m, n) floats — instead of a Python loop
+            # per query; chunk sized so the gather stays ~64 MB
+            chunk = max(1, 8_000_000 // max(m * n, 1))
+            sub = np.arange(m)[:, None]
+            for q0 in range(0, len(qids), chunk):
+                lut = luts[q0:q0 + chunk]              # (c, m, nk)
+                s = lut[:, sub, codes].sum(axis=1)     # (c, n)
                 # per-partition pre-top: ship only topn rows per query
-                take = min(topn, len(s))
-                part = np.argpartition(-s, take - 1)[:take]
+                part = np.argpartition(-s, take - 1, axis=1)[:, :take]
+                rowsel = np.arange(part.shape[0])[:, None]
                 yield pd.DataFrame({
-                    "query_id": np.full(take, int(qids[qi]), dtype=np.int64),
-                    "neighbor_id": ids[part],
-                    "adc": np.round(s[part], 9),
+                    "query_id": np.repeat(qids[q0:q0 + chunk], take),
+                    "neighbor_id": ids[part.ravel()],
+                    "adc": np.round(s[rowsel, part].ravel(), 9),
                 })
 
     scored = enc.mapInPandas(score, schema=schema)
@@ -198,7 +240,7 @@ def ann_topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 .orderBy(qid_col, "rank"))
 
     # exact second stage: fetch ONLY the candidates' vectors
-    spark = corpus.sparkSession
+    spark = enc.sparkSession
     qdf = spark.createDataFrame(
         [(int(r[qid_col]), [float(v) for v in r[qvec_col]]) for r in qrows],
         f"query_id long, {qvec_col} array<float>")

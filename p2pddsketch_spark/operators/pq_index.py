@@ -1,0 +1,198 @@
+"""Persisted PQ ANN index — build once, serve forever, append cheaply.
+
+`operators/pq.py` gives the algebra (train / encode / ADC search); this
+module gives it the lifecycle a 100 TB embedding corpus needs:
+
+  build   train codebooks, encode the corpus, and persist BOTH as plain
+          parquet plus a json manifest (written LAST — the commit
+          marker, same discipline as `operators/rollup.py`): a reader
+          that sees the manifest sees complete codebooks and codes.
+  query   load codebooks (a few MB, driver-side) + the codes table and
+          run `ann_topk_pq_encoded` — the corpus is scanned in m-byte
+          code space; the float vectors are touched only for the
+          optional exact rerank of the per-query shortlist.
+  append  encode NEW rows with the FROZEN stored codebooks and append
+          their codes — the serving property that matters at scale: an
+          hourly embedding drop must not retrain (and thereby re-encode
+          the whole corpus). Frozen-codebook appends are byte-identical
+          to having had the rows at build time (pinned by test), so
+          query results never depend on arrival order.
+
+All paths go through the Hadoop FileSystem helpers in
+`operators/maintenance.py`, so an index can live on any URI the Spark
+runtime has a connector for; plain local paths take the fast path.
+
+Layout under `index_dir/`:
+  codes/       parquet (id, codes array<int>)   — m bytes/row of signal
+  codebooks/   parquet (subspace, code, centroid array<double>)
+  manifest.json  format/m/nk/dim/width/normalize/cols/n_rows/version
+
+Reference scope analog: the persist path of `DDS_PrintCSV`
+(/root/reference/ddsketch.cc:913-954) — durable sketch state; here the
+"sketch" is the PQ code table that stands in for the vectors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
+                                                     _write_text)
+from p2pddsketch_spark.operators.pq import (ann_topk_pq_encoded, encode_pq,
+                                            train_pq)
+
+__all__ = ["save_pq_index", "load_pq_index", "append_pq_index",
+           "query_pq_index", "PQ_INDEX_FORMAT"]
+
+PQ_INDEX_FORMAT = "pq-index-v1"
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    if "://" not in path:
+        return os.path.exists(path)
+    fs, hp = _hadoop_fs(spark, path)
+    return bool(fs.exists(hp))
+
+
+def _mkdirs(spark: SparkSession, path: str) -> None:
+    if "://" not in path:
+        os.makedirs(path, exist_ok=True)
+        return
+    fs, hp = _hadoop_fs(spark, path)
+    fs.mkdirs(hp)
+
+
+def _paths(index_dir: str) -> tuple[str, str, str]:
+    base = index_dir.rstrip("/")
+    return base + "/codes", base + "/codebooks", base + "/manifest.json"
+
+
+def _input_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError("empty input: cannot determine embedding dim")
+    return int(row["d"])
+
+
+def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
+                  m: int = 8, nk: int = 256, iters: int = 10,
+                  sample_size: int = 10_000, seed: int = 29,
+                  normalize: bool = True, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  codebooks: np.ndarray | None = None,
+                  overwrite: bool = False) -> dict:
+    """Train (or take) codebooks, encode `df`, persist codes + codebooks
+    + manifest under `index_dir`. Returns the manifest dict. Refuses an
+    already-committed index unless `overwrite` (a torn previous attempt
+    — data but no manifest — is always safe to overwrite)."""
+    codes_p, books_p, man_p = _paths(index_dir)
+    if _exists(spark, man_p) and not overwrite:
+        raise ValueError(f"index already exists at {index_dir!r} "
+                         "(pass overwrite=True to rebuild)")
+    dim = _input_dim(df, vec_col)
+    cb = codebooks if codebooks is not None else train_pq(
+        df, vec_col=vec_col, m=m, k=nk, iters=iters,
+        sample_size=sample_size, seed=seed, normalize=normalize)
+    cb = np.asarray(cb, dtype=np.float64)
+    m, nk_eff, width = cb.shape
+    if m * width != dim:
+        raise ValueError(f"codebook shape {cb.shape} does not cover "
+                         f"input dim {dim}")
+
+    enc = encode_pq(df, cb, id_col=id_col, vec_col=vec_col,
+                    normalize=normalize)
+    enc.write.mode("overwrite").parquet(codes_p)
+    n_rows = spark.read.parquet(codes_p).count()
+
+    book_rows = [(j, c, [float(v) for v in cb[j, c]])
+                 for j in range(m) for c in range(nk_eff)]
+    spark.createDataFrame(
+        book_rows, "subspace int, code int, centroid array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(books_p)
+
+    manifest = {
+        "format": PQ_INDEX_FORMAT, "version": 1,
+        "m": int(m), "nk": int(nk_eff), "dim": int(dim), "width": int(width),
+        "normalize": bool(normalize),
+        "id_col": id_col, "vec_col": vec_col,
+        "n_rows": int(n_rows),
+        "history": [{"version": 1, "op": "build", "rows": int(n_rows)}],
+    }
+    _mkdirs(spark, index_dir.rstrip("/"))
+    _write_text(spark, man_p, json.dumps(manifest, indent=1))
+    return manifest
+
+
+def load_pq_index(spark: SparkSession, index_dir: str
+                  ) -> tuple[np.ndarray, dict, DataFrame]:
+    """(codebooks, manifest, codes DataFrame). Refuses a torn or foreign
+    directory: the manifest is the commit marker — no manifest, no
+    index."""
+    codes_p, books_p, man_p = _paths(index_dir)
+    if not _exists(spark, man_p):
+        raise ValueError(f"no committed PQ index at {index_dir!r} "
+                         "(manifest.json missing — torn build or wrong path)")
+    manifest = json.loads(_read_text(spark, man_p))
+    if manifest.get("format") != PQ_INDEX_FORMAT:
+        raise ValueError(f"unsupported index format "
+                         f"{manifest.get('format')!r} at {index_dir!r}")
+    pdf = (spark.read.parquet(books_p).toPandas()
+           .sort_values(["subspace", "code"], kind="stable"))
+    m, nk, width = manifest["m"], manifest["nk"], manifest["width"]
+    if len(pdf) != m * nk:
+        raise ValueError(f"codebook table has {len(pdf)} rows, manifest "
+                         f"says {m}x{nk}")
+    cb = np.stack(pdf["centroid"].to_numpy()).reshape(m, nk, width)
+    return cb, manifest, spark.read.parquet(codes_p)
+
+
+def append_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
+                    id_col: str | None = None, vec_col: str | None = None
+                    ) -> dict:
+    """Encode `df` with the index's FROZEN codebooks and append the
+    codes — no retrain, no re-encode of existing rows. Column names
+    default to the ones recorded at build time. Id uniqueness is the
+    caller's contract (same as any parquet append)."""
+    codes_p, _, man_p = _paths(index_dir)
+    cb, manifest, _ = load_pq_index(spark, index_dir)
+    id_col = id_col or manifest["id_col"]
+    vec_col = vec_col or manifest["vec_col"]
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return manifest           # empty drop: a no-op, not a version bump
+    if first["d"] is None:
+        raise ValueError("null embedding in append input")
+    if int(first["d"]) != manifest["dim"]:
+        raise ValueError(f"append dim {int(first['d'])} != index dim "
+                         f"{manifest['dim']}")
+    n_new = df.count()
+    encode_pq(df, cb, id_col=id_col, vec_col=vec_col,
+              normalize=manifest["normalize"]) \
+        .write.mode("append").parquet(codes_p)
+    manifest["version"] = int(manifest["version"]) + 1
+    manifest["n_rows"] = int(manifest["n_rows"]) + int(n_new)
+    manifest["history"].append({"version": manifest["version"],
+                                "op": "append", "rows": int(n_new)})
+    _write_text(spark, man_p, json.dumps(manifest, indent=1))
+    return manifest
+
+
+def query_pq_index(spark: SparkSession, index_dir: str, queries: DataFrame,
+                   k: int = 5, rerank: int = 0,
+                   corpus: DataFrame | None = None,
+                   qid_col: str = "query_id", qvec_col: str = "query_vec"
+                   ) -> DataFrame:
+    """ADC top-k against the persisted index — the m-byte code-space
+    scan; pass `corpus` (the original id→vector table) with `rerank` >
+    0 for the exact two-stage. Output schema = `cosine_topk`'s."""
+    cb, manifest, codes = load_pq_index(spark, index_dir)
+    return ann_topk_pq_encoded(
+        codes, cb, queries, k=k, rerank=rerank, corpus=corpus,
+        id_col=manifest["id_col"], vec_col=manifest["vec_col"],
+        qid_col=qid_col, qvec_col=qvec_col)

@@ -1,0 +1,173 @@
+"""Persisted PQ index: build/load roundtrip, frozen-codebook append,
+serving-path equality, commit-marker refusals, CLI contract.
+
+Pins:
+  * codebooks survive the parquet roundtrip BIT-identically (float64);
+  * querying the stored index == in-memory `ann_topk_pq` with the same
+    codebooks, value for value (the serving path adds no approximation);
+  * frozen-codebook append: build(half) + append(half) produces the
+    same codes table content and the same query answers as build(all) —
+    arrival order never changes results;
+  * a torn index (no manifest) and a dim-mismatched append are refused
+    with typed ValueErrors; the CLI converts them to the JSON error
+    contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from p2pddsketch_spark.operators.pq import ann_topk_pq, train_pq
+from p2pddsketch_spark.operators.pq_index import (append_pq_index,
+                                                  load_pq_index,
+                                                  query_pq_index,
+                                                  save_pq_index)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return (emb.where(F.col("vec_id") < 6)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def _codes_pdf(spark, index_dir):
+    pdf = (spark.read.parquet(index_dir.rstrip("/") + "/codes").toPandas()
+           .sort_values("id").reset_index(drop=True))
+    return pdf
+
+
+def test_roundtrip_bit_identical_and_serving_equality(
+        spark, emb, queries, tmp_path):
+    idx = str(tmp_path / "idx")
+    cb = train_pq(emb, m=8, k=64, sample_size=1000, seed=7)
+    man = save_pq_index(spark, emb, idx, codebooks=cb)
+    assert man["format"] == "pq-index-v1" and man["version"] == 1
+    assert man["n_rows"] == emb.count()
+    cb2, man2, codes = load_pq_index(spark, idx)
+    assert man2 == man
+    # parquet double roundtrip is exact: the loaded codebooks are the
+    # trained ones bit for bit
+    assert np.array_equal(cb, cb2)
+    # the serving path answers exactly what the in-memory operator does
+    mem = ann_topk_pq(emb, queries, k=5, codebooks=cb, rerank=30).toPandas()
+    srv = query_pq_index(spark, idx, queries, k=5, rerank=30,
+                         corpus=emb).toPandas()
+    merged = mem.merge(srv, on=["query_id", "rank"], suffixes=("_m", "_s"))
+    assert len(merged) == len(mem) > 0
+    assert (merged["neighbor_id_m"] == merged["neighbor_id_s"]).all()
+    assert (merged["cosine_m"] == merged["cosine_s"]).all()
+    # ADC-only serving works without the corpus
+    adc = query_pq_index(spark, idx, queries, k=3).toPandas()
+    assert (adc.groupby("query_id")["rank"].max() == 3).all()
+
+
+def test_append_frozen_codebooks_is_arrival_order_invariant(
+        spark, emb, queries, tmp_path):
+    full_idx = str(tmp_path / "full")
+    half_idx = str(tmp_path / "half")
+    cb = train_pq(emb, m=8, k=64, sample_size=1000, seed=7)
+    save_pq_index(spark, emb, full_idx, codebooks=cb)
+    save_pq_index(spark, emb.where(F.col("vec_id") % 2 == 0), half_idx,
+                  codebooks=cb)
+    man = append_pq_index(spark, emb.where(F.col("vec_id") % 2 == 1),
+                          half_idx)
+    assert man["version"] == 2
+    assert man["n_rows"] == emb.count()
+    assert [h["op"] for h in man["history"]] == ["build", "append"]
+    a = _codes_pdf(spark, full_idx)
+    b = _codes_pdf(spark, half_idx)
+    assert (a["id"] == b["id"]).all()
+    assert all(np.array_equal(x, y) for x, y in zip(a["codes"], b["codes"]))
+    qa = query_pq_index(spark, full_idx, queries, k=5, rerank=30,
+                        corpus=emb).toPandas()
+    qb = query_pq_index(spark, half_idx, queries, k=5, rerank=30,
+                        corpus=emb).toPandas()
+    assert (qa["neighbor_id"] == qb["neighbor_id"]).all()
+    assert (qa["cosine"] == qb["cosine"]).all()
+    # appending nothing is a no-op, not a version bump
+    man3 = append_pq_index(spark, emb.where(F.lit(False)), half_idx)
+    assert man3["version"] == 2
+
+
+def test_refusals(spark, emb, tmp_path):
+    idx = str(tmp_path / "idx")
+    save_pq_index(spark, emb, idx, m=8, nk=16, iters=2, sample_size=200)
+    # double-build refused without overwrite; allowed with it
+    with pytest.raises(ValueError, match="already exists"):
+        save_pq_index(spark, emb, idx)
+    save_pq_index(spark, emb, idx, m=8, nk=16, iters=2, sample_size=200,
+                  overwrite=True)
+    # dim-mismatched append refused before any write
+    short = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(ValueError, match="append dim"):
+        append_pq_index(spark, short, idx)
+    # torn index (manifest removed) is not a committed index
+    os.remove(os.path.join(idx, "manifest.json"))
+    with pytest.raises(ValueError, match="manifest.json missing"):
+        load_pq_index(spark, idx)
+    with pytest.raises(ValueError, match="manifest.json missing"):
+        append_pq_index(spark, emb, idx)
+    # rerank without the vector table is a typed error
+    idx2 = str(tmp_path / "idx2")
+    save_pq_index(spark, emb, idx2, m=8, nk=16, iters=2, sample_size=200)
+    q = (emb.where(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    with pytest.raises(ValueError, match="needs `corpus`"):
+        query_pq_index(spark, idx2, q, k=3, rerank=10)
+
+
+def test_cli_lifecycle(spark, tmp_path, capsys):
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import ann_index
+    idx = str(tmp_path / "idx")
+    src = f"{SF_DIR}/embeddings.parquet"
+    qpath = str(tmp_path / "q.parquet")
+    (spark.read.parquet(src).where(F.col("vec_id") < 4)
+     .select(F.col("vec_id").alias("query_id"),
+             F.col("embedding").alias("query_vec"))
+     .write.parquet(qpath))
+
+    rc = ann_index.main(["build", "--input", src, "--index-dir", idx,
+                         "--m", "8", "--codebook-k", "32", "--iters", "3",
+                         "--sample-size", "500"])
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and man["m"] == 8 and man["n_rows"] > 0
+
+    rc = ann_index.main(["info", "--index-dir", idx])
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and info["version"] == 1
+
+    out_p = str(tmp_path / "hits.parquet")
+    rc = ann_index.main(["query", "--index-dir", idx, "--queries", qpath,
+                         "--k", "3", "--rerank", "20", "--corpus", src,
+                         "--output", out_p])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and summary["n_hits"] == 12
+    hits = spark.read.parquet(out_p)
+    assert set(hits.columns) == {"query_id", "rank", "neighbor_id", "cosine"}
+
+    # inline mode without --output
+    rc = ann_index.main(["query", "--index-dir", idx, "--queries", qpath,
+                         "--k", "2"])
+    inline = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and inline["n_hits_shown"] == 8
+
+    # error contract: missing index → JSON error line, exit 1
+    rc = ann_index.main(["info", "--index-dir", str(tmp_path / "nope")])
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and "error" in err
