@@ -277,13 +277,16 @@ def semdedup_receipt(spark, sf_dir: str, reps: int) -> dict:
 
 
 def pq_index_receipt(spark, sf_dir: str, reps: int) -> dict:
-    """The ANN SERVING path end-to-end: build a persisted PQ index over
-    the embeddings table (train + encode + commit), then answer a
-    16-query top-5 batch from the STORED codes with exact rerank, vs
-    brute-force cosine over the float vectors. Reported: build and
-    query wall (best of `reps`), recall@5 vs brute force, and the
-    storage compression (d float32 bytes → m code bytes) — the ratio
-    that decides whether a 100 TB corpus is scannable at all."""
+    """The ANN SERVING path end-to-end: build a persisted IVF-PQ index
+    over the embeddings table (train codebooks + coarse quantizer,
+    encode, commit partitioned by cell), then answer a 16-query top-5
+    batch from the STORED codes with exact rerank — once scanning every
+    cell (full probe) and once probing each query's 4 nearest of 16
+    cells (a partition-pruned read) — vs brute-force cosine over the
+    float vectors. Reported: build and both query walls (best of
+    `reps`), recall@5 of each vs brute force, cells actually read, and
+    the storage compression (d float32 bytes → m code bytes) — the
+    numbers that decide whether a 100 TB corpus is scannable at all."""
     import shutil
     import tempfile
     from pyspark.sql import functions as F
@@ -293,40 +296,58 @@ def pq_index_receipt(spark, sf_dir: str, reps: int) -> dict:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
     dim = len(emb.select("embedding").first()["embedding"])
-    m = 8
+    m, nlist, nprobe = 8, 16, 4
     queries = (emb.where(F.col("vec_id") < 16)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
+
+    def recall(got, brute):
+        hits = tot = 0
+        for qid in brute["query_id"].unique():
+            b = set(brute[brute["query_id"] == qid]["neighbor_id"])
+            a = set(got[got["query_id"] == qid]["neighbor_id"])
+            hits += len(a & b)
+            tot += len(b)
+        return round(hits / max(tot, 1), 3)
+
     tmp = tempfile.mkdtemp(prefix="pq_bench_")
     try:
-        build = query = brute_t = None
-        hits = tot = 0
+        build = q_full = q_probe = brute_t = None
+        rec_full = rec_probe = 0.0
+        receipt: dict = {}
         for _ in range(reps):
             idx = os.path.join(tmp, "idx")
             shutil.rmtree(idx, ignore_errors=True)
             t0 = time.monotonic()
-            save_pq_index(spark, emb, idx, m=m, seed=31)
+            save_pq_index(spark, emb, idx, m=m, nlist=nlist, seed=31)
             dt = time.monotonic() - t0
             build = dt if build is None else min(build, dt)
             t0 = time.monotonic()
-            got = query_pq_index(spark, idx, queries, k=5, rerank=50,
-                                 corpus=emb).toPandas()
+            full = query_pq_index(spark, idx, queries, k=5, rerank=50,
+                                  corpus=emb).toPandas()
             dt = time.monotonic() - t0
-            query = dt if query is None else min(query, dt)
+            q_full = dt if q_full is None else min(q_full, dt)
+            receipt = {}
+            t0 = time.monotonic()
+            probed = query_pq_index(spark, idx, queries, k=5, rerank=50,
+                                    corpus=emb, nprobe=nprobe,
+                                    receipt=receipt).toPandas()
+            dt = time.monotonic() - t0
+            q_probe = dt if q_probe is None else min(q_probe, dt)
             t0 = time.monotonic()
             brute = cosine_topk(emb, queries, k=5).toPandas()
             dt = time.monotonic() - t0
             brute_t = dt if brute_t is None else min(brute_t, dt)
-            hits = tot = 0
-            for qid in brute["query_id"].unique():
-                b = set(brute[brute["query_id"] == qid]["neighbor_id"])
-                a = set(got[got["query_id"] == qid]["neighbor_id"])
-                hits += len(a & b)
-                tot += len(b)
-        return {"build_secs": round(build, 3), "query_secs": round(query, 3),
+            rec_full, rec_probe = recall(full, brute), recall(probed, brute)
+        receipt.pop("probed_cells", None)
+        return {"build_secs": round(build, 3),
+                "query_full_secs": round(q_full, 3),
+                "query_probe_secs": round(q_probe, 3),
                 "brute_secs": round(brute_t, 3), "n_vectors": int(n),
-                "dim": int(dim), "m": m,
-                "recall_at_5": round(hits / max(tot, 1), 3),
+                "dim": int(dim), "m": m, "nlist": nlist, "nprobe": nprobe,
+                **receipt,
+                "recall_full_at_5": rec_full,
+                "recall_probe_at_5": rec_probe,
                 "compression_x": round(dim * 4 / m, 1)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

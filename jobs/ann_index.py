@@ -46,6 +46,14 @@ def _build_parser():
     b.add_argument("--no-normalize", action="store_true",
                    help="skip L2 normalization (raw inner-product space "
                         "instead of cosine)")
+    b.add_argument("--nlist", type=int, default=0,
+                   help="> 0: IVF-partition the codes by coarse cell so "
+                        "probed queries are partition-pruned scans")
+    b.add_argument("--coarse-fit", default="driver",
+                   choices=["driver", "distributed"],
+                   help="coarse-quantizer training: bounded driver sample "
+                        "or full-corpus distributed Lloyd passes")
+    b.add_argument("--coarse-iters", type=int, default=10)
     b.add_argument("--overwrite", action="store_true")
 
     a = sub.add_parser("append", help="encode new rows with the frozen "
@@ -63,6 +71,9 @@ def _build_parser():
     q.add_argument("--rerank", type=int, default=0,
                    help="exact-rerank shortlist size (0 = ADC only); "
                         "requires --corpus")
+    q.add_argument("--nprobe", type=int, default=0,
+                   help="IVF cells to probe per query (0 = scan all; "
+                        "only meaningful on a --nlist index)")
     q.add_argument("--corpus", default=None,
                    help="original id→vector parquet, needed when "
                         "--rerank > 0")
@@ -97,6 +108,8 @@ def main(argv=None):
                 iters=args.iters, sample_size=args.sample_size,
                 seed=args.seed, normalize=not args.no_normalize,
                 id_col=args.id_col, vec_col=args.vec_col,
+                nlist=args.nlist, coarse_fit=args.coarse_fit,
+                coarse_iters=args.coarse_iters,
                 overwrite=args.overwrite)
             manifest["secs"] = round(time.monotonic() - t0, 3)
             print(json.dumps(manifest))
@@ -108,11 +121,13 @@ def main(argv=None):
         elif args.cmd == "query":
             queries = spark.read.parquet(args.queries)
             corpus = spark.read.parquet(args.corpus) if args.corpus else None
+            receipt: dict = {}
             hits = query_pq_index(
                 spark, args.index_dir, queries, k=args.k,
-                rerank=args.rerank, corpus=corpus,
-                qid_col=args.qid_col, qvec_col=args.qvec_col)
-            out = {"k": args.k, "rerank": args.rerank}
+                rerank=args.rerank, corpus=corpus, nprobe=args.nprobe,
+                qid_col=args.qid_col, qvec_col=args.qvec_col,
+                receipt=receipt)
+            out = {"k": args.k, "rerank": args.rerank, **receipt}
             if args.output:
                 hits.write.mode("overwrite").parquet(args.output)
                 n = spark.read.parquet(args.output).count()

@@ -18,13 +18,26 @@ module gives it the lifecycle a 100 TB embedding corpus needs:
           to having had the rows at build time (pinned by test), so
           query results never depend on arrival order.
 
+With `nlist` > 0 the index is IVF-PARTITIONED (the FAISS IVF-PQ shape,
+Spark-first): a coarse quantizer assigns every row to one of `nlist`
+cells IN THE SAME encode pass, and the codes land as parquet
+`partitionBy("list_id")` — so a query that probes `nprobe` cells is a
+PARTITION-PRUNED scan (Spark reads only the probed directories;
+`PartitionFilters` in the plan, pinned by test). Probing is
+batch-union: one query batch scans the union of its members' top-
+`nprobe` cells — the union is what bounds the I/O, and ADC compute on
+the extra rows is the cheap part by construction. Full probe
+(nprobe = 0 or ≥ nlist) equals the flat index exactly (pinned).
+
 All paths go through the Hadoop FileSystem helpers in
 `operators/maintenance.py`, so an index can live on any URI the Spark
 runtime has a connector for; plain local paths take the fast path.
 
 Layout under `index_dir/`:
   codes/       parquet (id, codes array<int>)   — m bytes/row of signal
+               (partitioned by list_id when nlist > 0)
   codebooks/   parquet (subspace, code, centroid array<double>)
+  coarse/      parquet (list_id, centroid array<double>)  — nlist > 0
   manifest.json  format/m/nk/dim/width/normalize/cols/n_rows/version
 
 Reference scope analog: the persist path of `DDS_PrintCSV`
@@ -38,14 +51,17 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, StructField,
+                               StructType)
 
 from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
                                                      _write_text)
-from p2pddsketch_spark.operators.pq import (ann_topk_pq_encoded, encode_pq,
-                                            train_pq)
+from p2pddsketch_spark.operators.pq import (_split, ann_topk_pq_encoded,
+                                            encode_pq, train_pq)
 
 __all__ = ["save_pq_index", "load_pq_index", "append_pq_index",
            "query_pq_index", "PQ_INDEX_FORMAT"]
@@ -73,6 +89,49 @@ def _paths(index_dir: str) -> tuple[str, str, str]:
     return base + "/codes", base + "/codebooks", base + "/manifest.json"
 
 
+def _encode_with_lists(df: DataFrame, cb: np.ndarray, coarse: np.ndarray,
+                       id_col: str, vec_col: str, normalize: bool
+                       ) -> DataFrame:
+    """(id, codes, list_id) in ONE mapInPandas pass — the PQ argmin per
+    subspace plus the coarse-cell argmax per row share the batch, so an
+    IVF-partitioned build never joins codes to assignments."""
+    id_type = df.schema[id_col].dataType
+    schema = StructType([StructField("id", id_type, True),
+                         StructField("codes", ArrayType(IntegerType(), False),
+                                     False),
+                         StructField("list_id", IntegerType(), False)])
+    m = cb.shape[0]
+
+    def enc(batches):
+        cnorm = [(c * c).sum(axis=1) for c in cb]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normalize:
+                M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                                   1e-12)
+            codes = np.empty((len(M), m), dtype=np.int32)
+            for j, sub in enumerate(_split(M, m)):
+                codes[:, j] = (cnorm[j][None, :] - 2.0 * (sub @ cb[j].T)
+                               ).argmin(axis=1)
+            lid = (M @ coarse.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes),
+                                "list_id": lid})
+
+    return df.select(id_col, vec_col).mapInPandas(enc, schema=schema)
+
+
+def _load_coarse(spark: SparkSession, index_dir: str, nlist: int
+                 ) -> np.ndarray:
+    pdf = (spark.read.parquet(index_dir.rstrip("/") + "/coarse").toPandas()
+           .sort_values("list_id", kind="stable"))
+    if len(pdf) != nlist:
+        raise ValueError(f"coarse table has {len(pdf)} rows, manifest "
+                         f"says nlist={nlist}")
+    return np.stack(pdf["centroid"].to_numpy())
+
+
 def _input_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if row is None or row["d"] is None:
@@ -86,11 +145,21 @@ def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
                   normalize: bool = True, id_col: str = "vec_id",
                   vec_col: str = "embedding",
                   codebooks: np.ndarray | None = None,
+                  nlist: int = 0, coarse_fit: str = "driver",
+                  coarse_iters: int = 10,
+                  coarse_centroids: np.ndarray | None = None,
                   overwrite: bool = False) -> dict:
     """Train (or take) codebooks, encode `df`, persist codes + codebooks
     + manifest under `index_dir`. Returns the manifest dict. Refuses an
     already-committed index unless `overwrite` (a torn previous attempt
-    — data but no manifest — is always safe to overwrite)."""
+    — data but no manifest — is always safe to overwrite).
+
+    `nlist` > 0 builds the IVF-partitioned variant: a coarse quantizer
+    (spherical k-means; `coarse_fit="driver"` trains on a bounded
+    driver sample, `"distributed"` runs full-corpus Lloyd passes via
+    operators.kmeans) assigns every row a cell in the same encode pass,
+    and codes are written `partitionBy("list_id")` so probed queries
+    are partition-pruned scans."""
     codes_p, books_p, man_p = _paths(index_dir)
     if _exists(spark, man_p) and not overwrite:
         raise ValueError(f"index already exists at {index_dir!r} "
@@ -105,9 +174,40 @@ def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
         raise ValueError(f"codebook shape {cb.shape} does not cover "
                          f"input dim {dim}")
 
-    enc = encode_pq(df, cb, id_col=id_col, vec_col=vec_col,
-                    normalize=normalize)
-    enc.write.mode("overwrite").parquet(codes_p)
+    coarse = None
+    if nlist > 0:
+        if coarse_centroids is not None:
+            coarse = np.asarray(coarse_centroids, dtype=np.float64)
+            if coarse.shape != (nlist, dim):
+                raise ValueError(f"coarse_centroids shape {coarse.shape} "
+                                 f"!= ({nlist}, {dim})")
+        elif coarse_fit == "distributed":
+            from p2pddsketch_spark.operators.kmeans import \
+                kmeans_fit_distributed
+            coarse = kmeans_fit_distributed(
+                df, vec_col=vec_col, k=nlist, iters=coarse_iters,
+                seed=seed, sample_size=sample_size)
+        elif coarse_fit == "driver":
+            from p2pddsketch_spark.operators.similarity import _kmeans_fit
+            rows = df.select(vec_col).limit(sample_size).collect()
+            sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                               for r in rows])
+            coarse = _kmeans_fit(sample, nlist=nlist, iters=coarse_iters,
+                                 seed=seed)
+        else:
+            raise ValueError(f"coarse_fit must be 'driver' or "
+                             f"'distributed', got {coarse_fit!r}")
+        _encode_with_lists(df, cb, coarse, id_col, vec_col, normalize) \
+            .write.mode("overwrite").partitionBy("list_id").parquet(codes_p)
+        spark.createDataFrame(
+            [(i, [float(v) for v in coarse[i]]) for i in range(nlist)],
+            "list_id int, centroid array<double>") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(index_dir.rstrip("/") + "/coarse")
+    else:
+        encode_pq(df, cb, id_col=id_col, vec_col=vec_col,
+                  normalize=normalize).write.mode("overwrite") \
+            .parquet(codes_p)
     n_rows = spark.read.parquet(codes_p).count()
 
     book_rows = [(j, c, [float(v) for v in cb[j, c]])
@@ -121,6 +221,7 @@ def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
         "m": int(m), "nk": int(nk_eff), "dim": int(dim), "width": int(width),
         "normalize": bool(normalize),
         "id_col": id_col, "vec_col": vec_col,
+        "nlist": int(nlist),
         "n_rows": int(n_rows),
         "history": [{"version": 1, "op": "build", "rows": int(n_rows)}],
     }
@@ -172,9 +273,16 @@ def append_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
         raise ValueError(f"append dim {int(first['d'])} != index dim "
                          f"{manifest['dim']}")
     n_new = df.count()
-    encode_pq(df, cb, id_col=id_col, vec_col=vec_col,
-              normalize=manifest["normalize"]) \
-        .write.mode("append").parquet(codes_p)
+    nlist = int(manifest.get("nlist", 0))
+    if nlist > 0:
+        coarse = _load_coarse(spark, index_dir, nlist)
+        _encode_with_lists(df, cb, coarse, id_col, vec_col,
+                           manifest["normalize"]) \
+            .write.mode("append").partitionBy("list_id").parquet(codes_p)
+    else:
+        encode_pq(df, cb, id_col=id_col, vec_col=vec_col,
+                  normalize=manifest["normalize"]) \
+            .write.mode("append").parquet(codes_p)
     manifest["version"] = int(manifest["version"]) + 1
     manifest["n_rows"] = int(manifest["n_rows"]) + int(n_new)
     manifest["history"].append({"version": manifest["version"],
@@ -185,13 +293,38 @@ def append_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
 
 def query_pq_index(spark: SparkSession, index_dir: str, queries: DataFrame,
                    k: int = 5, rerank: int = 0,
-                   corpus: DataFrame | None = None,
-                   qid_col: str = "query_id", qvec_col: str = "query_vec"
-                   ) -> DataFrame:
+                   corpus: DataFrame | None = None, nprobe: int = 0,
+                   qid_col: str = "query_id", qvec_col: str = "query_vec",
+                   receipt: dict | None = None) -> DataFrame:
     """ADC top-k against the persisted index — the m-byte code-space
     scan; pass `corpus` (the original id→vector table) with `rerank` >
-    0 for the exact two-stage. Output schema = `cosine_topk`'s."""
+    0 for the exact two-stage. Output schema = `cosine_topk`'s.
+
+    On an IVF-partitioned index (manifest nlist > 0), `nprobe` > 0
+    restricts the scan to the UNION of each query's `nprobe` nearest
+    cells — a partition-pruned read of only those directories. nprobe =
+    0 (or ≥ nlist, or a flat index) scans everything and equals the
+    flat answer exactly. Pass a dict as `receipt` to get
+    {nlist, lists_probed} back (the pruning evidence)."""
     cb, manifest, codes = load_pq_index(spark, index_dir)
+    nlist = int(manifest.get("nlist", 0))
+    if nlist > 0 and 0 < nprobe < nlist:
+        coarse = _load_coarse(spark, index_dir, nlist)
+        qrows = queries.select(qvec_col).collect()
+        if not qrows:
+            raise ValueError("ann_topk_pq: empty query set")
+        qv = np.stack([np.asarray(r[qvec_col], dtype=np.float64)
+                       for r in qrows])
+        qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True),
+                             1e-12)
+        near = np.argsort(-(qv @ coarse.T), kind="stable")[:, :nprobe]
+        probes = sorted(int(c) for c in np.unique(near))
+        codes = codes.where(F.col("list_id").isin(probes))
+        if receipt is not None:
+            receipt.update(nlist=nlist, lists_probed=len(probes),
+                           probed_cells=probes)
+    elif receipt is not None:
+        receipt.update(nlist=nlist, lists_probed=nlist)
     return ann_topk_pq_encoded(
         codes, cb, queries, k=k, rerank=rerank, corpus=corpus,
         id_col=manifest["id_col"], vec_col=manifest["vec_col"],

@@ -130,6 +130,63 @@ def test_refusals(spark, emb, tmp_path):
         query_pq_index(spark, idx2, q, k=3, rerank=10)
 
 
+def test_ivf_partitioned_index(spark, emb, queries, tmp_path):
+    """nlist > 0: codes land partitionBy(list_id); full probe equals the
+    flat index exactly; a real probe prunes the scan at the partition
+    level (PartitionFilters in the plan, only probed dirs read) and
+    every ADC hit comes from a probed cell."""
+    from pyspark.sql import functions as F
+    flat_idx, ivf_idx = str(tmp_path / "flat"), str(tmp_path / "ivf")
+    cb = train_pq(emb, m=8, k=64, sample_size=1000, seed=7)
+    save_pq_index(spark, emb, flat_idx, codebooks=cb)
+    man = save_pq_index(spark, emb, ivf_idx, codebooks=cb, nlist=8)
+    assert man["nlist"] == 8
+    # on-disk layout is hive-partitioned by cell
+    assert any(d.startswith("list_id=")
+               for d in os.listdir(os.path.join(ivf_idx, "codes")))
+
+    # full probe == flat, value for value (ADC-only and reranked)
+    for kw in ({"k": 5}, {"k": 5, "rerank": 30, "corpus": emb}):
+        a = query_pq_index(spark, flat_idx, queries, **kw).toPandas()
+        b = query_pq_index(spark, ivf_idx, queries, nprobe=0, **kw).toPandas()
+        assert (a["neighbor_id"] == b["neighbor_id"]).all()
+        assert (a["cosine"] == b["cosine"]).all()
+
+    # probed query: pruning receipt + hits only from probed cells
+    receipt: dict = {}
+    got = query_pq_index(spark, ivf_idx, queries, k=3, nprobe=2,
+                         receipt=receipt).toPandas()
+    assert receipt["nlist"] == 8
+    assert 0 < receipt["lists_probed"] < 8
+    assert (got.groupby("query_id")["rank"].max() == 3).all()
+    codes = spark.read.parquet(os.path.join(ivf_idx, "codes"))
+    hit_lists = {int(r["list_id"]) for r in codes.join(
+        spark.createDataFrame(
+            [(int(i),) for i in got["neighbor_id"].unique()], "id long"),
+        "id").select("list_id").distinct().collect()}
+    assert hit_lists <= set(receipt["probed_cells"])
+    probed_plan = codes.where(F.col("list_id").isin(receipt["probed_cells"]))
+    from tests.test_scale_evidence import explain_str
+    assert "PartitionFilters" in explain_str(probed_plan)
+
+    # frozen-coarse append keeps cell assignment arrival-order invariant
+    # (same codebooks AND same coarse quantizer as the full build)
+    from p2pddsketch_spark.operators.pq_index import _load_coarse
+    coarse = _load_coarse(spark, ivf_idx, 8)
+    ivf2 = str(tmp_path / "ivf2")
+    save_pq_index(spark, emb.where(F.col("vec_id") % 2 == 0), ivf2,
+                  codebooks=cb, nlist=8, coarse_centroids=coarse)
+    append_pq_index(spark, emb.where(F.col("vec_id") % 2 == 1), ivf2)
+    a = (spark.read.parquet(os.path.join(ivf_idx, "codes"))
+         .select("id", "list_id").toPandas()
+         .sort_values("id").reset_index(drop=True))
+    b = (spark.read.parquet(os.path.join(ivf2, "codes"))
+         .select("id", "list_id").toPandas()
+         .sort_values("id").reset_index(drop=True))
+    assert (a["id"] == b["id"]).all()
+    assert (a["list_id"] == b["list_id"]).all()
+
+
 def test_cli_lifecycle(spark, tmp_path, capsys):
     import sys
     sys.path.insert(0, "/root/repo/jobs")
