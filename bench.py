@@ -283,9 +283,12 @@ def pq_index_receipt(spark, sf_dir: str, reps: int) -> dict:
     batch from the STORED codes with exact rerank — once scanning every
     cell (full probe) and once probing each query's 4 nearest of 16
     cells (a partition-pruned read) — vs brute-force cosine over the
-    float vectors. Reported: build and both query walls (best of
-    `reps`), recall@5 of each vs brute force, cells actually read, and
-    the storage compression (d float32 bytes → m code bytes) — the
+    float vectors. A second index with encode='residual' (FAISS IVF-PQ:
+    codes quantize x − c_cell) answers the same probed batch, so the
+    raw-vs-residual recall delta at identical m/nlist/nprobe is
+    measured, not assumed. Reported: build and query walls (best of
+    `reps`), recall@5 of each path vs brute force, cells actually read,
+    and the storage compression (d float32 bytes → m code bytes) — the
     numbers that decide whether a 100 TB corpus is scannable at all."""
     import shutil
     import tempfile
@@ -313,7 +316,8 @@ def pq_index_receipt(spark, sf_dir: str, reps: int) -> dict:
     tmp = tempfile.mkdtemp(prefix="pq_bench_")
     try:
         build = q_full = q_probe = brute_t = None
-        rec_full = rec_probe = 0.0
+        build_res = q_probe_res = None
+        rec_full = rec_probe = rec_probe_res = 0.0
         receipt: dict = {}
         for _ in range(reps):
             idx = os.path.join(tmp, "idx")
@@ -334,20 +338,37 @@ def pq_index_receipt(spark, sf_dir: str, reps: int) -> dict:
                                     receipt=receipt).toPandas()
             dt = time.monotonic() - t0
             q_probe = dt if q_probe is None else min(q_probe, dt)
+            # residual twin: same m/nlist/nprobe, codes quantize x − c_cell
+            ridx = os.path.join(tmp, "ridx")
+            shutil.rmtree(ridx, ignore_errors=True)
+            t0 = time.monotonic()
+            save_pq_index(spark, emb, ridx, m=m, nlist=nlist, seed=31,
+                          encode="residual")
+            dt = time.monotonic() - t0
+            build_res = dt if build_res is None else min(build_res, dt)
+            t0 = time.monotonic()
+            probed_res = query_pq_index(spark, ridx, queries, k=5, rerank=50,
+                                        corpus=emb, nprobe=nprobe).toPandas()
+            dt = time.monotonic() - t0
+            q_probe_res = dt if q_probe_res is None else min(q_probe_res, dt)
             t0 = time.monotonic()
             brute = cosine_topk(emb, queries, k=5).toPandas()
             dt = time.monotonic() - t0
             brute_t = dt if brute_t is None else min(brute_t, dt)
             rec_full, rec_probe = recall(full, brute), recall(probed, brute)
+            rec_probe_res = recall(probed_res, brute)
         receipt.pop("probed_cells", None)
         return {"build_secs": round(build, 3),
+                "build_residual_secs": round(build_res, 3),
                 "query_full_secs": round(q_full, 3),
                 "query_probe_secs": round(q_probe, 3),
+                "query_probe_residual_secs": round(q_probe_res, 3),
                 "brute_secs": round(brute_t, 3), "n_vectors": int(n),
                 "dim": int(dim), "m": m, "nlist": nlist, "nprobe": nprobe,
                 **receipt,
                 "recall_full_at_5": rec_full,
                 "recall_probe_at_5": rec_probe,
+                "recall_probe_residual_at_5": rec_probe_res,
                 "compression_x": round(dim * 4 / m, 1)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -54,6 +54,9 @@ def _build_parser():
                    help="coarse-quantizer training: bounded driver sample "
                         "or full-corpus distributed Lloyd passes")
     b.add_argument("--coarse-iters", type=int, default=10)
+    b.add_argument("--encode", default="raw", choices=["raw", "residual"],
+                   help="residual (needs --nlist): PQ-quantize x - c_cell "
+                        "(FAISS IVF-PQ) instead of x")
     b.add_argument("--overwrite", action="store_true")
 
     a = sub.add_parser("append", help="encode new rows with the frozen "
@@ -109,7 +112,7 @@ def main(argv=None):
                 seed=args.seed, normalize=not args.no_normalize,
                 id_col=args.id_col, vec_col=args.vec_col,
                 nlist=args.nlist, coarse_fit=args.coarse_fit,
-                coarse_iters=args.coarse_iters,
+                coarse_iters=args.coarse_iters, encode=args.encode,
                 overwrite=args.overwrite)
             manifest["secs"] = round(time.monotonic() - t0, 3)
             print(json.dumps(manifest))

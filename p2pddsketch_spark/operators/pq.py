@@ -51,7 +51,8 @@ from pyspark.sql.window import Window
 
 from p2pddsketch_spark.operators.similarity import cosine_sim_col
 
-__all__ = ["train_pq", "encode_pq", "ann_topk_pq", "ann_topk_pq_encoded"]
+__all__ = ["train_pq", "train_pq_mat", "encode_pq", "ann_topk_pq",
+           "ann_topk_pq_encoded"]
 
 
 def _split(mtx: np.ndarray, m: int) -> list[np.ndarray]:
@@ -86,6 +87,17 @@ def _euclid_kmeans(x: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
     return cent
 
 
+def train_pq_mat(x: np.ndarray, m: int = 8, k: int = 256, iters: int = 10,
+                 seed: int = 29) -> np.ndarray:
+    """Fit (m, k, d/m) PQ codebooks on an in-memory sample matrix — the
+    numpy half of `train_pq`, exposed so callers that quantize a
+    TRANSFORM of the vectors (e.g. the IVF-PQ residual x − c_cell in
+    `operators/pq_index.py`) can train on exactly what gets encoded."""
+    rng = np.random.default_rng(seed)
+    return np.stack([_euclid_kmeans(sub, k, iters, rng)
+                     for sub in _split(x, m)])
+
+
 def train_pq(df: DataFrame, vec_col: str = "embedding", m: int = 8,
              k: int = 256, iters: int = 10, sample_size: int = 10_000,
              seed: int = 29, normalize: bool = True) -> np.ndarray:
@@ -98,9 +110,7 @@ def train_pq(df: DataFrame, vec_col: str = "embedding", m: int = 8,
     x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     if normalize:
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    return np.stack([_euclid_kmeans(sub, k, iters, rng)
-                     for sub in _split(x, m)])
+    return train_pq_mat(x, m=m, k=k, iters=iters, seed=seed)
 
 
 def encode_pq(df: DataFrame, codebooks: np.ndarray,
@@ -163,8 +173,9 @@ def ann_topk_pq_encoded(enc: DataFrame, codebooks: np.ndarray,
                         queries: DataFrame, k: int = 5, rerank: int = 0,
                         corpus: DataFrame | None = None,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        qid_col: str = "query_id", qvec_col: str = "query_vec"
-                        ) -> DataFrame:
+                        qid_col: str = "query_id", qvec_col: str = "query_vec",
+                        cell_centroids: np.ndarray | None = None,
+                        cell_col: str = "list_id") -> DataFrame:
     """ADC top-k over an ALREADY-ENCODED (id, codes) table — the serving
     path: a persisted index (`operators/pq_index.py`) is encoded once
     and every query batch pays only the m-byte code-space scan.
@@ -172,7 +183,15 @@ def ann_topk_pq_encoded(enc: DataFrame, codebooks: np.ndarray,
     `corpus` (the original id→vector table) is required only when
     `rerank` > 0 — the exact second stage fetches the |queries|×rerank
     candidate vectors from it. Output schema and semantics are exactly
-    `ann_topk_pq`'s (query_id, rank, neighbor_id, cosine)."""
+    `ann_topk_pq`'s (query_id, rank, neighbor_id, cosine).
+
+    `cell_centroids` (nlist, d) switches scoring to the RESIDUAL
+    decomposition q·x ≈ q·c_cell + q·r̂: `enc` must then carry the
+    coarse-cell id in `cell_col` and its codes must quantize the
+    residual x − c_cell. Inner-product ADC keeps ONE LUT per query —
+    the per-(query, cell) term is the scalar matrix qv @ centroids.T,
+    added to the gather-sum per row (unlike L2-ADC, which would need a
+    full LUT per probed cell)."""
     cb = codebooks
     m = int(cb.shape[0])
     if rerank > 0 and corpus is None:
@@ -191,6 +210,13 @@ def ann_topk_pq_encoded(enc: DataFrame, codebooks: np.ndarray,
     luts = np.ascontiguousarray(
         np.stack([sub @ cb[j].T for j, sub in enumerate(_split(qv, m))],
                  axis=1))  # (n_q, m, nk)
+    cell_offs = None
+    if cell_centroids is not None:
+        cc = np.asarray(cell_centroids, dtype=np.float64)
+        if cc.shape[1] != qv.shape[1]:
+            raise ValueError(f"cell_centroids dim {cc.shape[1]} != query "
+                             f"dim {qv.shape[1]}")
+        cell_offs = qv @ cc.T                      # (n_q, nlist)
 
     id_type = enc.schema["id"].dataType
     schema = StructType([StructField("query_id", LongType(), False),
@@ -204,6 +230,8 @@ def ann_topk_pq_encoded(enc: DataFrame, codebooks: np.ndarray,
                 continue
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64).T
             ids = pdf["id"].to_numpy()
+            lids = (pdf[cell_col].to_numpy().astype(np.int64)
+                    if cell_offs is not None else None)
             n = codes.shape[1]
             # +1: the self row (query_id == neighbor_id) is filtered
             # AFTER the scan — a partition holding it must still ship
@@ -218,6 +246,8 @@ def ann_topk_pq_encoded(enc: DataFrame, codebooks: np.ndarray,
             for q0 in range(0, len(qids), chunk):
                 lut = luts[q0:q0 + chunk]              # (c, m, nk)
                 s = lut[:, sub, codes].sum(axis=1)     # (c, n)
+                if cell_offs is not None:
+                    s = s + cell_offs[q0:q0 + chunk][:, lids]
                 # per-partition pre-top: ship only topn rows per query
                 part = np.argpartition(-s, take - 1, axis=1)[:, :take]
                 rowsel = np.arange(part.shape[0])[:, None]

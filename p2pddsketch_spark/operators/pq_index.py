@@ -33,12 +33,20 @@ All paths go through the Hadoop FileSystem helpers in
 `operators/maintenance.py`, so an index can live on any URI the Spark
 runtime has a connector for; plain local paths take the fast path.
 
+With `encode="residual"` (needs nlist > 0) the codes quantize the
+RESIDUAL x − c_cell instead of x — the full FAISS IVF-PQ shape: the m
+bytes spend their alphabet on within-cell variation only. Queries
+score with the inner-product decomposition q·x ≈ q·c_cell + q·r̂,
+which keeps ONE LUT per query (the per-cell term is a scalar matrix)
+— see `ann_topk_pq_encoded(cell_centroids=...)`.
+
 Layout under `index_dir/`:
   codes/       parquet (id, codes array<int>)   — m bytes/row of signal
                (partitioned by list_id when nlist > 0)
   codebooks/   parquet (subspace, code, centroid array<double>)
   coarse/      parquet (list_id, centroid array<double>)  — nlist > 0
-  manifest.json  format/m/nk/dim/width/normalize/cols/n_rows/version
+  manifest.json  format/m/nk/dim/width/normalize/cols/nlist/encode/
+                 n_rows/version
 
 Reference scope analog: the persist path of `DDS_PrintCSV`
 (/root/reference/ddsketch.cc:913-954) — durable sketch state; here the
@@ -61,7 +69,8 @@ from pyspark.sql.types import (ArrayType, IntegerType, StructField,
 from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
                                                      _write_text)
 from p2pddsketch_spark.operators.pq import (_split, ann_topk_pq_encoded,
-                                            encode_pq, train_pq)
+                                            encode_pq, train_pq,
+                                            train_pq_mat)
 
 __all__ = ["save_pq_index", "load_pq_index", "append_pq_index",
            "query_pq_index", "PQ_INDEX_FORMAT"]
@@ -90,11 +99,14 @@ def _paths(index_dir: str) -> tuple[str, str, str]:
 
 
 def _encode_with_lists(df: DataFrame, cb: np.ndarray, coarse: np.ndarray,
-                       id_col: str, vec_col: str, normalize: bool
-                       ) -> DataFrame:
+                       id_col: str, vec_col: str, normalize: bool,
+                       residual: bool = False) -> DataFrame:
     """(id, codes, list_id) in ONE mapInPandas pass — the PQ argmin per
     subspace plus the coarse-cell argmax per row share the batch, so an
-    IVF-partitioned build never joins codes to assignments."""
+    IVF-partitioned build never joins codes to assignments. With
+    `residual` the PQ target is x − c_cell (FAISS IVF-PQ): the codes
+    quantize what the coarse quantizer did NOT explain, so the same m
+    bytes carry only within-cell variation."""
     id_type = df.schema[id_col].dataType
     schema = StructType([StructField("id", id_type, True),
                          StructField("codes", ArrayType(IntegerType(), False),
@@ -111,13 +123,14 @@ def _encode_with_lists(df: DataFrame, cb: np.ndarray, coarse: np.ndarray,
             if normalize:
                 M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
                                    1e-12)
+            lid = (M @ coarse.T).argmax(axis=1)
+            tgt = M - coarse[lid] if residual else M
             codes = np.empty((len(M), m), dtype=np.int32)
-            for j, sub in enumerate(_split(M, m)):
+            for j, sub in enumerate(_split(tgt, m)):
                 codes[:, j] = (cnorm[j][None, :] - 2.0 * (sub @ cb[j].T)
                                ).argmin(axis=1)
-            lid = (M @ coarse.T).argmax(axis=1).astype(np.int32)
             yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes),
-                                "list_id": lid})
+                                "list_id": lid.astype(np.int32)})
 
     return df.select(id_col, vec_col).mapInPandas(enc, schema=schema)
 
@@ -148,6 +161,7 @@ def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
                   nlist: int = 0, coarse_fit: str = "driver",
                   coarse_iters: int = 10,
                   coarse_centroids: np.ndarray | None = None,
+                  encode: str = "raw",
                   overwrite: bool = False) -> dict:
     """Train (or take) codebooks, encode `df`, persist codes + codebooks
     + manifest under `index_dir`. Returns the manifest dict. Refuses an
@@ -159,22 +173,29 @@ def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
     driver sample, `"distributed"` runs full-corpus Lloyd passes via
     operators.kmeans) assigns every row a cell in the same encode pass,
     and codes are written `partitionBy("list_id")` so probed queries
-    are partition-pruned scans."""
+    are partition-pruned scans.
+
+    `encode="residual"` (needs nlist > 0) is the full FAISS IVF-PQ
+    shape: the PQ codes quantize x − c_cell instead of x, so the m
+    bytes spend their alphabet on within-cell variation only —
+    codebooks are trained on the SAMPLE'S residuals (when not supplied;
+    supplied codebooks are taken as residual-space). Queries score via
+    the inner-product decomposition q·x ≈ q·c_cell + q·r̂ (one LUT per
+    query + an (n_q × nlist) scalar matrix — see ann_topk_pq_encoded)."""
     codes_p, books_p, man_p = _paths(index_dir)
     if _exists(spark, man_p) and not overwrite:
         raise ValueError(f"index already exists at {index_dir!r} "
                          "(pass overwrite=True to rebuild)")
+    if encode not in ("raw", "residual"):
+        raise ValueError(f"encode must be 'raw' or 'residual', "
+                         f"got {encode!r}")
+    if encode == "residual" and nlist <= 0:
+        raise ValueError("encode='residual' needs nlist > 0 (the residual "
+                         "is relative to the coarse cell)")
     dim = _input_dim(df, vec_col)
-    cb = codebooks if codebooks is not None else train_pq(
-        df, vec_col=vec_col, m=m, k=nk, iters=iters,
-        sample_size=sample_size, seed=seed, normalize=normalize)
-    cb = np.asarray(cb, dtype=np.float64)
-    m, nk_eff, width = cb.shape
-    if m * width != dim:
-        raise ValueError(f"codebook shape {cb.shape} does not cover "
-                         f"input dim {dim}")
 
     coarse = None
+    sample = None
     if nlist > 0:
         if coarse_centroids is not None:
             coarse = np.asarray(coarse_centroids, dtype=np.float64)
@@ -197,7 +218,37 @@ def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
         else:
             raise ValueError(f"coarse_fit must be 'driver' or "
                              f"'distributed', got {coarse_fit!r}")
-        _encode_with_lists(df, cb, coarse, id_col, vec_col, normalize) \
+
+    if codebooks is not None:
+        cb = codebooks
+    elif encode == "residual":
+        # train on exactly what gets encoded: the sample's residuals
+        # (normalized first, matching the encode pass)
+        if sample is None:
+            rows = df.select(vec_col).limit(sample_size).collect()
+            if not rows:
+                raise ValueError("save_pq_index: empty input")
+            sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                               for r in rows])
+        x = sample
+        if normalize:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                               1e-12)
+        cb = train_pq_mat(x - coarse[(x @ coarse.T).argmax(axis=1)],
+                          m=m, k=nk, iters=iters, seed=seed)
+    else:
+        cb = train_pq(df, vec_col=vec_col, m=m, k=nk, iters=iters,
+                      sample_size=sample_size, seed=seed,
+                      normalize=normalize)
+    cb = np.asarray(cb, dtype=np.float64)
+    m, nk_eff, width = cb.shape
+    if m * width != dim:
+        raise ValueError(f"codebook shape {cb.shape} does not cover "
+                         f"input dim {dim}")
+
+    if nlist > 0:
+        _encode_with_lists(df, cb, coarse, id_col, vec_col, normalize,
+                           residual=(encode == "residual")) \
             .write.mode("overwrite").partitionBy("list_id").parquet(codes_p)
         spark.createDataFrame(
             [(i, [float(v) for v in coarse[i]]) for i in range(nlist)],
@@ -221,7 +272,7 @@ def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
         "m": int(m), "nk": int(nk_eff), "dim": int(dim), "width": int(width),
         "normalize": bool(normalize),
         "id_col": id_col, "vec_col": vec_col,
-        "nlist": int(nlist),
+        "nlist": int(nlist), "encode": encode,
         "n_rows": int(n_rows),
         "history": [{"version": 1, "op": "build", "rows": int(n_rows)}],
     }
@@ -277,7 +328,8 @@ def append_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
     if nlist > 0:
         coarse = _load_coarse(spark, index_dir, nlist)
         _encode_with_lists(df, cb, coarse, id_col, vec_col,
-                           manifest["normalize"]) \
+                           manifest["normalize"],
+                           residual=(manifest.get("encode") == "residual")) \
             .write.mode("append").partitionBy("list_id").parquet(codes_p)
     else:
         encode_pq(df, cb, id_col=id_col, vec_col=vec_col,
@@ -305,11 +357,14 @@ def query_pq_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     cells — a partition-pruned read of only those directories. nprobe =
     0 (or ≥ nlist, or a flat index) scans everything and equals the
     flat answer exactly. Pass a dict as `receipt` to get
-    {nlist, lists_probed} back (the pruning evidence)."""
+    {nlist, lists_probed} back (the pruning evidence). A residual-
+    encoded index (manifest encode == "residual") scores with the
+    q·c_cell + q·r̂ decomposition transparently."""
     cb, manifest, codes = load_pq_index(spark, index_dir)
     nlist = int(manifest.get("nlist", 0))
+    residual = manifest.get("encode") == "residual"
+    coarse = _load_coarse(spark, index_dir, nlist) if nlist > 0 else None
     if nlist > 0 and 0 < nprobe < nlist:
-        coarse = _load_coarse(spark, index_dir, nlist)
         qrows = queries.select(qvec_col).collect()
         if not qrows:
             raise ValueError("ann_topk_pq: empty query set")
@@ -328,4 +383,5 @@ def query_pq_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     return ann_topk_pq_encoded(
         codes, cb, queries, k=k, rerank=rerank, corpus=corpus,
         id_col=manifest["id_col"], vec_col=manifest["vec_col"],
-        qid_col=qid_col, qvec_col=qvec_col)
+        qid_col=qid_col, qvec_col=qvec_col,
+        cell_centroids=coarse if residual else None)

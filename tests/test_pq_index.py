@@ -187,6 +187,72 @@ def test_ivf_partitioned_index(spark, emb, queries, tmp_path):
     assert (a["list_id"] == b["list_id"]).all()
 
 
+def test_residual_encoded_index(spark, emb, queries, tmp_path):
+    """encode='residual' (FAISS IVF-PQ): manifest records it, the
+    full-rerank two-stage stays exact, frozen coarse+codebooks keep
+    appends byte-identical — and on a constructed LOSSLESS corpus
+    (distinct residual subvectors ≤ nk, all in the train sample) the
+    ADC-only full-probe answer equals exact cosine_topk, pinning the
+    q·c_cell + q·r̂ scoring decomposition itself."""
+    from p2pddsketch_spark.operators.similarity import cosine_topk
+
+    # --- real-data lifecycle: exactness of the full-rerank path -------
+    idx = str(tmp_path / "res")
+    man = save_pq_index(spark, emb, idx, m=8, nk=64, sample_size=1000,
+                        seed=7, nlist=8, encode="residual")
+    assert man["encode"] == "residual" and man["nlist"] == 8
+    n = emb.count()
+    got = query_pq_index(spark, idx, queries, k=5, rerank=n,
+                         corpus=emb).toPandas()
+    brute = cosine_topk(emb, queries, k=5).toPandas()
+    assert (got["neighbor_id"].to_numpy()
+            == brute["neighbor_id"].to_numpy()).all()
+    assert (got["cosine"].to_numpy() == brute["cosine"].to_numpy()).all()
+
+    # --- lossless construction: ADC-only == exact, full probe ---------
+    rng = np.random.default_rng(5)
+    d, m, nlist = 8, 4, 2
+    coarse = np.zeros((nlist, d))
+    coarse[0, 0] = 1.0
+    coarse[1, 1] = 1.0
+    deltas = rng.normal(scale=0.1, size=(4, d))
+    base = []
+    for c in range(nlist):
+        for t in range(4):
+            v = coarse[c] + deltas[t]
+            base.append(v / np.linalg.norm(v))
+    rows = [(i, [float(x) for x in base[i % len(base)]])
+            for i in range(24)]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tq = (tiny.where(F.col("vec_id") < 4)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    idx2 = str(tmp_path / "lossless")
+    save_pq_index(spark, tiny, idx2, m=m, nk=16, sample_size=24, seed=3,
+                  nlist=nlist, coarse_centroids=coarse, encode="residual")
+    adc = query_pq_index(spark, idx2, tq, k=3).toPandas()
+    exact = cosine_topk(tiny, tq, k=3).toPandas()
+    assert (adc["neighbor_id"].to_numpy()
+            == exact["neighbor_id"].to_numpy()).all()
+    assert np.allclose(adc["cosine"].to_numpy(),
+                       exact["cosine"].to_numpy(), atol=1e-5)
+
+    # --- frozen coarse+codebooks: append arrival-order invariance -----
+    from p2pddsketch_spark.operators.pq_index import _load_coarse
+    cb, _, _ = load_pq_index(spark, idx)
+    co = _load_coarse(spark, idx, 8)
+    idx3 = str(tmp_path / "res2")
+    save_pq_index(spark, emb.where(F.col("vec_id") % 2 == 0), idx3,
+                  codebooks=cb, nlist=8, coarse_centroids=co,
+                  encode="residual")
+    append_pq_index(spark, emb.where(F.col("vec_id") % 2 == 1), idx3)
+    a = _codes_pdf(spark, idx)
+    b = _codes_pdf(spark, idx3)
+    assert (a["id"] == b["id"]).all()
+    assert (a["list_id"] == b["list_id"]).all()
+    assert all((x == y).all() for x, y in zip(a["codes"], b["codes"]))
+
+
 def test_cli_lifecycle(spark, tmp_path, capsys):
     import sys
     sys.path.insert(0, "/root/repo/jobs")
