@@ -33,7 +33,8 @@ __all__ = ["exact_dedup_stats", "exact_dedup", "word_shingles_col",
            "minhash_lsh_pairs", "minhash_lsh_pairs_tokens",
            "simhash64", "simhash_blocks",
            "simhash_neardup_pairs", "simhash128_block_layout",
-           "simhash128_keys", "simhash_neardup_pairs_wide"]
+           "simhash128_keys", "simhash_neardup_pairs_wide",
+           "duplicate_spans", "strip_duplicate_spans"]
 
 
 def _nonempty_offsets(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -557,3 +558,109 @@ def simhash_neardup_pairs_wide(df: DataFrame, max_hamming: int = 8,
     return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .orderBy("id_a", "id_b"))
+
+
+# ------------------------------------- exact substring (span) dedup
+
+def _window_hits(df: DataFrame, tokens_col: str, id_col: str, min_len: int,
+                 cross_doc_only: bool) -> DataFrame:
+    """(id, pos, n_occ[, n_docs, canon]) for every length-`min_len`
+    token window — ONE shuffle (a window function over the 8-byte
+    xxhash64 key; no groupBy + join-back round trip). Docs shorter than
+    `min_len` produce no windows."""
+    from pyspark.sql.window import Window
+    L = min_len
+    n = F.size(F.col(tokens_col))
+    keys = F.transform(
+        F.sequence(F.lit(0), n - L),
+        lambda i: F.xxhash64(F.slice(F.col(tokens_col), i + 1, L)))
+    wins = (df.where(n >= L)
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(keys).alias("pos", "key")))
+    wk = Window.partitionBy("key")
+    wins = wins.withColumn("n_occ", F.count("*").over(wk))
+    if cross_doc_only:
+        wins = wins.withColumn(
+            "n_docs", F.size(F.collect_set("id").over(wk)))
+    return wins.withColumn(
+        "canon", F.min(F.struct("id", "pos")).over(wk))
+
+
+def _islands(hits: DataFrame, min_len: int, extra: list | None = None
+             ) -> DataFrame:
+    """Merge overlapping/adjacent duplicated window starts per doc into
+    maximal spans (gaps-and-islands): consecutive positions share
+    pos − row_number(). Returns (id, span_start, span_len, n_windows)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("id").orderBy("pos")
+    return (hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("id", "grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") - F.min("pos") + min_len).alias("span_len"),
+                 F.count("*").alias("n_windows"))
+            .drop("grp"))
+
+
+def duplicate_spans(df: DataFrame, tokens_col: str = "tokens",
+                    id_col: str = "doc_id", min_len: int = 16,
+                    cross_doc_only: bool = False) -> DataFrame:
+    """Exact substring dedup, detection half (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    MAXIMAL span of ≥ `min_len` consecutive tokens whose every
+    `min_len`-window also occurs at some other (doc, position) —
+    `cross_doc_only` restricts "other" to a DIFFERENT doc. Returns
+    (doc_id, span_start, span_len, n_windows) ordered by doc, start.
+
+    Spark shape (the suffix array of the paper is a single-machine
+    structure; the distributed equivalent is window-hash grouping):
+    window keys are 8-byte xxhash64 of the token slice, built per doc
+    with transform+slice (no string materialization, no Python); ONE
+    shuffle on the key marks duplicated windows via a count-over-window,
+    one more on the doc id merges them into maximal spans — corpus
+    token volume never amplifies beyond the ×1 window explosion."""
+    hits = _window_hits(df, tokens_col, id_col, min_len, cross_doc_only)
+    dup = F.col("n_docs") >= 2 if cross_doc_only else F.col("n_occ") >= 2
+    spans = _islands(hits.where(dup).select("id", "pos"), min_len)
+    return (spans.select(F.col("id").alias(id_col), "span_start",
+                         "span_len", "n_windows")
+            .orderBy(id_col, "span_start"))
+
+
+def strip_duplicate_spans(df: DataFrame, tokens_col: str = "tokens",
+                          id_col: str = "doc_id", min_len: int = 16
+                          ) -> DataFrame:
+    """Exact substring dedup, removal half: cut every token position
+    covered by a duplicated `min_len`-window that is NOT its key's
+    canonical occurrence (canonical = lexicographically-first
+    (doc_id, pos), so exactly one copy of every duplicated substring
+    survives, deterministically). Returns (doc_id, tokens, n_tok,
+    n_deleted) for EVERY input doc — docs with nothing to cut (or
+    shorter than `min_len`) pass through unchanged.
+
+    Same two-shuffle shape as `duplicate_spans`; the cut itself is a
+    higher-order filter over the collected per-doc deletion ranges
+    (ranges per doc are few — they were merged maximal — so the
+    broadcast-sized struct array rides the row)."""
+    hits = _window_hits(df, tokens_col, id_col, min_len,
+                        cross_doc_only=False)
+    dele = hits.where((F.col("n_occ") >= 2) &
+                      (F.struct("id", "pos") != F.col("canon"))) \
+        .select("id", "pos")
+    ranges = (_islands(dele, min_len)
+              .select("id", F.col("span_start").alias("s"),
+                      (F.col("span_start") + F.col("span_len")).alias("e")))
+    rng = ranges.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("_del"))
+    covered = lambda i: F.exists(
+        F.col("_del"), lambda r: (i >= r["s"]) & (i < r["e"]))
+    kept = F.filter(F.col(tokens_col), lambda t, i: ~covered(i))
+    base = df.select(F.col(id_col), F.col(tokens_col),
+                     F.size(tokens_col).alias("_n0"))
+    return (base.join(rng, base[id_col] == rng["id"], "left")
+            .select(F.col(id_col), "_n0",
+                    F.when(F.col("_del").isNull(), F.col(tokens_col))
+                    .otherwise(kept).alias(tokens_col))
+            .withColumn("n_tok", F.size(tokens_col))
+            .select(id_col, tokens_col, "n_tok",
+                    (F.col("_n0") - F.col("n_tok")).alias("n_deleted"))
+            .orderBy(id_col))
