@@ -4,7 +4,9 @@ way a 100 TB pre-training corpus job would:
   read → exact dedup (md5 fingerprint) → near-dup removal (MinHash+LSH,
   keep the smallest doc_id of each near-dup cluster) → optional
   SemDeDup semantic near-dup removal (--embeddings-input: k-means-gated
-  exact-cosine pairs, same cluster/canonical rule) → quality filter →
+  exact-cosine pairs, same cluster/canonical rule) → optional exact
+  substring dedup (--strip-spans N: duplicated word spans ≥ N cut,
+  canonical copy kept — Lee et al. 2022) → quality filter →
   optional language filter → optional eval-set decontamination (8-gram
   overlap vs --benchmark-input) → optional PII scrub (--redact-pii) →
   optional deterministic train/val/test split column (--assign-splits)
@@ -49,6 +51,10 @@ def main(argv=None):
     p.add_argument("--semantic-k", type=int, default=0,
                    help="k-means cluster count for SemDeDup candidate "
                         "gating; 0 = auto (~sqrt of corpus size)")
+    p.add_argument("--strip-spans", type=int, default=0,
+                   help="> 0: exact substring dedup (Lee et al. 2022) — "
+                        "cut duplicated word spans of at least this many "
+                        "words, keeping one canonical copy corpus-wide")
     p.add_argument("--assign-splits", action="store_true",
                    help="add a deterministic 90/5/5 train/val/test column")
     p.add_argument("--redact-pii", action="store_true",
@@ -118,6 +124,23 @@ def main(argv=None):
             df = df.join(sem_losers, args.id_col, "left_anti")
     n2b = df.count()
 
+    # 2c. exact substring dedup (Lee et al. 2022): cut duplicated word
+    #     spans, keep the canonical (first) copy corpus-wide — the
+    #     boilerplate/template remover near-dup stages can't express
+    #     (they drop whole docs; this cuts the repeated REGION)
+    n_span_docs = 0
+    if args.strip_spans > 0:
+        stripped = dedup.strip_duplicate_spans(
+            df.withColumn("_w", text.words_col(args.text_col)),
+            tokens_col="_w", id_col=args.id_col,
+            min_len=args.strip_spans).persist()
+        n_span_docs = stripped.where(F.col("n_deleted") > 0).count()
+        df = (df.drop(args.text_col)
+              .join(stripped.select(
+                  args.id_col,
+                  F.array_join("_w", " ").alias(args.text_col)),
+                  args.id_col, "inner"))
+
     # 3. quality filter
     q = text.quality_score(df, args.text_col, args.id_col)
     df = df.join(q.where(F.col("quality") >= args.min_quality)
@@ -181,6 +204,7 @@ def main(argv=None):
         "rows_in": n0, "after_exact_dedup": n1, "after_near_dedup": n2,
         "after_semantic_dedup": n2b,
         "after_quality": n3, "after_lang": n4, "after_decontaminate": n5,
+        "docs_span_stripped": n_span_docs,
         "docs_with_pii_redacted": n_redacted,
         "secs": round(time.monotonic() - t0, 2), **quantiles,
     }

@@ -65,6 +65,41 @@ def test_curate_semantic_dedup_stage(spark, tmp_path, capsys):
     assert curated.count() == m["after_lang"]
 
 
+def test_curate_strip_spans_stage(spark, tmp_path, capsys):
+    """--strip-spans cuts the duplicated word span from the
+    NON-canonical doc and keeps the canonical copy intact — the region
+    remover the whole-doc dedup stages can't express."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"one unique opening sentence here {span} and a distinct tail",
+         "en", "web", 0),
+        (2, f"{span} followed by completely different trailing words "
+            "nothing shared beyond the span", "en", "web", 0),
+        (3, "an entirely unrelated document with its own private words "
+            "sharing no span at all with anything", "en", "web", 0),
+    ]
+    inp = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(inp)
+    rc = curate.main([
+        "--input", inp, "--output", str(tmp_path / "curated_spans"),
+        "--min-quality", "0.0", "--jaccard", "0.99", "--strip-spans", "8",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    m = json.loads(out[out.index("{"):])
+    assert m["docs_span_stripped"] == 1
+    got = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(str(tmp_path / "curated_spans")).collect()}
+    assert span in got[1]                      # canonical copy survives
+    assert span not in got[2]                  # duplicate region cut
+    assert "completely different trailing" in got[2]
+    assert got[3] == rows[2][1]                # untouched doc unchanged
+
+
 def test_prepare_sequences_feeds_the_harness(spark, tmp_path, capsys):
     """documents → sequences materialization: the output table has the
     input_hint shape, token arrays regenerate identically (per-row
