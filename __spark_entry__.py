@@ -35,11 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's verification window: the
     external gate checks the FIRST 50 entries each round. Round 5
-    front-loads the 46 queries whose newest driver row is r3, plus this
-    round's 4 never-verified entries; the 50 r4-verified queries sit
-    beyond slot 50 (46 + 4 in-window + 50 = 100 — the registry is at
-    the 2-window cap, so future additions must displace or merge
-    existing rows).
+    front-loads the queries whose newest driver row is r3, plus this
+    round's never-verified/changed entries: 44 r3-stale + `dds_signed`
+    (merge of the two signed-codec rows) + `strip_spans` (new) + the 4
+    rows added late in r4 = 50 exactly; the 49 other r4-verified rows
+    sit beyond slot 50 (the bpe_encode row was merged into
+    bpe_tokenize). Registry total 99 — one slot of headroom under the
+    2-window cap.
     tests/test_query_oracles.py::test_registry_window_policy
     mechanically bounds staleness: every slot-51+ entry must have a green
     row in the LATEST CORRECTNESS_r*.json — so no query's newest driver
@@ -56,8 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_value_by_user_bucket": Q.q_dds_value_by_user_bucket,
         "dds_turnstile_lineitem": Q.q_dds_turnstile,
         "dds_events_catalyst": Q.q_dds_events_sql,
-        "dds_signed_catalyst": Q.q_dds_signed_catalyst,
-        "dds_signed_harness": Q.q_dds_signed_harness,
+        # round-5 merge: both signed-codec forms in one row (form column)
+        "dds_signed": Q.q_dds_signed,
+        # round-5 new: exact substring dedup (fills the slot the merge freed)
+        "strip_spans": Q.q_strip_spans,
         "dds_doclen_by_lang": Q.q_dds_doclen_by_lang,
         "dds_events_hourly": Q.q_dds_events_hourly,
         "dds_sliding_p95": Q.q_dds_sliding_p95,
@@ -156,7 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": Q.q_stratified_sample,
         "weighted_sample": Q.q_weighted_sample,
         "bpe_train_merges": Q.q_bpe_train_merges,
-        "bpe_encode": Q.q_bpe_encode,
+        # (bpe_encode merged into bpe_tokenize, round 5 — the id-level
+        #  positional pin subsumes the symbol-level one)
         "zorder3_index": Q.q_zorder3_index,
         "tokenize_vocab": Q.q_tokenize_vocab,
         "minhash_lsh_pairs_prod": Q.q_minhash_lsh_prod,

@@ -30,11 +30,16 @@ ORACLES["dds_value_by_user_bucket"] = duckdb_quantile_sql(
 ORACLES["dds_events_catalyst"] = duckdb_quantile_sql(
     "events", "value", QS, alpha=0.01)
 
-ORACLES["dds_signed_catalyst"] = duckdb_quantile_sql_signed(
+# merged gate row (round 5): both signed-codec forms — Catalyst plan and
+# mapInArrow harness — compute the identical algebra, so one signed SQL
+# twin oracles both, tagged by the `form` literal
+_SIGNED_SQL = duckdb_quantile_sql_signed(
     "(SELECT value - 250.0 AS centered FROM events) t", "centered",
     [0.05, 0.5, 0.95], alpha=0.01)
-# the harness pipeline computes the identical algebra
-ORACLES["dds_signed_harness"] = ORACLES["dds_signed_catalyst"]
+ORACLES["dds_signed"] = (
+    f"SELECT 'catalyst' AS form, * FROM ({_SIGNED_SQL}) "
+    f"UNION ALL SELECT 'harness' AS form, * FROM ({_SIGNED_SQL}) "
+    f"ORDER BY form, q")
 
 # Turnstile inserts−deletes leave exactly the non-'R' rows' buckets
 # (no collapse at bin_limit 2^22), so the oracle is the plain DDSketch
@@ -1750,7 +1755,10 @@ ORDER BY iteration""")
 
 
 ORACLES["bpe_train_merges"] = duckdb_bpe_sql(5)
-ORACLES["bpe_encode"] = duckdb_bpe_sql(5, mode="encode")
+# the bpe_encode gate row was merged into bpe_tokenize (round 5): the
+# id-level positional pin (tok_sum) implies the symbol-level pin given
+# the ranked symbol→id bijection the tokenize twin itself replays; the
+# bpe_encode OPERATOR stays, pytest-covered (tests/test_pipeline.py)
 ORACLES["bpe_tokenize"] = duckdb_bpe_sql(5, mode="tokenize")
 ORACLES["bpe_pack"] = duckdb_bpe_sql(5, mode="pack")
 
@@ -1918,3 +1926,66 @@ def _minhash_tokens_sql(threshold: float = 0.5, num_perm: int = 128,
 
 
 ORACLES["minhash_tokens_pairs"] = _minhash_tokens_sql()
+
+# Exact substring dedup (strip_duplicate_spans, min_len=8): semantic
+# replay — duplicated windows by STRING equality (Spark: xxhash64 of the
+# token slice; identical absent a 64-bit collision on the deterministic
+# fixture), canonical = lexicographically-first (doc_id, pos) via the
+# two-step (min doc_id, then min pos at that doc) window pair, deletion
+# islands merged with the pos - row_number() trick, and the surviving
+# corpus fingerprinted with md5 over the kept word sequence.
+ORACLES["strip_spans"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word
+  FROM d
+),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i + 1 : i + 8], ' ') AS win
+  FROM d, UNNEST(range(0, greatest(len(w) - 7, 0))) AS t(i)
+),
+m1 AS (
+  SELECT doc_id, pos, win,
+         count(*) OVER (PARTITION BY win) AS n_occ,
+         min(doc_id) OVER (PARTITION BY win) AS d0
+  FROM wins
+),
+m2 AS (
+  SELECT doc_id, pos, n_occ, d0,
+         min(CASE WHEN doc_id = d0 THEN pos END)
+             OVER (PARTITION BY win) AS p0
+  FROM m1
+),
+dels AS (
+  SELECT doc_id, pos FROM m2
+  WHERE n_occ >= 2 AND NOT (doc_id = d0 AND pos = p0)
+),
+ranges AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM dels)
+  GROUP BY doc_id, grp
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.word
+  FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM ranges r
+                    WHERE r.doc_id = t.doc_id
+                      AND t.pos >= r.s AND t.pos < r.e)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tok,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(len(d.w) - COALESCE(agg.n_tok, 0) AS BIGINT) AS n_deleted,
+       COALESCE(agg.kept_md5, md5('')) AS kept_md5
+FROM d LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""

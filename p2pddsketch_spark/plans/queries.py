@@ -154,6 +154,22 @@ def q_dds_signed_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_quantile_plan(ev, "centered", [0.05, 0.5, 0.95], alpha=0.01)
 
 
+def q_dds_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both signed-codec forms in ONE gate row (round-5 merge of the
+    `dds_signed_catalyst` + `dds_signed_harness` rows — same operator
+    family, same oracle): the pure-Catalyst plan and the sketch-object
+    mapInArrow → merge pipeline over the same mixed-sign column, tagged
+    by a `form` column. The two forms compute the identical DDSketch
+    algebra, so one signed SQL twin (duplicated per form literal)
+    oracles both; a divergence between the forms now fails the gate
+    directly instead of needing two rows."""
+    cat = q_dds_signed_catalyst(spark, sf_dir) \
+        .withColumn("form", F.lit("catalyst"))
+    har = q_dds_signed_harness(spark, sf_dir) \
+        .withColumn("form", F.lit("harness"))
+    return cat.unionByName(har).orderBy("form", "q")
+
+
 def q_dds_events_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same sketch algebra as a whole-stage-codegen Catalyst plan."""
     return ddsketch_quantile_plan(load(spark, sf_dir, "events"), "value", QS, alpha=0.01)
@@ -2079,3 +2095,28 @@ def q_minhash_tokens_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize(docs.select("doc_id", "text"), vocab)
     return dedup.minhash_lsh_pairs_tokens(toks, threshold=0.5, num_perm=128,
                                           bands=32, n=3)
+
+
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup end-to-end (Lee et al. 2022) as a gate row:
+    cut every duplicated >= 8-word span from its non-canonical
+    occurrences (`dedup.strip_duplicate_spans`, the operator behind
+    `jobs/curate.py --strip-spans`) and pin the SURVIVING corpus
+    byte-for-byte — (n_tok, n_deleted) per doc plus an md5 fingerprint
+    of the kept word sequence. The DuckDB twin replays the whole
+    algorithm at the semantic level (window STRING equality where Spark
+    compares xxhash64 of the token slice — identical outcomes absent a
+    64-bit collision, and the fixture is deterministic), including the
+    lexicographically-first (doc_id, pos) canonical rule and the
+    gaps-and-islands span merge. Reference scope: gap-fill; the
+    reference has no text pipeline (/root/reference/main.cpp is a
+    numeric-stream simulator)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", text.words_col("text").alias("w"))
+    out = dedup.strip_duplicate_spans(docs, tokens_col="w",
+                                      id_col="doc_id", min_len=8)
+    return (out.select("doc_id",
+                       F.col("n_tok").cast("long").alias("n_tok"),
+                       F.col("n_deleted").cast("long").alias("n_deleted"),
+                       F.md5(F.array_join("w", " ")).alias("kept_md5"))
+            .orderBy("doc_id"))

@@ -93,6 +93,8 @@ SUBSET = [
     "moments_by_flag",          # moment-sketch integer state, hard oracle
     "bpe_tokenize",             # trained-BPE token-id arrays, Σ pos·id twin
     "bpe_pack",                 # train → encode → pack composition
+    "dds_signed",               # both signed-codec forms in one row (r5 merge)
+    "strip_spans",              # exact substring dedup, kept-corpus md5 pin
 ]
 
 
