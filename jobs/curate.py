@@ -115,14 +115,22 @@ def main(argv=None):
         if n_emb >= 2:  # k-means needs at least 2 survivors with vectors
             sem_k = min(args.semantic_k or max(2, int(n_emb ** 0.5)),
                         n_emb)  # SemDeDup's k ≈ √N default, capped by N
+            # the k-means++ init draws from a driver-side sample; size it
+            # to k (√N outgrows the 10k default beyond N = 1e8 docs)
             sem_pairs = semantic_dedup_pairs(
                 emb, threshold=args.semantic_threshold, k=sem_k,
+                sample_size=max(10_000, 4 * sem_k),
                 id_col=args.id_col, vec_col="embedding")
             sem_losers = (neardup_clusters(sem_pairs)
                           .where(~F.col("is_canonical"))
                           .select(F.col("doc_id").alias(args.id_col)))
             df = df.join(sem_losers, args.id_col, "left_anti")
-    n2b = df.count()
+        # the stage ran: re-count the survivors
+        n2b = df.count()
+    else:
+        # stage skipped — nothing changed since n2; don't pay a second
+        # full-corpus count action just to record the same number
+        n2b = n2
 
     # 2c. exact substring dedup (Lee et al. 2022): cut duplicated word
     #     spans, keep the canonical (first) copy corpus-wide — the

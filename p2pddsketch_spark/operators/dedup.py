@@ -586,8 +586,7 @@ def _window_hits(df: DataFrame, tokens_col: str, id_col: str, min_len: int,
         "canon", F.min(F.struct("id", "pos")).over(wk))
 
 
-def _islands(hits: DataFrame, min_len: int, extra: list | None = None
-             ) -> DataFrame:
+def _islands(hits: DataFrame, min_len: int) -> DataFrame:
     """Merge overlapping/adjacent duplicated window starts per doc into
     maximal spans (gaps-and-islands): consecutive positions share
     pos − row_number(). Returns (id, span_start, span_len, n_windows)."""
@@ -637,23 +636,39 @@ def strip_duplicate_spans(df: DataFrame, tokens_col: str = "tokens",
     n_deleted) for EVERY input doc — docs with nothing to cut (or
     shorter than `min_len`) pass through unchanged.
 
+    A position covered by a non-canonical duplicated window is cut
+    UNLESS it is also covered by some key's canonical window: without
+    that protection a self-overlapping repeat (period < `min_len`, e.g.
+    back-to-back boilerplate) would clip the canonical occurrence too
+    and NO intact copy of the duplicated substring would survive.
+
     Same two-shuffle shape as `duplicate_spans`; the cut itself is a
-    higher-order filter over the collected per-doc deletion ranges
-    (ranges per doc are few — they were merged maximal — so the
-    broadcast-sized struct array rides the row)."""
+    higher-order filter over the collected per-doc deletion/protection
+    ranges (ranges per doc are few — they were merged maximal — so the
+    broadcast-sized struct arrays ride the row)."""
+    from pyspark.sql.window import Window
     hits = _window_hits(df, tokens_col, id_col, min_len,
                         cross_doc_only=False)
-    dele = hits.where((F.col("n_occ") >= 2) &
-                      (F.struct("id", "pos") != F.col("canon"))) \
-        .select("id", "pos")
-    ranges = (_islands(dele, min_len)
-              .select("id", F.col("span_start").alias("s"),
-                      (F.col("span_start") + F.col("span_len")).alias("e")))
+    # ONE pass computes both range kinds: duplicated window starts are
+    # tagged canonical/not, islands run per (id, tag) — consecutive
+    # starts of one tag merge, tags never merge across — and a single
+    # groupBy(id) splits the ranges into the two per-doc lists
+    # (collect_list drops the NULLs the other tag's `when` leaves)
+    dup = (hits.where(F.col("n_occ") >= 2)
+           .select("id", "pos",
+                   (F.struct("id", "pos") == F.col("canon")).alias("_c")))
+    w = Window.partitionBy("id", "_c").orderBy("pos")
+    ranges = (dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+              .groupBy("id", "_c", "grp")
+              .agg(F.min("pos").alias("s"),
+                   (F.max("pos") + min_len).alias("e")))
     rng = ranges.groupBy("id").agg(
-        F.collect_list(F.struct("s", "e")).alias("_del"))
-    covered = lambda i: F.exists(
-        F.col("_del"), lambda r: (i >= r["s"]) & (i < r["e"]))
-    kept = F.filter(F.col(tokens_col), lambda t, i: ~covered(i))
+        F.collect_list(F.when(~F.col("_c"), F.struct("s", "e"))).alias("_del"),
+        F.collect_list(F.when(F.col("_c"), F.struct("s", "e"))).alias("_keep"))
+    inrng = lambda col, i: F.exists(
+        F.col(col), lambda r: (i >= r["s"]) & (i < r["e"]))
+    cut = lambda i: inrng("_del", i) & ~inrng("_keep", i)
+    kept = F.filter(F.col(tokens_col), lambda t, i: ~cut(i))
     base = df.select(F.col(id_col), F.col(tokens_col),
                      F.size(tokens_col).alias("_n0"))
     return (base.join(rng, base[id_col] == rng["id"], "left")

@@ -110,6 +110,11 @@ def _read_text(spark: SparkSession, path: str) -> str:
         with open(path) as f:
             return f.read()
     fs, hpath = _hadoop_fs(spark, path)
+    # pre-check existence: fs.open on a missing URI raises a Py4J-wrapped
+    # Java FileNotFoundException, which callers' `except FileNotFoundError`
+    # contract (ann_index info, pq_index load) would never catch
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
     stream = fs.open(hpath)
     try:
         # py4j passes buffers by value, so a read-into-bytearray loop

@@ -175,7 +175,8 @@ def ann_topk_pq_encoded(enc: DataFrame, codebooks: np.ndarray,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         qid_col: str = "query_id", qvec_col: str = "query_vec",
                         cell_centroids: np.ndarray | None = None,
-                        cell_col: str = "list_id") -> DataFrame:
+                        cell_col: str = "list_id",
+                        _qrows: list | None = None) -> DataFrame:
     """ADC top-k over an ALREADY-ENCODED (id, codes) table — the serving
     path: a persisted index (`operators/pq_index.py`) is encoded once
     and every query batch pays only the m-byte code-space scan.
@@ -197,7 +198,9 @@ def ann_topk_pq_encoded(enc: DataFrame, codebooks: np.ndarray,
     if rerank > 0 and corpus is None:
         raise ValueError("rerank > 0 needs `corpus` (the id→vector table) "
                          "for the exact second stage")
-    qrows = queries.collect()
+    # `_qrows` lets a caller that already collected the (qid, qvec) rows
+    # (query_pq_index's probe selection) skip a second driver round trip
+    qrows = queries.collect() if _qrows is None else _qrows
     if not qrows:
         raise ValueError("ann_topk_pq: empty query set")
     qv = np.stack([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])

@@ -364,8 +364,11 @@ def query_pq_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     nlist = int(manifest.get("nlist", 0))
     residual = manifest.get("encode") == "residual"
     coarse = _load_coarse(spark, index_dir, nlist) if nlist > 0 else None
+    qrows = None
     if nlist > 0 and 0 < nprobe < nlist:
-        qrows = queries.select(qvec_col).collect()
+        # ONE driver collect serves both probe selection here and the
+        # LUT build inside ann_topk_pq_encoded (via _qrows)
+        qrows = queries.select(qid_col, qvec_col).collect()
         if not qrows:
             raise ValueError("ann_topk_pq: empty query set")
         qv = np.stack([np.asarray(r[qvec_col], dtype=np.float64)
@@ -384,4 +387,4 @@ def query_pq_index(spark: SparkSession, index_dir: str, queries: DataFrame,
         codes, cb, queries, k=k, rerank=rerank, corpus=corpus,
         id_col=manifest["id_col"], vec_col=manifest["vec_col"],
         qid_col=qid_col, qvec_col=qvec_col,
-        cell_centroids=coarse if residual else None)
+        cell_centroids=coarse if residual else None, _qrows=qrows)

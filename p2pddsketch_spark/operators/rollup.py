@@ -1298,10 +1298,16 @@ def rollup_window_drift(spark: SparkSession, state_dir: str,
                     ref = int(t_ref) if now is None else int(now)
                     prev_now = ref - w
                     if hasattr(sk, "window_quantiles"):
-                        cur, _, lo_c, _ = sk.window_quantiles(
+                        cur, n_c, lo_c, _ = sk.window_quantiles(
                             qv, window=w, now=ref)
+                        # an empty current window can't tile at its
+                        # coverage edge (lo_c is the 0 sentinel) —
+                        # anchor the previous window at ref - w so a
+                        # group that went SILENT still reports
+                        # (previous=real, current=NaN) instead of
+                        # NaN/NaN (same guard as window_topk_drift)
                         prv, _, _, _ = sk.window_quantiles(
-                            qv, window=w, now=lo_c - 1)
+                            qv, window=w, now=lo_c - 1 if n_c else ref - w)
                         pairs = [(f"q{q:g}", float(c), float(p),
                                   np.nan, np.nan)
                                  for q, c, p in zip(qv, cur, prv)]

@@ -1962,6 +1962,12 @@ dels AS (
   SELECT doc_id, pos FROM m2
   WHERE n_occ >= 2 AND NOT (doc_id = d0 AND pos = p0)
 ),
+prots AS (  -- canonical duplicated window starts: their coverage is
+            -- protected, so one intact copy of every duplicated
+            -- substring survives even under self-overlapping repeats
+  SELECT doc_id, pos FROM m2
+  WHERE n_occ >= 2 AND doc_id = d0 AND pos = p0
+),
 ranges AS (
   SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
   FROM (SELECT doc_id, pos,
@@ -1970,12 +1976,27 @@ ranges AS (
         FROM dels)
   GROUP BY doc_id, grp
 ),
+pranges AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM prots)
+  GROUP BY doc_id, grp
+),
+delpos AS (  -- expanded deletion positions minus protected coverage:
+             -- keeps `kept` a plain ANTI JOIN (an OR EXISTS disjunct
+             -- there would force per-token correlated evaluation)
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(s, e)) AS p FROM ranges) dp
+  WHERE NOT EXISTS (SELECT 1 FROM pranges pr
+                    WHERE pr.doc_id = dp.doc_id
+                      AND dp.p >= pr.s AND dp.p < pr.e)
+),
 kept AS (
   SELECT t.doc_id, t.pos, t.word
   FROM toks t
-  WHERE NOT EXISTS (SELECT 1 FROM ranges r
-                    WHERE r.doc_id = t.doc_id
-                      AND t.pos >= r.s AND t.pos < r.e)
+  ANTI JOIN delpos d ON t.doc_id = d.doc_id AND t.pos = d.p
 ),
 agg AS (
   SELECT doc_id, count(*) AS n_tok,

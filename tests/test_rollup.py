@@ -1210,6 +1210,57 @@ def test_window_drift_adjacent_semantics(spark, tmp_path, capsys):
     assert "adjacent-window drift" in err["error"]
 
 
+def test_window_drift_silent_group_reports_previous(spark, tmp_path, capsys):
+    """A group whose CURRENT window is empty (it went silent) must
+    report (previous = real quantiles, current = NaN) — not NaN/NaN.
+    Regression: the wdds path anchored the previous window at the
+    empty current coverage's 0 sentinel (lo_c - 1 = -1), erasing the
+    loudest alert; the guard mirrors window-topk-drift's."""
+    import math
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    from p2pddsketch_spark.operators.harness import sketch_from_bytes
+    from p2pddsketch_spark.operators.rollup import rollup_state
+
+    state = str(tmp_path / "state")
+    rc = rollup_sketches.main([
+        "update", "--input", f"{SF_DIR}/events.parquet", "--state", state,
+        "--group-cols", "event_type", "--value-col", "value",
+        "--ts-col", "ts", "--sketches", "wdds",
+        "--wdds-bucket", "1d", "--salt-buckets", "4"])
+    assert rc == 0
+    capsys.readouterr()
+
+    pdf = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+           .select("event_type", "value", "ts").toPandas())
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    day_us = 86_400_000_000
+    w = 7 * day_us
+    # every group silent for a full window: anchor one bucket boundary
+    # past the newest data, plus the window (coverage is bucket-granular,
+    # so a non-aligned anchor would still include the straddling bucket)
+    now = (int(ts_us.max()) // day_us + 1) * day_us + w
+
+    blobs = {r["event_type"]: bytes(r["sketch"])
+             for r in rollup_state(spark, state).collect()}
+    rc = rollup_sketches.main([
+        "window-drift", "--state", state, "--windows", "7d",
+        "--quantiles", "0.5,0.99", "--now", str(now)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"]
+    for row in out["rows"]:
+        sk = sketch_from_bytes(blobs[row["event_type"]])
+        q = float(row["metric"][1:])
+        # silent window: NaN rides to JSON as null
+        assert row["current"] is None or math.isnan(row["current"])
+        prv, n_p, _, _ = sk.window_quantiles([q], window=w, now=now - w)
+        assert n_p > 0
+        assert row["previous"] is not None
+        assert row["previous"] == pytest.approx(float(prv[0]))
+
+
 def test_histogram_is_lossless_blob_dump(spark, tmp_path, capsys):
     """`histogram` dumps the stored DDSketch state losslessly (the
     log-γ bin table IS the sketch): CLI rows == local decode's

@@ -28,7 +28,9 @@ def _corpus() -> pd.DataFrame:
     collisions impossible at this size), with planted duplication:
     a 20-token span shared by docs 3 and 7; a 12-token span repeated
     TWICE INSIDE doc 11; doc 20 = doc 21 exactly (whole-doc dup, len L);
-    doc 30 shorter than L."""
+    doc 30 shorter than L; doc 35 a PERIODIC repeat (6-token phrase,
+    period < L, repeated 4x back-to-back) — the self-overlap case where
+    canonical-coverage protection is what keeps one intact copy."""
     rng = np.random.default_rng(42)
     docs = {}
     for d in range(40):
@@ -42,6 +44,8 @@ def _corpus() -> pd.DataFrame:
     docs[20] = whole.copy()
     docs[21] = whole.copy()
     docs[30] = rng.integers(100, 1_000_000, size=L - 1)
+    phrase = rng.integers(100, 1_000_000, size=6)
+    docs[35] = np.tile(phrase, 4)
     return pd.DataFrame({"doc_id": list(docs),
                          "tokens": [[int(t) for t in v]
                                     for v in docs.values()]})
@@ -95,12 +99,13 @@ def test_duplicate_spans_vs_oracle(spark, corpus):
     # the planted structure is actually found
     got = duplicate_spans(sdf, min_len=L).toPandas()
     by_doc = {d: g for d, g in got.groupby("doc_id")}
-    assert set(by_doc) == {3, 7, 11, 20, 21}
+    assert set(by_doc) == {3, 7, 11, 20, 21, 35}
     assert by_doc[3]["span_len"].tolist() == [20]
     assert by_doc[3]["span_start"].tolist() == [10]
     assert by_doc[7]["span_len"].tolist() == [20]
     assert by_doc[11]["span_len"].tolist() == [12, 12]
     assert by_doc[20]["span_len"].tolist() == [L]
+    assert by_doc[35]["span_len"].tolist() == [24]   # whole periodic doc
     # the within-doc repeat disappears under cross_doc_only
     cross = duplicate_spans(sdf, min_len=L, cross_doc_only=True).toPandas()
     assert set(cross["doc_id"]) == {3, 7, 20, 21}
@@ -127,6 +132,9 @@ def test_strip_duplicate_spans_vs_oracle(spark, corpus):
         dele AS (
           SELECT doc_id, pos FROM marked
           WHERE n_occ >= 2 AND (doc_id, pos) != canon),
+        prot AS (
+          SELECT doc_id, pos FROM marked
+          WHERE n_occ >= 2 AND (doc_id, pos) = canon),
         isl AS (
           SELECT doc_id, pos,
                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
@@ -135,8 +143,20 @@ def test_strip_duplicate_spans_vs_oracle(spark, corpus):
         rng AS (
           SELECT doc_id, min(pos) AS s, max(pos) + {L} AS e
           FROM isl GROUP BY doc_id, grp),
+        pisl AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+          FROM prot),
+        prng AS (
+          SELECT doc_id, min(pos) AS s, max(pos) + {L} AS e
+          FROM pisl GROUP BY doc_id, grp),
         delpos AS (
-          SELECT DISTINCT doc_id, unnest(range(s, e)) AS p FROM rng),
+          SELECT DISTINCT doc_id, p
+          FROM (SELECT doc_id, unnest(range(s, e)) AS p FROM rng) dp
+          WHERE NOT EXISTS (SELECT 1 FROM prng
+                            WHERE prng.doc_id = dp.doc_id
+                              AND dp.p >= prng.s AND dp.p < prng.e)),
         toks AS (
           SELECT doc_id, p, tokens[p + 1] AS tok FROM (
             SELECT doc_id, tokens,
@@ -164,6 +184,10 @@ def test_strip_duplicate_spans_vs_oracle(spark, corpus):
     assert list(stripped[30]) == list(orig[30])  # sub-L doc passes through
     # within-doc repeat: second copy of `rep` removed from doc 11
     assert int(got.set_index("doc_id")["n_deleted"][11]) == 12
+    # periodic self-overlap: canonical coverage [0, 5+L) survives, the
+    # rest is cut — an INTACT copy of every duplicated window remains
+    assert list(stripped[35]) == list(orig[35][:5 + L])
+    assert int(got.set_index("doc_id")["n_deleted"][35]) == 24 - (5 + L)
     # untouched docs pass through byte-identical
     for d in (0, 1, 2, 4, 5):
         assert list(stripped[d]) == list(orig[d])
