@@ -45,6 +45,7 @@ HEADLINE = [
 PIPELINE = [
     "bpe_train_merges",
     "tokenize_vocab",
+    "strip_spans",       # exact substring dedup (added round 5)
 ]
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")

@@ -192,3 +192,65 @@ def test_strip_duplicate_spans_vs_oracle(spark, corpus):
     for d in (0, 1, 2, 4, 5):
         assert list(stripped[d]) == list(orig[d])
     del shared
+
+
+def _strip_reference(docs: dict[int, list[int]], L: int) -> dict:
+    """Independent plain-Python replay of the strip rule: duplicated
+    window starts -> canonical = lexicographically-first (doc, pos) ->
+    non-canonical coverage minus canonical coverage is cut."""
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d in sorted(docs):
+        toks = docs[d]
+        for p in range(len(toks) - L + 1):
+            occ.setdefault(tuple(toks[p:p + L]), []).append((d, p))
+    dele: dict[int, set[int]] = {d: set() for d in docs}
+    prot: dict[int, set[int]] = {d: set() for d in docs}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        canon = min(places)
+        for d, p in places:
+            tgt = prot if (d, p) == canon else dele
+            tgt[d].update(range(p, p + L))
+    return {d: [t for i, t in enumerate(docs[d])
+                if i not in (dele[d] - prot[d])]
+            for d in docs}
+
+
+def test_strip_small_alphabet_stress(spark):
+    """Alphabet-6 random corpora are saturated with accidental repeats
+    and self-overlaps — the regime where canonical-coverage protection
+    decides almost every position. Pins the distributed result
+    token-for-token against the independent plain-Python replay, plus
+    the semantic invariant: every duplicated window SURVIVES somewhere
+    intact (the canonical copy), and layout doesn't matter."""
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        docs = {d: [int(t) for t in
+                    rng.integers(0, 6, size=rng.integers(0, 40))]
+                for d in range(30)}
+        pdf = pd.DataFrame({"doc_id": list(docs),
+                            "tokens": list(docs.values())})
+        sdf = spark.createDataFrame(pdf, "doc_id long, tokens array<int>")
+        got = {int(r["doc_id"]): list(r["tokens"])
+               for r in strip_duplicate_spans(sdf, min_len=4).collect()}
+        exp = _strip_reference(docs, 4)
+        assert got == exp, f"seed {seed}"
+        # invariant: every duplicated input window survives intact
+        def windows(token_lists):
+            out = {}
+            for toks in token_lists:
+                for p in range(len(toks) - 4 + 1):
+                    w = tuple(toks[p:p + 4])
+                    out[w] = out.get(w, 0) + 1
+            return out
+        win_in = windows(docs.values())
+        win_out = windows(got.values())
+        for w, c in win_in.items():
+            if c >= 2:
+                assert win_out.get(w, 0) >= 1, (seed, w)
+        # layout invariance: 13 partitions == default
+        got2 = {int(r["doc_id"]): list(r["tokens"])
+                for r in strip_duplicate_spans(
+                    sdf.repartition(13), min_len=4).collect()}
+        assert got2 == exp, f"seed {seed} (repartitioned)"
