@@ -36,12 +36,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's verification window: the
     external gate checks the FIRST 50 entries each round. Round 5
     front-loads the queries whose newest driver row is r3, plus this
-    round's never-verified/changed entries: 44 r3-stale + `dds_signed`
-    (merge of the two signed-codec rows) + `strip_spans` (new) + the 4
-    rows added late in r4 = 50 exactly; the 49 other r4-verified rows
-    sit beyond slot 50 (the bpe_encode row was merged into
-    bpe_tokenize). Registry total 99 — one slot of headroom under the
-    2-window cap.
+    round's never-verified/changed entries: 42 r3-stale + `dds_signed`
+    (merge of the two signed-codec rows) + `strip_spans` (new) +
+    `text_profile` (merge of quality_score + language_id) +
+    `shll_window_users` (new, sliding-family hard oracle) + the 4 rows
+    added late in r4 = 50 exactly; the 49 other r4-verified rows sit
+    beyond slot 50 (the bpe_encode row was merged into bpe_tokenize).
+    Registry total 99 — one slot of headroom under the 2-window cap.
     tests/test_query_oracles.py::test_registry_window_policy
     mechanically bounds staleness: every slot-51+ entry must have a green
     row in the LATEST CORRECTNESS_r*.json — so no query's newest driver
@@ -87,8 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens_exact": Q.q_top_tokens,
         "distinct_tokens_by_source": Q.q_distinct_tokens_by_source,
         "doc_stats": Q.q_doc_stats,
-        "quality_score": Q.q_quality_score,
-        "language_id": Q.q_language_id,
+        # round-5 merge: quality + language in one per-doc profile row
+        "text_profile": Q.q_text_profile,
+        # round-5 new: sliding-HLL window registers, splitmix64-in-SQL twin
+        "shll_window_users": Q.q_shll_window_users,
         "token_count_regex": Q.q_token_count_regex,
         "repetition_stats": Q.q_repetition_stats,
         "exact_dedup_stats": Q.q_exact_dedup_stats,

@@ -2010,3 +2010,63 @@ SELECT d.doc_id,
 FROM d LEFT JOIN agg USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------- round-5 gate merges
+
+# text_profile = quality_score ⋈ language_id (one per-doc profile row;
+# the two SQL twins compose by join, so nothing is re-derived)
+_QUAL_SQL = ORACLES.pop("quality_score")
+_LANG_SQL = ORACLES.pop("language_id")
+ORACLES["text_profile"] = f"""
+SELECT doc_id, n_words, quality, lang_pred
+FROM ({_QUAL_SQL}) q JOIN ({_LANG_SQL}) l USING (doc_id)
+ORDER BY doc_id
+"""
+
+# Sliding-HLL window registers (p=14, seed=0): splitmix64 per distinct
+# in-window user in HUGEINT-mod-2^64 SQL (same chain as the
+# stratified_sample twin), register = z >> 50, rho = 50 - hb(z mod 2^50)
+# with hb computed EXACTLY via length(bin(r)) (float log2 of 2^50-1
+# rounds up at 1 ulp); window = ts >= tmax - days (the to_hll cutoff
+# convention). Checksum Σ (idx+1)·max_rho pins every register byte.
+_SHLL_P2 = 1 << 50          # 2^(64 - p)
+ORACLES["shll_window_users"] = f"""
+WITH mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+win AS (SELECT 7 AS wd UNION ALL SELECT 30 AS wd),
+f AS (
+  SELECT DISTINCT e.event_type, w.wd, e.user_id
+  FROM events e, win w, mx
+  WHERE epoch_us(e.ts) >= mx.tmax - w.wd * 86400000000::HUGEINT
+),
+s0 AS (SELECT event_type, wd,
+              (user_id::HUGEINT + 11400714819323198485::HUGEINT)
+                % 18446744073709551616::HUGEINT AS z
+       FROM f),
+s1 AS (SELECT event_type, wd,
+              {_mulc_u64("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+       FROM s0),
+s2 AS (SELECT event_type, wd,
+              {_mulc_u64("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+       FROM s1),
+h AS (SELECT event_type, wd, xor(z, z // 2147483648::HUGEINT) AS z FROM s2),
+reg AS (
+  SELECT event_type, wd, z // {_SHLL_P2}::HUGEINT AS idx,
+         max(CASE WHEN z % {_SHLL_P2}::HUGEINT = 0 THEN 51
+                  ELSE 50 - (length(bin(z % {_SHLL_P2}::HUGEINT)) - 1)
+             END) AS rho
+  FROM h GROUP BY event_type, wd, idx
+),
+agg AS (
+  SELECT event_type, wd, count(*) AS n_nonzero,
+         sum((idx + 1) * rho) AS reg_checksum
+  FROM reg GROUP BY event_type, wd
+)
+SELECT e.event_type, CAST(w.wd AS INT) AS window_days,
+       CAST(COALESCE(a.n_nonzero, 0) AS BIGINT) AS n_nonzero,
+       CAST(COALESCE(a.reg_checksum, 0) AS BIGINT) AS reg_checksum
+FROM (SELECT DISTINCT event_type FROM events) e
+CROSS JOIN win w
+LEFT JOIN agg a ON a.event_type = e.event_type AND a.wd = w.wd
+ORDER BY e.event_type, window_days
+"""

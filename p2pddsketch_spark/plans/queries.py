@@ -2120,3 +2120,53 @@ def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_deleted").cast("long").alias("n_deleted"),
                        F.md5(F.array_join("w", " ")).alias("kept_md5"))
             .orderBy("doc_id"))
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile in ONE gate row (round-5 merge of the
+    `quality_score` + `language_id` rows — same operator family, same
+    per-doc exact-SQL oracle pattern): composite quality score joined
+    with the n-gram-marker language prediction."""
+    docs = load(spark, sf_dir, "documents")
+    qual = text.quality_score(docs)
+    lang = docs.select("doc_id",
+                       text.language_id_col("text").alias("lang_pred"))
+    return qual.join(lang, "doc_id").orderBy("doc_id")
+
+
+def q_shll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-HLL trailing-window distinct users per event_type — the
+    sliding-sketch family's first HARD gate row. The skyline invariant
+    (sliding_hll.py: for any cutoff, the derived registers are
+    byte-identical to a fresh HLL fed only the window's items) makes
+    the WINDOW REGISTER STATE deterministic and SQL-replayable: the
+    twin recomputes splitmix64 per distinct in-window user in
+    HUGEINT-mod-2^64 SQL, derives (register, rho) with exact bit
+    arithmetic (hb via length(bin(r)) — no float log2), and aggregates
+    the same positional checksum Σ (idx+1)·max_rho. Estimates stay
+    pytest-bound (HLL++ bias table is not SQL); the registers ARE the
+    sketch, so this pins the full distributed build + merge tree +
+    skyline cutoff algebra at two window sizes."""
+    from p2pddsketch_spark.operators.harness import (
+        pair_extractor as _ts_pair_extractor)
+    from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
+    ev = load(spark, sf_dir, "events")
+    out = build_sketches(
+        ev, [SketchSpec("shll", lambda: SlidingHyperLogLog(p=14),
+                        _ts_pair_extractor("user_id", "ts"))],
+        group_cols=("event_type",), salt_buckets=8)
+    sk = {key[0]: s for key, s in
+          collect_sketches(out, group_cols=("event_type",)).items()}
+    day = 86_400_000_000
+    tmax = max(int(s.t_max) for s in sk.values())
+    weights = np.arange(1 << 14, dtype=np.int64) + 1
+    rows = []
+    for et in sorted(sk):
+        for wd in (7, 30):
+            regs = sk[et].to_hll(tmax - wd * day).registers.astype(np.int64)
+            rows.append((et, wd, int((regs > 0).sum()),
+                         int((weights * regs).sum())))
+    return (spark.createDataFrame(
+        rows, "event_type string, window_days int, "
+              "n_nonzero long, reg_checksum long")
+        .orderBy("event_type", "window_days"))

@@ -22,7 +22,8 @@ SUBSET = [
     "tpch_q1",                  # relational
     "top_tokens_exact",         # text
     "doc_stats",
-    "language_id",
+    "text_profile",            # quality + language merged profile (r5)
+    "shll_window_users",       # sliding-HLL window registers, hard twin
     "exact_dedup_stats",        # dedup
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",        # LSH == exact pair set at this banding
