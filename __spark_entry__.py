@@ -36,13 +36,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's verification window: the
     external gate checks the FIRST 50 entries each round. Round 5
     front-loads the queries whose newest driver row is r3, plus this
-    round's never-verified/changed entries: 42 r3-stale + `dds_signed`
+    round's never-verified/changed entries: 40 r3-stale + `dds_signed`
     (merge of the two signed-codec rows) + `strip_spans` (new) +
-    `text_profile` (merge of quality_score + language_id) +
-    `shll_window_users` (new, sliding-family hard oracle) + the 4 rows
-    added late in r4 = 50 exactly; the 49 other r4-verified rows sit
-    beyond slot 50 (the bpe_encode row was merged into bpe_tokenize).
-    Registry total 99 — one slot of headroom under the 2-window cap.
+    `text_profile` (merge of doc_stats + quality_score + language_id +
+    repetition_stats) + `shll_window_users` + `wss_window_top_users`
+    (new, the sliding family's two hard-oracle rows) + the 4 rows added
+    late in r4 = 49; slot 50 falls to the first r4-verified row, which
+    simply gets re-verified a round early. The other r4-verified rows
+    sit beyond slot 50 (bpe_encode was merged into bpe_tokenize).
+    Registry total 98 — two slots of headroom under the 2-window cap.
     tests/test_query_oracles.py::test_registry_window_policy
     mechanically bounds staleness: every slot-51+ entry must have a green
     row in the LATEST CORRECTNESS_r*.json — so no query's newest driver
@@ -87,13 +89,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_top_pairs": Q.q_bpe_top_pairs,
         "top_tokens_exact": Q.q_top_tokens,
         "distinct_tokens_by_source": Q.q_distinct_tokens_by_source,
-        "doc_stats": Q.q_doc_stats,
-        # round-5 merge: quality + language in one per-doc profile row
+        # round-5 merge: doc_stats + quality_score + language_id +
+        # repetition_stats in one per-doc profile row
         "text_profile": Q.q_text_profile,
         # round-5 new: sliding-HLL window registers, splitmix64-in-SQL twin
         "shll_window_users": Q.q_shll_window_users,
+        # round-5 new: windowed-SpaceSaving heavy hitters, exact regime
+        "wss_window_top_users": Q.q_wss_window_top_users,
         "token_count_regex": Q.q_token_count_regex,
-        "repetition_stats": Q.q_repetition_stats,
         "exact_dedup_stats": Q.q_exact_dedup_stats,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard,
         "rolling_fingerprint": Q.q_rolling_fingerprint,

@@ -2014,13 +2014,20 @@ ORDER BY doc_id
 
 # ------------------------------------------------- round-5 gate merges
 
-# text_profile = quality_score ⋈ language_id (one per-doc profile row;
-# the two SQL twins compose by join, so nothing is re-derived)
+# text_profile = doc_stats ⋈ quality_score ⋈ language_id ⋈
+# repetition_stats (one per-doc profile row; the four SQL twins compose
+# by join, so nothing is re-derived)
+_STATS_SQL = ORACLES.pop("doc_stats")
 _QUAL_SQL = ORACLES.pop("quality_score")
 _LANG_SQL = ORACLES.pop("language_id")
+_REP_SQL = ORACLES.pop("repetition_stats")
 ORACLES["text_profile"] = f"""
-SELECT doc_id, n_words, quality, lang_pred
-FROM ({_QUAL_SQL}) q JOIN ({_LANG_SQL}) l USING (doc_id)
+SELECT s.*, q.quality, l.lang_pred, r.n_grams, r.max_gram_count,
+       r.rep_score
+FROM ({_STATS_SQL}) s
+JOIN (SELECT doc_id, quality FROM ({_QUAL_SQL})) q USING (doc_id)
+JOIN ({_LANG_SQL}) l USING (doc_id)
+JOIN ({_REP_SQL}) r USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -2069,4 +2076,46 @@ FROM (SELECT DISTINCT event_type FROM events) e
 CROSS JOIN win w
 LEFT JOIN agg a ON a.event_type = e.event_type AND a.wd = w.wd
 ORDER BY e.event_type, window_days
+"""
+
+
+# Windowed-SpaceSaving heavy hitters, exact regime (k=4096 >> user
+# universe): counts exact, err literally 0, rank = (count DESC, user
+# ASC). Coverage re-derived independently: whole days [bid_min,
+# bid_max] from the global max ts with wss.window_sketch's straddle
+# rule (bid_min advances one day only when the window edge is the last
+# microsecond of its day).
+_W_DAY = 86_400_000_000
+ORACLES["wss_window_top_users"] = f"""
+WITH mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+win AS (SELECT 7 AS wd UNION ALL SELECT 30 AS wd),
+bounds AS (
+  SELECT w.wd,
+         mx.tmax // {_W_DAY} AS bid_max,
+         CASE WHEN ((mx.tmax - w.wd * {_W_DAY}) // {_W_DAY}) * {_W_DAY}
+                   + {_W_DAY} - 1 <= mx.tmax - w.wd * {_W_DAY}
+              THEN (mx.tmax - w.wd * {_W_DAY}) // {_W_DAY} + 1
+              ELSE (mx.tmax - w.wd * {_W_DAY}) // {_W_DAY} END AS bid_min
+  FROM win w, mx
+),
+f AS (
+  SELECT b.wd, e.event_type, e.user_id
+  FROM events e, bounds b
+  WHERE epoch_us(e.ts) // {_W_DAY} BETWEEN b.bid_min AND b.bid_max
+),
+cnt AS (SELECT wd, event_type, user_id, count(*) AS cnt
+        FROM f GROUP BY wd, event_type, user_id),
+tot AS (SELECT wd, event_type, sum(cnt) AS n_covered
+        FROM cnt GROUP BY wd, event_type),
+rk AS (SELECT wd, event_type, user_id, cnt,
+              ROW_NUMBER() OVER (PARTITION BY wd, event_type
+                                 ORDER BY cnt DESC, user_id ASC) AS rnk
+       FROM cnt)
+SELECT r.event_type, CAST(r.wd AS INT) AS window_days,
+       CAST(r.rnk AS INT) AS rank, CAST(r.user_id AS BIGINT) AS user_id,
+       CAST(r.cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err,
+       CAST(t.n_covered AS BIGINT) AS n_covered
+FROM rk r JOIN tot t ON r.wd = t.wd AND r.event_type = t.event_type
+WHERE r.rnk <= 10
+ORDER BY r.event_type, window_days, rank
 """

@@ -2124,14 +2124,56 @@ def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile in ONE gate row (round-5 merge of the
-    `quality_score` + `language_id` rows — same operator family, same
-    per-doc exact-SQL oracle pattern): composite quality score joined
-    with the n-gram-marker language prediction."""
+    `doc_stats` + `quality_score` + `language_id` + `repetition_stats`
+    rows — one operator family, one per-doc exact-SQL oracle pattern):
+    length/stopword/diversity stats, the composite quality score, the
+    n-gram-marker language prediction, and the boilerplate repetition
+    signal, joined on doc_id."""
     docs = load(spark, sf_dir, "documents")
-    qual = text.quality_score(docs)
+    stats = text.doc_stats(docs)
+    qual = text.quality_score(docs).select("doc_id", "quality")
     lang = docs.select("doc_id",
                        text.language_id_col("text").alias("lang_pred"))
-    return qual.join(lang, "doc_id").orderBy("doc_id")
+    rep = text.repetition_stats(docs, n=3)
+    return (stats.join(qual, "doc_id").join(lang, "doc_id")
+            .join(rep, "doc_id").orderBy("doc_id"))
+
+
+def q_wss_window_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-SpaceSaving trailing-window heavy hitters per
+    event_type — the sliding family's second HARD gate row, exact
+    regime: capacity k=4096 dominates every per-bucket AND merged-window
+    user universe (150 at sf0.01), so counts are exact, err is pinned
+    to literal 0, and the ranking (count DESC, user ASC) equals plain
+    SQL. Coverage is bucket-granular (whole days); the twin re-derives
+    the same [bid_min, bid_max] day range from the global max timestamp
+    with the identical straddle rule, so the counted row set matches
+    without referencing any Spark output."""
+    from p2pddsketch_spark.operators.harness import (
+        pair_extractor as _ts_pair_extractor)
+    from p2pddsketch_spark.sketches.wss import WindowedSpaceSaving
+    day = 86_400_000_000
+    ev = load(spark, sf_dir, "events")
+    out = build_sketches(
+        ev, [SketchSpec("wss",
+                        lambda: WindowedSpaceSaving(
+                            k=4096, bucket_width=day, max_buckets=64),
+                        _ts_pair_extractor("user_id", "ts"))],
+        group_cols=("event_type",), salt_buckets=8)
+    sk = {key[0]: s for key, s in
+          collect_sketches(out, group_cols=("event_type",)).items()}
+    tmax = max(int(s.t_max) for s in sk.values())
+    rows = []
+    for et in sorted(sk):
+        for wd in (7, 30):
+            top, ncov, _, _ = sk[et].window_top(10, wd * day, now=tmax)
+            for rk, (item, cnt, err) in enumerate(top, start=1):
+                rows.append((et, wd, rk, int(item), int(cnt), int(err),
+                             int(ncov)))
+    return (spark.createDataFrame(
+        rows, "event_type string, window_days int, rank int, "
+              "user_id long, cnt long, err long, n_covered long")
+        .orderBy("event_type", "window_days", "rank"))
 
 
 def q_shll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:

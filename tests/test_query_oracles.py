@@ -21,7 +21,6 @@ SUBSET = [
     "dds_events_hourly",        # windowed
     "tpch_q1",                  # relational
     "top_tokens_exact",         # text
-    "doc_stats",
     "text_profile",            # quality + language merged profile (r5)
     "shll_window_users",       # sliding-HLL window registers, hard twin
     "exact_dedup_stats",        # dedup
@@ -55,7 +54,7 @@ SUBSET = [
     "dds_udaf_by_flag",         # GROUPED_AGG binary UDAF vs quantile SQL
     "revenue_cube",             # grouping sets vs GROUP BY CUBE
     "value_pivot",              # explicit-list pivot vs conditional agg
-    "repetition_stats",         # boilerplate signal vs per-gram count SQL
+    "wss_window_top_users",     # windowed SpaceSaving exact-regime top-k
     "chunk_text",               # overlapping chunks vs closed-form re-slice
     "image_decode_features",    # distributed PPM decode vs splitmix pixel twin
     "theta_daily_retention",    # DAU retention from per-day theta state
