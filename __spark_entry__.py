@@ -36,11 +36,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's verification window: the
     external gate checks the FIRST 50 entries each round. Round 5
     front-loads the queries whose newest driver row is r3, plus this
-    round's never-verified/changed entries: 40 r3-stale + `dds_signed`
-    (merge of the two signed-codec rows) + `strip_spans` (new) +
-    `text_profile` (merge of doc_stats + quality_score + language_id +
-    repetition_stats) + `shll_window_users` + `wss_window_top_users`
-    (new, the sliding family's two hard-oracle rows) + the 4 rows added
+    round's never-verified/changed entries: 36 r3-stale + 4 round-5
+    merges of r3-stale rows (`dds_signed`, `dds_catalyst`, `dds_rank`,
+    `text_profile` — each folds two-to-four same-family rows under a
+    tag column, one composed twin) + 5 new hard-oracle rows
+    (`strip_spans`, and the sliding family's `shll_window_users`,
+    `wss_window_top_users`, `eh_window_counts`, `ecm_window_freq` —
+    every sliding sketch now has a driver gate row) + the 4 rows added
     late in r4 = 49; slot 50 falls to the first r4-verified row, which
     simply gets re-verified a round early. The other r4-verified rows
     sit beyond slot 50 (bpe_encode was merged into bpe_tokenize).
@@ -60,18 +62,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": Q.q_neardup_clusters,
         "dds_value_by_user_bucket": Q.q_dds_value_by_user_bucket,
         "dds_turnstile_lineitem": Q.q_dds_turnstile,
-        "dds_events_catalyst": Q.q_dds_events_sql,
+        # round-5 merge: both pure-Catalyst quantile-plan forms in one
+        # row (src column; was dds_events_catalyst + dds_doclen_by_lang)
+        "dds_catalyst": Q.q_dds_catalyst,
         # round-5 merge: both signed-codec forms in one row (form column)
         "dds_signed": Q.q_dds_signed,
         # round-5 new: exact substring dedup (fills the slot the merge freed)
         "strip_spans": Q.q_strip_spans,
-        "dds_doclen_by_lang": Q.q_dds_doclen_by_lang,
+        # round-5 new: DGIM exponential-histogram window counts (exact
+        # regime over the Catalyst-pre-aggregated hourly table)
+        "eh_window_counts": Q.q_eh_window_counts,
         "dds_events_hourly": Q.q_dds_events_hourly,
         "dds_sliding_p95": Q.q_dds_sliding_p95,
         "dds_daily_rollup": Q.q_dds_daily_rollup,
         "dds_decayed_quantiles": Q.q_dds_decayed,
-        "dds_rank_enrich": Q.q_dds_rank_enrich,
-        "dds_rank_by_user_bucket": Q.q_dds_rank_by_user_bucket,
+        # round-5 merge: global + cohort percentile-rank enrichment in
+        # one row (scope column; was dds_rank_enrich + dds_rank_by_user_bucket)
+        "dds_rank": Q.q_dds_rank,
+        # round-5 new: ECM-sketch windowed per-user frequencies (exact-EH
+        # regime, collision-inclusive splitmix64-in-SQL twin)
+        "ecm_window_freq": Q.q_ecm_window_freq,
         "tpch_q6": Q.q_tpch_q6,
         "top_orders": Q.q_top_orders,
         "join_revenue_by_nation": Q.q_join_topsuppliers,

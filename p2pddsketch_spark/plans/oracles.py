@@ -85,6 +85,27 @@ ORACLES["dds_rank_by_user_bucket"] = duckdb_rank_sql(
 ORACLES["dds_sliding_p95"] = duckdb_sliding_quantile_sql(
     "events", "value", "ts", [0.5, 0.95], alpha=0.01, window_hours=6)
 
+# merged gate row (round 5): both pure-Catalyst quantile-plan forms —
+# ungrouped events.value and lang-grouped documents.n_chars — in one
+# row, tagged by `src` (`lang` NULL on the ungrouped side)
+ORACLES["dds_catalyst"] = (
+    f"SELECT 'events_value' AS src, CAST(NULL AS VARCHAR) AS lang, * "
+    f"FROM ({ORACLES.pop('dds_events_catalyst')}) "
+    f"UNION ALL "
+    f"SELECT 'documents_len_by_lang' AS src, lang, q, bucket_key, "
+    f"estimate, n FROM ({ORACLES.pop('dds_doclen_by_lang')}) "
+    f"ORDER BY src, lang, q")
+
+# merged gate row (round 5): global + cohort percentile-rank enrichment
+# in one row, tagged by `scope` (`user_bucket` NULL on the global side)
+ORACLES["dds_rank"] = (
+    f"SELECT 'global' AS scope, CAST(NULL AS BIGINT) AS user_bucket, * "
+    f"FROM ({ORACLES.pop('dds_rank_enrich')}) "
+    f"UNION ALL "
+    f"SELECT 'cohort' AS scope, user_bucket, event_id, pct_rank "
+    f"FROM ({ORACLES.pop('dds_rank_by_user_bucket')}) "
+    f"ORDER BY scope, event_id")
+
 ORACLES["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
@@ -2076,6 +2097,81 @@ FROM (SELECT DISTINCT event_type FROM events) e
 CROSS JOIN win w
 LEFT JOIN agg a ON a.event_type = e.event_type AND a.wd = w.wd
 ORDER BY e.event_type, window_days
+"""
+
+
+# Exponential-histogram trailing-window counts, exact regime: the Spark
+# side pre-aggregates to per-(event_type, hour) counts before the
+# harness, so each (group, hour) occurs exactly once and the bucket
+# table is the binary decomposition of the hourly counts (k=4096 >> 720
+# hour-buckets per size class — compaction never fires). est = exact
+# windowed count (no straddlers: every bucket has t_old == t_new), err
+# is literally 0, n_buckets = Σ bit_count(hourly count), total = rows.
+ORACLES["eh_window_counts"] = """
+WITH h AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS th, count(*) AS c
+  FROM events GROUP BY event_type, th
+),
+mx AS (SELECT max(th) AS tmax FROM h),
+win AS (SELECT 7 AS wd UNION ALL SELECT 30 AS wd)
+SELECT h.event_type, CAST(w.wd AS INT) AS window_days,
+       CAST(sum(CASE WHEN h.th > mx.tmax - w.wd * 86400000000
+                THEN h.c ELSE 0 END) AS BIGINT) AS est,
+       CAST(0 AS BIGINT) AS err,
+       CAST(sum(bit_count(h.c)) AS BIGINT) AS n_buckets,
+       CAST(sum(h.c) AS BIGINT) AS total
+FROM h, win w, mx
+GROUP BY h.event_type, w.wd
+ORDER BY h.event_type, window_days
+"""
+
+# ECM-sketch trailing-window per-user frequencies, exact-EH regime
+# (depth=4, width=2048, seed=0): splitmix64(user, seed=r+1) per row r in
+# HUGEINT-mod-2^64 SQL (seed chain: z0 = x + GOLDEN·(seed+1), so row r
+# adds GOLDEN·(r+2) mod 2^64), cell = z % width; per-(row, cell)
+# windowed mass INCLUDES hash collisions, estimate = min over the 4
+# rows — identical arithmetic to EcmSketch._cells/estimate. err is
+# literally 0 (no bucket ever straddles: distinct timestamps keep
+# every size class below k=4096, so t_old == t_new throughout).
+_ECM_G = 0x9E3779B97F4A7C15
+_ECM_ROWS = ", ".join(
+    f"({r}, {(_ECM_G * (r + 2)) & 0xFFFFFFFFFFFFFFFF}::HUGEINT)"
+    for r in range(4))
+ORACLES["ecm_window_freq"] = f"""
+WITH rws AS (SELECT * FROM (VALUES {_ECM_ROWS}) t(r, addc)),
+mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+win AS (SELECT 7 AS wd UNION ALL SELECT 30 AS wd),
+ks AS (SELECT DISTINCT user_id FROM events),
+s0 AS (SELECT k.user_id, r.r,
+              (k.user_id::HUGEINT + r.addc)
+                % 18446744073709551616::HUGEINT AS z
+       FROM ks k CROSS JOIN rws r),
+s1 AS (SELECT user_id, r,
+              {_mulc_u64("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+       FROM s0),
+s2 AS (SELECT user_id, r,
+              {_mulc_u64("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+       FROM s1),
+cells AS (SELECT user_id, r,
+                 xor(z, z // 2147483648::HUGEINT) % 2048::HUGEINT AS cell
+          FROM s2),
+mass AS (
+  SELECT c.r, c.cell, w.wd, count(*) AS m
+  FROM events e
+  JOIN cells c ON c.user_id = e.user_id
+  CROSS JOIN win w
+  CROSS JOIN mx
+  WHERE epoch_us(e.ts) > mx.tmax - w.wd * 86400000000::HUGEINT
+  GROUP BY c.r, c.cell, w.wd
+)
+SELECT c.user_id, CAST(w.wd AS INT) AS window_days,
+       CAST(min(COALESCE(m.m, 0)) AS BIGINT) AS est,
+       CAST(0 AS BIGINT) AS err
+FROM cells c
+CROSS JOIN win w
+LEFT JOIN mass m ON m.r = c.r AND m.cell = c.cell AND m.wd = w.wd
+GROUP BY c.user_id, w.wd
+ORDER BY c.user_id, window_days
 """
 
 

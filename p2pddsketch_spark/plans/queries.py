@@ -180,6 +180,21 @@ def q_dds_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   QS, alpha=0.01, group_cols=("lang",))
 
 
+def q_dds_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both pure-Catalyst quantile-plan forms in ONE gate row (round-5
+    merge of the `dds_events_catalyst` + `dds_doclen_by_lang` rows —
+    identical operator, one SQL twin each): the ungrouped plan over
+    events.value and the grouped plan over documents.n_chars by lang,
+    tagged by a `src` column (`lang` is NULL on the ungrouped rows)."""
+    ev = (q_dds_events_sql(spark, sf_dir)
+          .withColumn("src", F.lit("events_value"))
+          .withColumn("lang", F.lit(None).cast("string")))
+    dl = (q_dds_doclen_by_lang(spark, sf_dir)
+          .withColumn("src", F.lit("documents_len_by_lang")))
+    return (ev.unionByName(dl.select(*ev.columns))
+            .orderBy("src", "lang", "q"))
+
+
 def q_dds_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window p95 of event value per hour bucket — the batch twin
     of the streaming windowed sketch (tz-safe epoch-hour bucketing)."""
@@ -235,6 +250,22 @@ def q_dds_rank_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ddsketch_rank_plan(ev, "value", alpha=0.01,
                              group_cols=("user_bucket",))
     return out.where(F.col("event_id") < 2000).orderBy("event_id")
+
+
+def q_dds_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both percentile-rank-enrichment forms in ONE gate row (round-5
+    merge of the `dds_rank_enrich` + `dds_rank_by_user_bucket` rows —
+    same operator, global vs cohort scope): every event annotated with
+    its estimated percentile from the global sketch AND from its own
+    user-bucket cohort's sketch, tagged by a `scope` column
+    (`user_bucket` is NULL on the global rows)."""
+    glob = (q_dds_rank_enrich(spark, sf_dir)
+            .withColumn("scope", F.lit("global"))
+            .withColumn("user_bucket", F.lit(None).cast("long")))
+    coh = (q_dds_rank_by_user_bucket(spark, sf_dir)
+           .withColumn("scope", F.lit("cohort")))
+    return (glob.unionByName(coh.select(*glob.columns))
+            .orderBy("scope", "event_id"))
 
 
 def q_dds_sliding_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2174,6 +2205,87 @@ def q_wss_window_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "event_type string, window_days int, rank int, "
               "user_id long, cnt long, err long, n_covered long")
         .orderBy("event_type", "window_days", "rank"))
+
+
+def q_eh_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-histogram trailing-window event counts per
+    event_type — the sliding family's DGIM gate row. Scale shape: the
+    raw stream is pre-aggregated to per-(event_type, hour) counts in
+    pure Catalyst (map-side combine — at 100 TB the harness ingests a
+    ≤ 720-row-per-group hourly table, not the fact table), then the
+    weighted [hour_ts, count] pairs ride the mapInArrow → merge tree.
+    Exact regime: each (group, hour) row exists exactly once after the
+    groupBy, so the bucket table IS the binary decomposition of the
+    hourly counts — with ≤ 720 buckets per size class and k=4096 the
+    compaction never fires, making the state layout-invariant and the
+    whole row SQL-replayable: est = exact windowed count (err pinned 0,
+    no straddlers since every bucket has t_old == t_new),
+    n_buckets = Σ bit_count(hourly count), total = rows. Compacted-
+    regime behavior (the actual O(k·log N) memory bound) is
+    property-pinned against brute force in tests/test_sliding_sketches.py."""
+    from p2pddsketch_spark.operators.harness import pair_extractor
+    from p2pddsketch_spark.sketches.eh import ExpHistogram
+    day = 86_400_000_000
+    hourly = (load(spark, sf_dir, "events")
+              .groupBy("event_type",
+                       F.date_trunc("hour", F.col("ts")).alias("ts_hour"))
+              .agg(F.count("*").alias("cnt")))
+    # pair_extractor emits [col_a, col_b]; ExpHistogram's raw pair form
+    # is [timestamp, count] — so col_a is the (hour) timestamp here
+    out = build_sketches(
+        hourly, [SketchSpec("eh", lambda: ExpHistogram(k=4096),
+                            pair_extractor("ts_hour", "cnt"))],
+        group_cols=("event_type",), salt_buckets=8)
+    sk = {key[0]: s for key, s in
+          collect_sketches(out, group_cols=("event_type",)).items()}
+    tmax = max(int(s.t_max) for s in sk.values())
+    rows = []
+    for et in sorted(sk):
+        for wd in (7, 30):
+            est, err = sk[et].count_last(wd * day, now=tmax)
+            rows.append((et, wd, int(round(est)), int(round(err)),
+                         int(sk[et].n_buckets), int(sk[et].total)))
+    return (spark.createDataFrame(
+        rows, "event_type string, window_days int, est long, err long, "
+              "n_buckets long, total long")
+        .orderBy("event_type", "window_days"))
+
+
+def q_ecm_window_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECM-sketch trailing-window per-user frequencies — the sliding
+    family's count-min gate row. One global EcmSketch(depth=4,
+    width=2048) over raw (user_id, ts) pairs through the harness; every
+    distinct user probed at the 7d and 30d cutoffs. Exact-EH regime:
+    event timestamps are distinct at fixture SFs and per-cell mass is
+    ~n/width, so no size class ever exceeds k=4096 and each cell's
+    windowed mass is exact (err pinned 0) — the point estimate is then
+    min over the 4 rows of the cell mass INCLUDING hash collisions,
+    which the DuckDB twin replays exactly: splitmix64(user, seed=r+1)
+    per row in HUGEINT-mod-2^64 SQL, per-(row, cell) windowed masses,
+    same min. The collision-mass and compaction bounds are
+    property-pinned in tests/test_sliding_sketches.py."""
+    from p2pddsketch_spark.operators.harness import pair_extractor
+    from p2pddsketch_spark.sketches.ecm import EcmSketch
+    day = 86_400_000_000
+    ev = load(spark, sf_dir, "events")
+    out = build_sketches(
+        ev, [SketchSpec("ecm",
+                        lambda: EcmSketch(depth=4, width=2048, k=4096),
+                        pair_extractor("user_id", "ts"))],
+        salt_buckets=8)
+    sk = collect_sketches(out)["ecm"]
+    users = np.array([r[0] for r in
+                      ev.select("user_id").distinct().orderBy("user_id")
+                      .collect()], dtype=np.int64)
+    tmax = int(sk.t_max)
+    rows = []
+    for wd in (7, 30):
+        est, err = sk.estimate(users, cutoff=tmax - wd * day)
+        rows.extend((int(u), wd, int(round(e)), int(round(x)))
+                    for u, e, x in zip(users, est, err))
+    return (spark.createDataFrame(
+        rows, "user_id long, window_days int, est long, err long")
+        .orderBy("user_id", "window_days"))
 
 
 def q_shll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,8 +16,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # fast representative subset (full set runs in tools/check_correctness.py)
 SUBSET = [
     "dds_quantiles_lineitem",   # harness pipeline path
-    "dds_events_catalyst",      # pure Catalyst path
-    "dds_doclen_by_lang",       # grouped Catalyst
+    "dds_catalyst",             # both pure-Catalyst forms (r5 merge)
     "dds_events_hourly",        # windowed
     "tpch_q1",                  # relational
     "top_tokens_exact",         # text
@@ -34,8 +33,9 @@ SUBSET = [
     "dds_turnstile_lineitem",   # turnstile insert+delete pipeline
     "neardup_clusters",         # connected components vs recursive CTE
     "bm25_topk",                # BM25 ranked retrieval
-    "dds_rank_enrich",          # percentile-rank enrichment (inverse query)
-    "dds_rank_by_user_bucket",  # cohort percentile ranks
+    "dds_rank",                 # global + cohort percentile ranks (r5 merge)
+    "eh_window_counts",         # DGIM exponential histogram, exact regime
+    "ecm_window_freq",          # ECM windowed count-min, collision-exact twin
     "fd_gram_exact",            # Frequent Directions lossless gram
     "heavy_users_spacesaving",  # SpaceSaving exact-k == GROUP BY count
     "theta_token_overlap",      # theta under-k == exact set ops
