@@ -36,17 +36,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's verification window: the
     external gate checks the FIRST 50 entries each round. Round 5
     front-loads the queries whose newest driver row is r3, plus this
-    round's never-verified/changed entries: 36 r3-stale + 4 round-5
-    merges of r3-stale rows (`dds_signed`, `dds_catalyst`, `dds_rank`,
-    `text_profile` — each folds two-to-four same-family rows under a
-    tag column, one composed twin) + 5 new hard-oracle rows
-    (`strip_spans`, and the sliding family's `shll_window_users`,
-    `wss_window_top_users`, `eh_window_counts`, `ecm_window_freq` —
-    every sliding sketch now has a driver gate row) + the 4 rows added
-    late in r4 = 49; slot 50 falls to the first r4-verified row, which
-    simply gets re-verified a round early. The other r4-verified rows
-    sit beyond slot 50 (bpe_encode was merged into bpe_tokenize).
-    Registry total 98 — two slots of headroom under the 2-window cap.
+    round's never-verified/changed entries: 33 r3-stale + 6 round-5
+    merges of in-window rows (`dds_signed`, `dds_catalyst`, `dds_rank`,
+    `text_profile`, `token_stats`, `packing` — each folds two-to-four
+    same-family rows under a tag column, one composed twin) + 8 new
+    hard-oracle rows (`strip_spans`; the sliding family's
+    `shll_window_users`, `wss_window_top_users`, `eh_window_counts`,
+    `ecm_window_freq`, `wdds_window_quantiles` — EVERY sliding sketch
+    now has a driver gate row; `semdedup_pairs` and `kmeans_centroid`
+    in their exactness regimes) + 3 rows added late in r4
+    (`bpe_tokenize`, `ams_joinsize`, `minhash_tokens_pairs`;
+    `bpe_encode` and `bpe_pack` were folded into `bpe_tokenize` /
+    `packing`) = 50 exactly. All r4-verified rows sit beyond slot 50.
+    Registry total 99 — one slot of headroom under the 2-window cap.
     tests/test_query_oracles.py::test_registry_window_policy
     mechanically bounds staleness: every slot-51+ entry must have a green
     row in the LATEST CORRECTNESS_r*.json — so no query's newest driver
@@ -97,8 +99,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_duration_p95": Q.q_session_duration_p95,
         "cohort_retention": Q.q_cohort_retention,
         "bpe_top_pairs": Q.q_bpe_top_pairs,
-        "top_tokens_exact": Q.q_top_tokens,
-        "distinct_tokens_by_source": Q.q_distinct_tokens_by_source,
+        # round-5 merge: top_tokens_exact + distinct_tokens_by_source in
+        # one tagged frame (stat column)
+        "token_stats": Q.q_token_stats,
         # round-5 merge: doc_stats + quality_score + language_id +
         # repetition_stats in one per-doc profile row
         "text_profile": Q.q_text_profile,
@@ -111,14 +114,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": Q.q_ngram_jaccard,
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "bm25_topk": Q.q_bm25_topk,
-        "pack_sequences": Q.q_pack_sequences,
+        # round-5 merge: pack_sequences + bpe_pack in one tagged frame
+        # (src column; the BPE side chains train -> encode -> pack)
+        "packing": Q.q_packing,
         "decontaminate_8gram": Q.q_decontaminate,
         "split_assign": Q.q_split_assign,
         # -- new in round 5 (never driver-verified -> must be in-window)
         "bpe_tokenize": Q.q_bpe_tokenize,
-        "bpe_pack": Q.q_bpe_pack,
         "ams_joinsize": Q.q_ams_joinsize,
         "minhash_tokens_pairs": Q.q_minhash_tokens_pairs,
+        # round-5 new: windowed DDSketch — the last sliding family to
+        # gain a hard gate row (bucket-aligned window == filtered SQL)
+        "wdds_window_quantiles": Q.q_wdds_window_quantiles,
+        # round-5 new: SemDeDup in the k=1 exactness regime (== exact
+        # all-pairs cosine filter; pins candidate-join + rerank)
+        "semdedup_pairs": Q.q_semdedup_pairs,
+        # round-5 new: distributed k-means in the k=1/iters=1 exactness
+        # regime (centroid == normalize(Σ v̂); pins the Lloyd-pass
+        # partial/fold machinery value-for-value)
+        "kmeans_centroid": Q.q_kmeans_centroid,
         # ======================= slot 51+ ==============================
         # (driver-green in r4; re-rotated next round. The window is
         # saturated: 46 two-round-stale + 4 never-verified fill all 50

@@ -472,6 +472,7 @@ def main():
         # BENCH_r{N}.json stays comparable round-over-round.
         qs.setdefault("dds_events_catalyst", Q.q_dds_events_sql)
         qs.setdefault("dds_doclen_by_lang", Q.q_dds_doclen_by_lang)
+        qs.setdefault("top_tokens_exact", Q.q_top_tokens)
 
         def run_set(names, into):
             for name in names:

@@ -264,6 +264,18 @@ GROUP BY source
 ORDER BY source
 """
 
+# merged gate row (round 5, second rotation wave): the two exact token
+# aggregates — heavy hitters and per-source distincts — in one tagged
+# frame; the twins compose by UNION
+ORACLES["token_stats"] = (
+    f"SELECT 'top' AS stat, token AS item, cnt "
+    f"FROM ({ORACLES.pop('top_tokens_exact')}) "
+    f"UNION ALL "
+    f"SELECT 'distinct_by_source' AS stat, source AS item, "
+    f"CAST(n_distinct AS BIGINT) AS cnt "
+    f"FROM ({ORACLES.pop('distinct_tokens_by_source')}) "
+    f"ORDER BY stat, cnt DESC, item")
+
 ORACLES["doc_stats"] = f"""
 SELECT doc_id,
        CAST(len(w) AS BIGINT) AS n_words,
@@ -889,6 +901,41 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8
 ORDER BY id_a, id_b
+"""
+
+# SemDeDup exactness regime (k = 1): all pairs are within-cluster, so
+# the output is the exact all-pairs cosine filter with cluster_id 0.
+ORACLES["semdedup_pairs"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id < 512)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(0 AS INT) AS cluster_id,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+# Distributed k-means exactness regime (k = 1, iters = 1): the fitted
+# centroid is normalize(Σ v̂) over the row-normalized corpus — identical
+# per-row normalize formula (max(‖v‖, 1e-12) floor) and final
+# renormalization as operators/kmeans.py; round-6 absorbs summation-
+# order float drift, the same contract as every averaged-double oracle.
+ORACLES["kmeans_centroid"] = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+nrm AS (
+  SELECT list_transform(
+           v, x -> x / greatest(sqrt(list_sum(list_transform(v, y -> y * y))),
+                                1e-12)) AS nv
+  FROM e
+),
+comp AS (
+  SELECT unnest(range(1, len(nv) + 1)) AS dim1, unnest(nv) AS x FROM nrm
+),
+s AS (SELECT dim1 - 1 AS dim, SUM(x) AS sx FROM comp GROUP BY dim1),
+nn AS (SELECT sqrt(SUM(sx * sx)) AS nrm2 FROM s)
+SELECT CAST(dim AS INT) AS dim, ROUND(sx / greatest(nrm2, 1e-12), 6) AS c
+FROM s, nn
+ORDER BY dim
 """
 
 
@@ -1783,6 +1830,15 @@ ORACLES["bpe_train_merges"] = duckdb_bpe_sql(5)
 ORACLES["bpe_tokenize"] = duckdb_bpe_sql(5, mode="tokenize")
 ORACLES["bpe_pack"] = duckdb_bpe_sql(5, mode="pack")
 
+# merged gate row (round 5, second rotation wave): both next-fit packing
+# pipelines — whitespace words at cap 1024 and the trained-BPE encode
+# chain at cap 512 — in one tagged frame; the twins compose by UNION
+ORACLES["packing"] = (
+    f"SELECT 'words_1024' AS src, * FROM ({ORACLES.pop('pack_sequences')}) "
+    f"UNION ALL "
+    f"SELECT 'bpe_512' AS src, * FROM ({ORACLES.pop('bpe_pack')}) "
+    f"ORDER BY src, doc_id")
+
 # Moment sketch deterministic state: z = ln(x + sqrt(x²+1)) (asinh in
 # engine-identical libm ops), per-row (z/8)^j floor-quantized at 2^40
 # then integer-summed — associative, so the harness merge tree and this
@@ -2098,6 +2154,20 @@ CROSS JOIN win w
 LEFT JOIN agg a ON a.event_type = e.event_type AND a.wd = w.wd
 ORDER BY e.event_type, window_days
 """
+
+# Windowed DDSketch (wdds) gate row: with hour buckets, `now` at the end
+# of the newest global hour, and bucket-aligned windows, window_sketch
+# merges exactly the hour buckets in [maxb − wh + 1, maxb] and (below
+# bin_limit) its bins equal the plain DDSketch bins over those rows — so
+# the twin is the standard quantile SQL over the hour-filtered subquery.
+ORACLES["wdds_window_quantiles"] = duckdb_quantile_sql(
+    "(WITH mxb AS (SELECT MAX(epoch_us(ts) // 3600000000) AS maxb "
+    "              FROM events) "
+    " SELECT event_type, CAST(w.wh AS INT) AS window_hours, value "
+    " FROM events, (SELECT 168 AS wh UNION ALL SELECT 360) w, mxb "
+    " WHERE epoch_us(ts) // 3600000000 >= mxb.maxb - w.wh + 1) t",
+    "value", [0.5, 0.95, 0.99], alpha=0.01,
+    group_cols=("event_type", "window_hours"))
 
 
 # Exponential-histogram trailing-window counts, exact regime: the Spark

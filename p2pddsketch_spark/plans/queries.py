@@ -33,6 +33,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # ------------------------------------------------- DDSketch via the harness
 
+def _dds_key_est(sk, q: float, gamma: float) -> tuple[int, float]:
+    """(offset-stripped bucket key, rounded rank estimate) for quantile
+    `q` of a merged DDSketch — the driver-side twin of the SQL oracle's
+    (bucket_key, estimate) columns; shared by every harness quantile row."""
+    k_signed = sk.quantile_key(q)
+    k_unsigned = k_signed - sk.offset if k_signed > 0 else (
+        k_signed + sk.offset if k_signed < 0 else 0)
+    est = float(np.round(2.0 * np.power(gamma, float(k_unsigned)) / (gamma + 1.0), 6)) \
+        if k_signed > 0 else (0.0 if k_signed == 0 else
+                              float(np.round(-2.0 * np.power(gamma, float(-k_signed - sk.offset)) / (gamma + 1.0), 6)))
+    return int(k_unsigned), est
+
+
 def _ddsketch_quantile_rows(spark: SparkSession, df: DataFrame,
                             sketches: dict, qs: list[float], gamma: float,
                             group_cols: tuple[str, ...]) -> DataFrame:
@@ -43,13 +56,8 @@ def _ddsketch_quantile_rows(spark: SparkSession, df: DataFrame,
     for key, sk in sketches.items():
         gvals = () if not group_cols else (key[:-1] if isinstance(key, tuple) else ())
         for q in qs:
-            k_signed = sk.quantile_key(q)
-            k_unsigned = k_signed - sk.offset if k_signed > 0 else (
-                k_signed + sk.offset if k_signed < 0 else 0)
-            est = float(np.round(2.0 * np.power(gamma, float(k_unsigned)) / (gamma + 1.0), 6)) \
-                if k_signed > 0 else (0.0 if k_signed == 0 else
-                                      float(np.round(-2.0 * np.power(gamma, float(-k_signed - sk.offset)) / (gamma + 1.0), 6)))
-            rows.append(tuple(gvals) + (float(q), int(k_unsigned), est, int(sk.n)))
+            k_unsigned, est = _dds_key_est(sk, q, gamma)
+            rows.append(tuple(gvals) + (float(q), k_unsigned, est, int(sk.n)))
     gddl = "".join(f"{c} {df.schema[c].dataType.simpleString()}, " for c in group_cols)
     schema = f"{gddl}q double, bucket_key long, estimate double, n long"
     res = spark.createDataFrame(rows, schema)
@@ -449,6 +457,24 @@ def q_distinct_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.distinct_tokens_by(load(spark, sf_dir, "documents"), "source")
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 merge of the `top_tokens_exact` + `distinct_tokens_by_source`
+    gate rows: exact token heavy hitters (the CMS oracle) and per-source
+    distinct-token counts (the HLL oracle) in one tagged frame — the two
+    exact token aggregates share a scan family, and one row pins both.
+    Schema: (stat, item, cnt) with stat ∈ {top, distinct_by_source}."""
+    docs = load(spark, sf_dir, "documents")
+    top = (text.top_tokens(docs, k=20)
+           .select(F.lit("top").alias("stat"),
+                   F.col("token").alias("item"),
+                   F.col("cnt").cast("long").alias("cnt")))
+    dist = (text.distinct_tokens_by(docs, "source")
+            .select(F.lit("distinct_by_source").alias("stat"),
+                    F.col("source").alias("item"),
+                    F.col("n_distinct").cast("long").alias("cnt")))
+    return top.unionByName(dist).orderBy("stat", F.desc("cnt"), "item")
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -793,6 +819,40 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     return similarity.ann_topk_ivf(emb, queries, k=5, nlist=16, nprobe=16)
+
+
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-duplicate pairs in the EXACTNESS
+    configuration (k = 1): every pair is within-cluster, so the output
+    equals the exact all-pairs cosine filter — a HARD oracle on the
+    candidate self-join + exact-rerank machinery (the same full-coverage
+    trick as the full-probe ANN rows; `cluster_id` pins the assignment
+    column at 0). The k > 1 cluster-GATING behavior (recall vs candidate
+    volume, k-means-boundary misses) is pytest-pinned in
+    tests/test_kmeans.py. Restricted to vec_id < 512 so the quadratic
+    exact regime stays gate-cheap; production runs use k ≈ √N
+    (operators/kmeans.py docstring)."""
+    from p2pddsketch_spark.operators.kmeans import semantic_dedup_pairs
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 512)
+    return semantic_dedup_pairs(emb, threshold=0.4, k=1, iters=1)
+
+
+def q_kmeans_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means in the EXACTNESS configuration (k = 1,
+    iters = 1): assignment is trivially cluster 0, so the fitted
+    centroid is exactly normalize(Σ v̂) over the row-normalized corpus —
+    a HARD value oracle on the whole Lloyd-pass machinery (per-batch
+    normalize + matmul-assign + reduceat segment sums, the stable
+    (pid, bseq)-ordered partial fold, and the driver renormalization).
+    Multi-cluster convergence/assignment behavior is pytest-pinned
+    (tests/test_kmeans.py); summation-order float drift is absorbed by
+    the same round-6 contract every averaged-double oracle uses."""
+    from p2pddsketch_spark.operators.kmeans import kmeans_fit_distributed
+    emb = load(spark, sf_dir, "embeddings")
+    cent = kmeans_fit_distributed(emb, k=1, iters=1)
+    rows = [(i, float(np.round(v, 6))) for i, v in enumerate(cent[0])]
+    return (spark.createDataFrame(rows, "dim int, c double")
+            .orderBy("dim"))
 
 
 def q_heavy_users_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2014,6 +2074,19 @@ def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 merge of the `pack_sequences` + `bpe_pack` gate rows: both
+    next-fit packing pipelines — whitespace word counts at cap 1024 and
+    the trained-BPE encode chain at cap 512 — in one tagged frame. The
+    twins compose by UNION; a divergence in either fold (or in the BPE
+    train→encode chain feeding the second) fails the one row."""
+    words = q_pack_sequences(spark, sf_dir) \
+        .select(F.lit("words_1024").alias("src"), "*")
+    bpe = q_bpe_pack(spark, sf_dir) \
+        .select(F.lit("bpe_512").alias("src"), "*")
+    return words.unionByName(bpe).orderBy("src", "doc_id")
+
+
 def q_theta_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling distinct users (WAU) from the SAME per-day theta
     state as `theta_daily_retention` — every window is a UNION of ≤ 7
@@ -2324,3 +2397,49 @@ def q_shll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "event_type string, window_days int, "
               "n_nonzero long, reg_checksum long")
         .orderBy("event_type", "window_days"))
+
+
+def q_wdds_window_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed DDSketch trailing-window quantiles per event_type — the
+    LAST sliding family to gain a hard gate row (eh/ecm/shll/wss landed
+    earlier in round 5). Hard-oracle construction: with hour buckets,
+    `now` pinned to the end of the newest global hour, and bucket-ALIGNED
+    windows, `window_sketch` merges exactly the buckets in
+    [maxb − wh + 1, maxb] — and below bin_limit 2^22 nothing collapses,
+    so the merged sketch's bins equal the plain DDSketch bins over the
+    window-filtered rows. The twin is therefore `duckdb_quantile_sql`
+    over `epoch_us(ts) // 3600000000 >= maxb − wh + 1`, pinning the
+    whole distributed chain: vpair extraction, per-bucket builds, the
+    salted merge tree, the t_max-derived refold cutoff, and the
+    window-overlap merge. Bucket-granular coverage semantics + the tail
+    fold are pytest-pinned (tests/test_wdds.py)."""
+    from p2pddsketch_spark.operators.harness import vpair_extractor
+    from p2pddsketch_spark.sketches.wdds import WindowedDDSketch
+    alpha, W = 0.01, 3_600_000_000  # 1-hour buckets, µs epoch
+    gamma, _ = gamma_of_alpha(alpha)
+    ev = load(spark, sf_dir, "events")
+    out = build_sketches(
+        ev, [SketchSpec("wdds",
+                        lambda: WindowedDDSketch(alpha=alpha, bucket_width=W,
+                                                 max_buckets=2048,
+                                                 bin_limit=1 << 22),
+                        vpair_extractor("value", "ts"))],
+        group_cols=("event_type",), salt_buckets=8)
+    sk = {key[0]: s for key, s in
+          collect_sketches(out, group_cols=("event_type",)).items()}
+    tmax = max(int(s.t_max) for s in sk.values())
+    now = (tmax // W) * W + W - 1   # end of the newest global hour bucket
+    rows = []
+    for et in sorted(sk):
+        for wh in (168, 360):       # 7-day and 15-day windows, bucket-aligned
+            merged, _, _ = sk[et].window_sketch(wh * W, now=now)
+            if merged is None:
+                continue
+            for q in (0.5, 0.95, 0.99):
+                k_unsigned, est = _dds_key_est(merged, q, gamma)
+                rows.append((et, wh, float(q), k_unsigned, est,
+                             int(merged.n)))
+    return (spark.createDataFrame(
+        rows, "event_type string, window_hours int, q double, "
+              "bucket_key long, estimate double, n long")
+        .orderBy("event_type", "window_hours", "q"))

@@ -19,7 +19,7 @@ SUBSET = [
     "dds_catalyst",             # both pure-Catalyst forms (r5 merge)
     "dds_events_hourly",        # windowed
     "tpch_q1",                  # relational
-    "top_tokens_exact",         # text
+    "token_stats",              # exact token heavy hitters + per-source distincts (r5 merge)
     "text_profile",            # quality + language merged profile (r5)
     "shll_window_users",       # sliding-HLL window registers, hard twin
     "exact_dedup_stats",        # dedup
@@ -47,7 +47,7 @@ SUBSET = [
     "sketch_counts_events",     # deterministic counters of the multi-sketch build
     "streaming_dds_hourly",     # foreachBatch streaming == batch quantile SQL
     "tokenize_vocab",           # vocab build + tokenization vs positional checksum
-    "pack_sequences",           # next-fit packing vs recursive-CTE fold replay
+    "packing",                  # both next-fit packing pipelines, words + BPE (r5 merge)
     "decontaminate_8gram",      # train/eval n-gram overlap
     "split_assign",             # deterministic 90/5/5 split vs HUGEINT splitmix
     "vocab_coverage",           # coverage curve vs windowed cumsum
@@ -92,9 +92,11 @@ SUBSET = [
     "theta_rolling_wau",        # 7-day WAU from per-day theta unions
     "moments_by_flag",          # moment-sketch integer state, hard oracle
     "bpe_tokenize",             # trained-BPE token-id arrays, Σ pos·id twin
-    "bpe_pack",                 # train → encode → pack composition
     "dds_signed",               # both signed-codec forms in one row (r5 merge)
     "strip_spans",              # exact substring dedup, kept-corpus md5 pin
+    "wdds_window_quantiles",    # windowed DDSketch, bucket-aligned hard twin
+    "semdedup_pairs",           # SemDeDup k=1 exactness regime == all-pairs filter
+    "kmeans_centroid",          # distributed k-means k=1 == normalized mean
 ]
 
 
