@@ -1125,6 +1125,79 @@ def test_wdds_incremental_update_byte_identical(spark, tmp_path):
     assert blobs_inc == blobs_one
 
 
+def test_stream_update_sliding_family_byte_identical(spark, tmp_path):
+    """Structured-Streaming warehouse maintenance of SLIDING sketches:
+    a drop dir streamed into a wdds+shll rollup (two availableNow
+    passes, forced multi-batch) publishes blobs byte-identical to a
+    one-shot batch build — the continuous-monitoring story (trailing
+    p95 / distinct-users windows maintained by a stream job) reduces to
+    the same order-invariant merge algebra as everything else. A
+    trailing-window query answers from the streamed state."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_spark.operators.harness import (pair_extractor,
+                                                     vpair_extractor)
+    from p2pddsketch_spark.operators.rollup import (rollup_state,
+                                                    rollup_window_quantiles)
+    from p2pddsketch_spark.sketches.sliding_hll import SlidingHyperLogLog
+    from p2pddsketch_spark.sketches.wdds import WindowedDDSketch
+
+    pdf = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+           .select("event_type", "value", "ts", "user_id").toPandas())
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i in range(4):
+        pq.write_table(pa.Table.from_pandas(pdf[pdf.user_id % 4 == i]),
+                       str(drop / f"part{i}.parquet"))
+
+    def specs():
+        return [
+            SketchSpec("wdds",
+                       lambda: WindowedDDSketch(alpha=0.01,
+                                                bucket_width=86_400_000_000,
+                                                max_buckets=4),
+                       vpair_extractor("value", "ts")),
+            SketchSpec("shll", lambda: SlidingHyperLogLog(p=12),
+                       pair_extractor("user_id", "ts")),
+        ]
+
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    files = sorted(os.path.join(str(drop), f) for f in os.listdir(drop))
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for f in files[:2]:
+        shutil.copy(f, stage)
+    s1 = R.rollup_stream_update(spark, str(stage), state, specs(),
+                                group_cols=("event_type",),
+                                checkpoint_dir=ck, salt_buckets=4,
+                                max_files_per_trigger=1)
+    assert s1["batches"] == 2 and s1["new_files"] == 2
+    for f in files[2:]:
+        shutil.copy(f, stage)
+    s2 = R.rollup_stream_update(spark, str(stage), state, specs(),
+                                group_cols=("event_type",),
+                                checkpoint_dir=ck, salt_buckets=4,
+                                max_files_per_trigger=1)
+    assert s2["batches"] == 2 and s2["total_files"] == 4
+
+    one = str(tmp_path / "oneshot")
+    R.rollup_update(spark, str(stage), one, specs(),
+                    group_cols=("event_type",), salt_buckets=4)
+    blobs_stream = {(r["event_type"], r["sketch_name"]): bytes(r["sketch"])
+                    for r in rollup_state(spark, state).collect()}
+    blobs_one = {(r["event_type"], r["sketch_name"]): bytes(r["sketch"])
+                 for r in rollup_state(spark, one).collect()}
+    assert blobs_stream == blobs_one
+    assert len(blobs_stream) == 2 * pdf["event_type"].nunique()
+
+    out = rollup_window_quantiles(spark, state, [0.5],
+                                  [7 * 86_400_000_000],
+                                  sketch_name="wdds").collect()
+    assert out and all(r["n_covered"] > 0 for r in out)
+
+
 def test_window_drift_adjacent_semantics(spark, tmp_path, capsys):
     """window-drift compares back-to-back windows of the SAME blob:
     wdds reads the previous window from its time-indexed buckets (CLI
