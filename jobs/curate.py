@@ -9,6 +9,8 @@ way a 100 TB pre-training corpus job would:
   canonical copy kept — Lee et al. 2022) → quality filter →
   optional language filter → optional eval-set decontamination (8-gram
   overlap vs --benchmark-input) → optional PII scrub (--redact-pii) →
+  optional token-budget mixture (--mix-budgets source=tokens,…:
+  deterministic per-source greedy prefix in splitmix order) →
   optional deterministic train/val/test split column (--assign-splits)
   → write curated table + one-pass sketch summary (DDSketch over doc
   length) + manifest.
@@ -55,6 +57,13 @@ def main(argv=None):
                    help="> 0: exact substring dedup (Lee et al. 2022) — "
                         "cut duplicated word spans of at least this many "
                         "words, keeping one canonical copy corpus-wide")
+    p.add_argument("--mix-budgets", default=None,
+                   help="comma list 'source=tokens' (e.g. "
+                        "web=1000000,code=250000): after all filters, keep "
+                        "a deterministic token-budget mixture per source "
+                        "(greedy splitmix-ordered prefix, "
+                        "operators/pipeline.py::mix_sources); sources not "
+                        "listed are dropped")
     p.add_argument("--assign-splits", action="store_true",
                    help="add a deterministic 90/5/5 train/val/test column")
     p.add_argument("--redact-pii", action="store_true",
@@ -190,6 +199,30 @@ def main(argv=None):
               .join(red.withColumnRenamed("redacted", args.text_col),
                     args.id_col, "inner"))
 
+    # 6b. token-budget mixture: turn per-domain weights into a concrete
+    #     training subset (deterministic splitmix-ordered greedy prefix
+    #     per source — rerun/layout-invariant, monotone in the budget)
+    if args.mix_budgets:
+        from p2pddsketch_spark.operators.pipeline import mix_sources
+        if "source" not in df.columns:
+            raise ValueError("--mix-budgets needs a 'source' column in "
+                             "the input documents")
+        budgets = {}
+        for part in args.mix_budgets.split(","):
+            s, _, v = part.partition("=")
+            if not _ or not v.strip():
+                raise ValueError(f"bad --mix-budgets entry {part!r} "
+                                 "(want source=tokens)")
+            budgets[s.strip()] = int(v)
+        df = (mix_sources(
+            df.withColumn("_n_tok", F.size(
+                F.split(F.col(args.text_col), " ")).cast("long")),
+            budgets, id_col=args.id_col, group_col="source",
+            len_col="_n_tok").drop("_n_tok"))
+        n6 = df.count()
+    else:
+        n6 = n5
+
     # 7. deterministic split column (stable under reruns/corpus growth)
     if args.assign_splits:
         from p2pddsketch_spark.operators.pipeline import split_assign
@@ -212,6 +245,7 @@ def main(argv=None):
         "rows_in": n0, "after_exact_dedup": n1, "after_near_dedup": n2,
         "after_semantic_dedup": n2b,
         "after_quality": n3, "after_lang": n4, "after_decontaminate": n5,
+        "after_mix": n6,
         "docs_span_stripped": n_span_docs,
         "docs_with_pii_redacted": n_redacted,
         "secs": round(time.monotonic() - t0, 2), **quantiles,

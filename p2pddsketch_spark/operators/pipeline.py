@@ -23,7 +23,7 @@ from p2pddsketch_spark.operators.text import words_col
 
 __all__ = ["build_vocab", "tokenize", "pack_sequences",
            "ngram_contamination", "split_assign", "vocab_coverage",
-           "chunk_text"]
+           "chunk_text", "mix_sources", "duckdb_mix_sources_sql"]
 
 
 def chunk_text(df: DataFrame, size: int = 20, overlap: int = 5,
@@ -263,3 +263,169 @@ def ngram_contamination(df: DataFrame, bench: DataFrame, n: int = 8,
                     F.coalesce("shared_grams", F.lit(0)).alias("shared_grams"))
             .withColumn("contaminated", F.col("shared_grams") > 0)
             .orderBy(id_col))
+
+
+def mix_sources(df: DataFrame, budgets: dict[str, int],
+                id_col: str = "doc_id", group_col: str = "source",
+                len_col: str = "n_tok", seed: int = 77,
+                bucket_bits: int = 12) -> DataFrame:
+    """Token-budget mixture construction: deterministically select
+    documents per source until each source's token budget is covered —
+    the "data mixing" step that turns per-domain weights (web 60 %,
+    code 20 %, …) into a concrete training subset.
+
+    Selection rule (exact, layout/rerun-invariant): per source, order
+    docs by (splitmix64(id, seed), id) — a stable pseudo-random shuffle
+    that is a pure function of the id — and keep each doc whose
+    preceding selected-token total is still < budget. The doc that
+    crosses the budget is INCLUDED, so covered tokens ≥ budget whenever
+    the source has enough. Sources missing from `budgets` (or with
+    budget ≤ 0) are dropped; a budget ≥ the source total keeps every
+    doc. The rule is a strict prefix of the tag order, so a larger
+    budget always selects a superset (monotonicity — pinned by test).
+
+    Scale shape (100 TB): the naive form is one window over every row
+    per source — a full shuffle with single-reducer skew on giant
+    sources. Instead the tag's TOP `bucket_bits` bits split each source
+    into 2^bucket_bits uniform buckets; one map-side-combinable
+    aggregate gives per-(source, bucket) token sums, the driver cumsums
+    ≤ |sources|·2^bucket_bits tiny rows to find each source's boundary
+    bucket, and the fact table is then FILTERED by broadcast-joined
+    bucket thresholds — no fact shuffle at all. Only the ~1/2^bucket_bits
+    sliver of rows inside each boundary bucket pays a window, and that
+    window's partition is one bucket of one source. The exact same
+    greedy prefix comes out (pinned against the one-window replay and
+    the plain-pandas oracle in tests/test_pipeline.py).
+
+    The tag is mod-2^64 arithmetic, so the whole selection has an exact
+    HUGEINT SQL twin — `duckdb_mix_sources_sql`."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+    from p2pddsketch_spark.functions.hashing import splitmix64
+    if bucket_bits < 1 or bucket_bits > 32:
+        raise ValueError(f"bucket_bits must be in [1, 32], got {bucket_bits}")
+    live = {str(s): int(b) for s, b in budgets.items() if int(b) > 0}
+    spark = df.sparkSession
+    out_cols = df.columns
+    if not live:
+        return df.where(F.lit(False)).select(*out_cols)
+    shift = np.uint64(64 - bucket_bits)
+
+    schema = StructType(list(df.schema.fields) +
+                        [StructField("_mix_tag", LongType()),
+                         StructField("_mix_bucket", LongType())])
+
+    def tag(batches):
+        for pdf in batches:
+            t = splitmix64(pdf[id_col].to_numpy(dtype=np.int64), seed=seed)
+            out = pdf.copy()
+            # xor the sign bit: unsigned tag order == signed int64 order
+            out["_mix_tag"] = (t ^ np.uint64(1 << 63)).view(np.int64)
+            out["_mix_bucket"] = (t >> shift).astype(np.int64)
+            yield out
+
+    tagged = (df.where(F.col(group_col).isin(list(live)))
+              .mapInPandas(tag, schema=schema))
+    # one bounded aggregate: ≤ |sources| × 2^bucket_bits rows collect
+    hist = (tagged.groupBy(group_col, "_mix_bucket")
+            .agg(F.sum(F.col(len_col).cast("long")).alias("_tok"))
+            .collect())
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        per_src.setdefault(r[group_col], []).append(
+            (int(r["_mix_bucket"]), int(r["_tok"])))
+    bounds = []   # (source, keep_below, boundary_bucket, remaining)
+    for src, pairs in per_src.items():
+        budget = live[src]
+        pre = 0
+        keep_below, boundary, remaining = 1 << bucket_bits, -1, 0
+        for b, tok in sorted(pairs):
+            if pre >= budget:
+                keep_below = b
+                break
+            if pre + tok > budget:
+                # pre < budget <= pre + tok: the greedy prefix ends here
+                keep_below, boundary, remaining = b, b, budget - pre
+                break
+            pre += tok
+        else:
+            if pre >= budget and pairs:
+                keep_below = max(b for b, _ in pairs) + 1
+        bounds.append((src, keep_below, boundary, remaining))
+    bdf = F.broadcast(spark.createDataFrame(
+        bounds, f"{group_col} string, _keep_below long, "
+                "_boundary long, _remaining long"))
+    joined = tagged.join(bdf, group_col)
+    full = joined.where(F.col("_mix_bucket") < F.col("_keep_below"))
+    w = (Window.partitionBy(group_col)
+         .orderBy("_mix_tag", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    edge = (joined.where(F.col("_mix_bucket") == F.col("_boundary"))
+            .withColumn("_before", F.coalesce(
+                F.sum(F.col(len_col).cast("long")).over(w), F.lit(0)))
+            .where(F.col("_before") < F.col("_remaining")))
+    return full.select(*out_cols).unionByName(edge.select(*out_cols))
+
+
+_SM_MUL = 0x9E3779B97F4A7C15
+
+
+def duckdb_mix_sources_sql(budgets: dict[str, int], table: str = "documents",
+                           id_col: str = "doc_id",
+                           group_col: str = "source",
+                           len_expr: str = "len(string_split(text, ' '))",
+                           seed: int = 77) -> str:
+    """Exact HUGEINT twin of `mix_sources` (splitmix64 chain as in the
+    stratified_sample oracle; the greedy prefix is one window). Emits
+    the per-source selection fingerprint: (source, n_docs, n_tokens,
+    id_checksum = Σ selected ids) — the gate-row shape."""
+    seed_add = ((seed * _SM_MUL + _SM_MUL) & 0xFFFFFFFFFFFFFFFF)
+
+    def mulc(expr: str, c: int) -> str:
+        # (z * c) mod 2^64 without INT128 overflow: 32-bit constant split
+        # (z < 2^64 so z·lo < 2^96 fits HUGEINT) — same construction as
+        # plans/oracles.py::_mulc_u64
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (f"((({expr}) * {lo}::HUGEINT + "
+                f"(((({expr}) * {hi}::HUGEINT) % 4294967296::HUGEINT) * "
+                f"4294967296::HUGEINT)) % 18446744073709551616::HUGEINT)")
+
+    vals = ", ".join(f"('{s}', {int(b)}::BIGINT)"
+                     for s, b in sorted(budgets.items()) if int(b) > 0)
+    if not vals:
+        vals = "('', 0::BIGINT)"
+    return f"""
+WITH bud({group_col}, budget) AS (VALUES {vals}),
+s0 AS (
+  SELECT {group_col}, {id_col}, {len_expr}::BIGINT AS _len,
+         ({id_col}::HUGEINT + {seed_add}::HUGEINT)
+           % 18446744073709551616::HUGEINT AS z
+  FROM {table}
+), s1 AS (
+  SELECT {group_col}, {id_col}, _len,
+         {mulc("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s0
+), s2 AS (
+  SELECT {group_col}, {id_col}, _len,
+         {mulc("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+  FROM s1
+), tg AS (
+  SELECT {group_col}, {id_col}, _len,
+         xor(z, z // 2147483648::HUGEINT) AS t
+  FROM s2
+), win AS (
+  SELECT {group_col}, {id_col}, _len, budget,
+         COALESCE(SUM(_len) OVER (PARTITION BY {group_col}
+                                  ORDER BY t, {id_col}
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS bef
+  FROM tg JOIN bud USING ({group_col})
+)
+SELECT {group_col},
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(_len)::BIGINT AS n_tokens,
+       SUM({id_col})::BIGINT AS id_checksum
+FROM win WHERE bef < budget
+GROUP BY {group_col}
+ORDER BY {group_col}
+"""

@@ -353,3 +353,35 @@ def test_spark_submit_pyfiles_contract(tmp_path):
     out = proc.stdout
     manifest = json.loads(out[out.index("{"):])
     assert manifest["verify_pass"] is True
+
+
+def test_curate_mix_budget_stage(spark, tmp_path, capsys):
+    """--mix-budgets turns per-source token budgets into a deterministic
+    subset: only listed sources survive, the funnel count lands in the
+    manifest, and the selection covers each under-total budget."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate
+    rc = curate.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", str(tmp_path / "curated_mix"),
+        "--min-quality", "0.0", "--jaccard", "0.5",
+        "--mix-budgets", "src0=600,src1=999999",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    m = json.loads(out[out.index("{"):])
+    curated = spark.read.parquet(str(tmp_path / "curated_mix"))
+    assert m["after_mix"] <= m["after_decontaminate"]
+    assert curated.count() == m["after_mix"] > 0
+    from pyspark.sql import functions as F
+    agg = {r["source"]: r["t"] for r in
+           curated.withColumn("_n", F.size(F.split("text", " ")))
+           .groupBy("source").agg(F.sum("_n").alias("t")).collect()}
+    assert set(agg) <= {"src0", "src1"} and "src0" in agg
+    assert agg["src0"] >= 600          # the crossing doc is included
+    with pytest.raises(ValueError):
+        curate.main([
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(tmp_path / "curated_mix_bad"),
+            "--mix-budgets", "src0",
+        ])

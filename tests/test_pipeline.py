@@ -363,3 +363,120 @@ def test_bpe_encode_and_tokenize_agree(spark):
     assert enc  # non-empty
     for d, n_sym in enc.items():
         assert tok[d] == n_sym, d
+
+
+# ------------------------------------------------------------ mix_sources
+
+SF_DIR_MIX = "/root/testdata/sf0.001"
+
+
+def _mix_expected(pdf, budgets, seed=77):
+    """Plain-pandas replay of the greedy prefix rule."""
+    import numpy as np
+    from p2pddsketch_spark.functions.hashing import splitmix64
+    keep = []
+    for src, grp in pdf.groupby("source"):
+        budget = budgets.get(src, 0)
+        if budget <= 0:
+            continue
+        tags = splitmix64(grp["doc_id"].to_numpy(dtype=np.int64), seed=seed)
+        order = np.lexsort((grp["doc_id"].to_numpy(), tags))
+        run = 0
+        for idx in order:
+            if run >= budget:
+                break
+            keep.append(int(grp["doc_id"].iloc[idx]))
+            run += int(grp["n_tok"].iloc[idx])
+    return sorted(keep)
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    docs = spark.read.parquet(f"{SF_DIR_MIX}/documents.parquet")
+    return docs.select("doc_id", "source", "text").withColumn(
+        "n_tok", F.size(F.split("text", " ")).cast("long"))
+
+
+def test_mix_sources_matches_greedy_prefix(spark, mix_docs):
+    from p2pddsketch_spark.operators.pipeline import mix_sources
+    budgets = {"src0": 700, "src1": 120, "src2": 10_000, "src3": 1}
+    got = mix_sources(mix_docs, budgets)
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    pdf = mix_docs.select("doc_id", "source", "n_tok").toPandas()
+    assert ids == _mix_expected(pdf, budgets)
+    # budget >= the source total keeps every doc; the crossing doc is
+    # included, so covered tokens >= budget for under-total budgets
+    tot = got.groupBy("source").agg(F.sum("n_tok").alias("t"),
+                                    F.count("*").alias("n")).collect()
+    by = {r["source"]: (r["t"], r["n"]) for r in tot}
+    assert by["src2"][1] == 25           # whole source
+    assert by["src0"][0] >= 700
+    assert by["src3"][1] == 1            # budget 1: exactly the first doc
+    assert set(by) == {"src0", "src1", "src2", "src3"}  # others dropped
+
+
+def test_mix_sources_layout_invariant_and_monotonic(spark, mix_docs):
+    from p2pddsketch_spark.operators.pipeline import mix_sources
+    budgets = {"src4": 650, "src5": 650}
+    a = sorted(r["doc_id"] for r in
+               mix_sources(mix_docs, budgets).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               mix_sources(mix_docs.repartition(7), budgets)
+               .select("doc_id").collect())
+    assert a == b
+    # a larger budget selects a SUPERSET (strict-prefix rule)
+    bigger = sorted(r["doc_id"] for r in
+                    mix_sources(mix_docs, {"src4": 1300, "src5": 1300})
+                    .select("doc_id").collect())
+    assert set(a) <= set(bigger)
+
+
+def test_mix_sources_bucket_path_equals_one_window(spark, mix_docs):
+    """The bucketed two-phase plan == the naive one-window form for
+    every bucket granularity (the boundary-bucket refinement is exact)."""
+    from p2pddsketch_spark.operators.pipeline import mix_sources
+    budgets = {"src6": 900, "src7": 333}
+    ref = None
+    for bits in (1, 4, 12):
+        ids = sorted(r["doc_id"] for r in
+                     mix_sources(mix_docs, budgets, bucket_bits=bits)
+                     .select("doc_id").collect())
+        if ref is None:
+            ref = ids
+        assert ids == ref, f"bucket_bits={bits} diverged"
+    pdf = mix_docs.select("doc_id", "source", "n_tok").toPandas()
+    assert ref == _mix_expected(pdf, budgets)
+
+
+def test_mix_sources_duckdb_twin(spark, mix_docs):
+    import duckdb
+    from p2pddsketch_spark.operators.pipeline import (duckdb_mix_sources_sql,
+                                                      mix_sources)
+    budgets = {"src8": 800, "src9": 50, "src10": 99_999}
+    got = (mix_sources(mix_docs, budgets)
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("n_tokens"),
+                F.sum("doc_id").alias("id_checksum"))
+           .orderBy("source").toPandas())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF_DIR_MIX}/documents.parquet'")
+    want = con.sql(duckdb_mix_sources_sql(budgets)).df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        got.sort_values("source").reset_index(drop=True).astype(
+            {"n_docs": "int64", "n_tokens": "int64", "id_checksum": "int64"}),
+        want.sort_values("source").reset_index(drop=True).astype(
+            {"n_docs": "int64", "n_tokens": "int64", "id_checksum": "int64"}))
+
+
+def test_mix_sources_edge_cases(spark, mix_docs):
+    from p2pddsketch_spark.operators.pipeline import mix_sources
+    # empty budget map -> empty result, schema preserved
+    out = mix_sources(mix_docs, {})
+    assert out.count() == 0 and out.columns == mix_docs.columns
+    # zero/negative budgets are dropped sources
+    assert mix_sources(mix_docs, {"src0": 0, "src1": -5}).count() == 0
+    with pytest.raises(ValueError):
+        mix_sources(mix_docs, {"src0": 10}, bucket_bits=0)
