@@ -245,6 +245,37 @@ def warehouse_receipt(spark, sf_dir: str, reps: int) -> dict:
             "window_queries_secs": round(t_q, 3)}
 
 
+def mix_receipt(spark, sf_dir: str, reps: int) -> dict:
+    """Data-mixture construction sentinel: mix_sources over the
+    documents table with per-source budgets at ~half each source's
+    token mass. Reported: wall (best of `reps`), selected docs/tokens
+    vs corpus — plus the plan contract that matters at 100 TB: the
+    fact table is never shuffled (one bucket aggregate + broadcast
+    threshold filter; the window touches only the boundary buckets)."""
+    from pyspark.sql import functions as F
+    from p2pddsketch_spark.operators.pipeline import mix_sources
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source",
+                    F.size(F.split("text", " ")).cast("long").alias("n_tok")))
+    totals = {r["source"]: int(r["t"]) for r in
+              docs.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()}
+    budgets = {s: max(1, t // 2) for s, t in totals.items()}
+    best, sel = None, None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        out = mix_sources(docs, budgets)
+        sel = out.agg(F.count("*").alias("n"),
+                      F.sum("n_tok").alias("t")).collect()[0]
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    n_docs = docs.count()
+    return {"secs": round(best, 3), "n_sources": len(totals),
+            "docs_selected": int(sel["n"]), "docs_corpus": int(n_docs),
+            "tokens_selected": int(sel["t"]),
+            "tokens_corpus": int(sum(totals.values())),
+            "budget_pct": 50}
+
+
 def semdedup_receipt(spark, sf_dir: str, reps: int) -> dict:
     """Round-over-round visibility for the embedding-pipeline operators
     (same principle as the pipeline sentinels): a full SemDeDup cycle
@@ -522,6 +553,9 @@ def main():
         sd = semdedup_receipt(spark, sf_dir, reps)
         tp["semdedup"] = sd
         print(f"# semdedup receipt: {sd}", file=sys.stderr)
+        mx = mix_receipt(spark, sf_dir, reps)
+        tp["mix"] = mx
+        print(f"# mix receipt: {mx}", file=sys.stderr)
         pr = pq_index_receipt(spark, sf_dir, reps)
         tp["pq_index"] = pr
         print(f"# pq index receipt: {pr}", file=sys.stderr)
