@@ -254,6 +254,7 @@ def mix_receipt(spark, sf_dir: str, reps: int) -> dict:
     threshold filter; the window touches only the boundary buckets)."""
     from pyspark.sql import functions as F
     from p2pddsketch_spark.operators.pipeline import mix_sources
+    reps = max(1, int(reps))   # REPS=0 must not leave best=None
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "source",
                     F.size(F.split("text", " ")).cast("long").alias("n_tok")))

@@ -72,6 +72,22 @@ def main(argv=None):
     p.add_argument("--shuffle-partitions", type=int, default=64)
     args = p.parse_args(argv)
 
+    # parse/validate the mixture budgets BEFORE any Spark work: a typo
+    # here must fail in milliseconds, not after hours of dedup stages
+    mix_budgets = None
+    if args.mix_budgets:
+        mix_budgets = {}
+        for part in args.mix_budgets.split(","):
+            s, eq, v = part.partition("=")
+            try:
+                tokens = int(v)
+            except ValueError:
+                tokens = None
+            if not eq or not s.strip() or tokens is None:
+                raise ValueError(f"bad --mix-budgets entry {part!r} "
+                                 "(want source=tokens, tokens an integer)")
+            mix_budgets[s.strip()] = tokens
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -202,18 +218,12 @@ def main(argv=None):
     # 6b. token-budget mixture: turn per-domain weights into a concrete
     #     training subset (deterministic splitmix-ordered greedy prefix
     #     per source — rerun/layout-invariant, monotone in the budget)
-    if args.mix_budgets:
+    if mix_budgets is not None:
         from p2pddsketch_spark.operators.pipeline import mix_sources
         if "source" not in df.columns:
             raise ValueError("--mix-budgets needs a 'source' column in "
                              "the input documents")
-        budgets = {}
-        for part in args.mix_budgets.split(","):
-            s, _, v = part.partition("=")
-            if not _ or not v.strip():
-                raise ValueError(f"bad --mix-budgets entry {part!r} "
-                                 "(want source=tokens)")
-            budgets[s.strip()] = int(v)
+        budgets = mix_budgets
         df = (mix_sources(
             df.withColumn("_n_tok", F.size(
                 F.split(F.col(args.text_col), " ")).cast("long")),

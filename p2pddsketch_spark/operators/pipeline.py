@@ -299,21 +299,18 @@ def mix_sources(df: DataFrame, budgets: dict[str, int],
 
     The tag is mod-2^64 arithmetic, so the whole selection has an exact
     HUGEINT SQL twin — `duckdb_mix_sources_sql`."""
-    import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
     from p2pddsketch_spark.functions.hashing import splitmix64
     if bucket_bits < 1 or bucket_bits > 32:
         raise ValueError(f"bucket_bits must be in [1, 32], got {bucket_bits}")
-    live = {str(s): int(b) for s, b in budgets.items() if int(b) > 0}
+    # budget keys must compare equal to the group column's values
+    # (string sources → string keys); non-positive budgets drop
+    live = {s: int(b) for s, b in budgets.items() if int(b) > 0}
     spark = df.sparkSession
     out_cols = df.columns
     if not live:
         return df.where(F.lit(False)).select(*out_cols)
     shift = np.uint64(64 - bucket_bits)
-
-    schema = StructType(list(df.schema.fields) +
-                        [StructField("_mix_tag", LongType()),
-                         StructField("_mix_bucket", LongType())])
 
     def tag(batches):
         for pdf in batches:
@@ -324,13 +321,24 @@ def mix_sources(df: DataFrame, budgets: dict[str, int],
             out["_mix_bucket"] = (t >> shift).astype(np.int64)
             yield out
 
-    tagged = (df.where(F.col(group_col).isin(list(live)))
-              .mapInPandas(tag, schema=schema))
-    # one bounded aggregate: ≤ |sources| × 2^bucket_bits rows collect
-    hist = (tagged.groupBy(group_col, "_mix_bucket")
-            .agg(F.sum(F.col(len_col).cast("long")).alias("_tok"))
+    def tagged_of(frame: DataFrame) -> DataFrame:
+        sch = StructType(list(frame.schema.fields) +
+                         [StructField("_mix_tag", LongType()),
+                          StructField("_mix_bucket", LongType())])
+        return frame.mapInPandas(tag, schema=sch)
+
+    filtered = df.where(F.col(group_col).isin(list(live)))
+    # one bounded aggregate: ≤ |sources| × 2^bucket_bits rows collect.
+    # The tag is a pure function of the id, so the histogram pass runs
+    # on a PRUNED projection — mapInPandas blocks column pruning, and
+    # Arrow-shipping full documents just to sum token counts would
+    # double the dominant I/O at scale
+    hist = (tagged_of(filtered.select(
+                group_col, id_col, F.col(len_col).cast("long").alias("_len")))
+            .groupBy(group_col, "_mix_bucket")
+            .agg(F.sum("_len").alias("_tok"))
             .collect())
-    per_src: dict[str, list[tuple[int, int]]] = {}
+    per_src: dict = {}
     for r in hist:
         per_src.setdefault(r[group_col], []).append(
             (int(r["_mix_bucket"]), int(r["_tok"])))
@@ -348,13 +356,14 @@ def mix_sources(df: DataFrame, budgets: dict[str, int],
                 keep_below, boundary, remaining = b, b, budget - pre
                 break
             pre += tok
-        else:
-            if pre >= budget and pairs:
-                keep_below = max(b for b, _ in pairs) + 1
+        # no break: the whole source fits the budget — the default
+        # keep_below (2^bucket_bits) keeps every bucket
         bounds.append((src, keep_below, boundary, remaining))
+    gtype = df.schema[group_col].dataType.simpleString()
     bdf = F.broadcast(spark.createDataFrame(
-        bounds, f"{group_col} string, _keep_below long, "
+        bounds, f"{group_col} {gtype}, _keep_below long, "
                 "_boundary long, _remaining long"))
+    tagged = tagged_of(filtered)
     joined = tagged.join(bdf, group_col)
     full = joined.where(F.col("_mix_bucket") < F.col("_keep_below"))
     w = (Window.partitionBy(group_col)

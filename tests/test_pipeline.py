@@ -480,3 +480,8 @@ def test_mix_sources_edge_cases(spark, mix_docs):
     assert mix_sources(mix_docs, {"src0": 0, "src1": -5}).count() == 0
     with pytest.raises(ValueError):
         mix_sources(mix_docs, {"src0": 10}, bucket_bits=0)
+    # non-string group column: the bounds schema follows the input type
+    idf = spark.createDataFrame(
+        [(1, 0, 5), (2, 0, 5), (3, 1, 5)], "doc_id long, grp int, n long")
+    got = mix_sources(idf, {0: 6}, group_col="grp", len_col="n")
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
