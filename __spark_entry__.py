@@ -36,15 +36,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's verification window: the
     external gate checks the FIRST 50 entries each round. Round 5
     front-loads the queries whose newest driver row is r3, plus this
-    round's never-verified/changed entries: 33 r3-stale + 6 round-5
+    round's never-verified/changed entries: 31 r3-stale + 7 round-5
     merges of in-window rows (`dds_signed`, `dds_catalyst`, `dds_rank`,
-    `text_profile`, `token_stats`, `packing` — each folds two-to-four
-    same-family rows under a tag column, one composed twin) + 8 new
-    hard-oracle rows (`strip_spans`; the sliding family's
+    `text_profile`, `token_stats`, `packing`, `dds_windows` — each
+    folds two-to-four same-family rows under a tag column, one composed
+    twin) + 9 new hard-oracle rows (`strip_spans`; the sliding family's
     `shll_window_users`, `wss_window_top_users`, `eh_window_counts`,
     `ecm_window_freq`, `wdds_window_quantiles` — EVERY sliding sketch
-    now has a driver gate row; `semdedup_pairs` and `kmeans_centroid`
-    in their exactness regimes) + 3 rows added late in r4
+    now has a driver gate row; `semdedup_pairs`, `kmeans_centroid`, and
+    `mix_sources` with exactness-regime / HUGEINT twins) + 3 rows added
+    late in r4
     (`bpe_tokenize`, `ams_joinsize`, `minhash_tokens_pairs`;
     `bpe_encode` and `bpe_pack` were folded into `bpe_tokenize` /
     `packing`) = 50 exactly. All r4-verified rows sit beyond slot 50.
@@ -75,8 +76,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # regime over the Catalyst-pre-aggregated hourly table)
         "eh_window_counts": Q.q_eh_window_counts,
         "dds_events_hourly": Q.q_dds_events_hourly,
-        "dds_sliding_p95": Q.q_dds_sliding_p95,
-        "dds_daily_rollup": Q.q_dds_daily_rollup,
+        # round-5 merge: 6h-sliding + daily-rollup hourly-state window
+        # forms in one row (form column)
+        "dds_windows": Q.q_dds_windows,
+        # round-5 new: token-budget mixture construction, HUGEINT twin
+        "mix_sources": Q.q_mix_sources,
         "dds_decayed_quantiles": Q.q_dds_decayed,
         # round-5 merge: global + cohort percentile-rank enrichment in
         # one row (scope column; was dds_rank_enrich + dds_rank_by_user_bucket)

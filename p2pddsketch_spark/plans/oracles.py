@@ -85,6 +85,27 @@ ORACLES["dds_rank_by_user_bucket"] = duckdb_rank_sql(
 ORACLES["dds_sliding_p95"] = duckdb_sliding_quantile_sql(
     "events", "value", "ts", [0.5, 0.95], alpha=0.01, window_hours=6)
 
+# merged gate row (round 5, third rotation wave): both hourly-state
+# window forms — 6 h sliding and the daily hypertable rollup — in one
+# tagged frame; the sliding form has no bucket_key, so it carries the
+# −1 sentinel on both sides
+ORACLES["dds_windows"] = (
+    f"SELECT 'sliding_6h' AS form, CAST(window_end AS VARCHAR) AS bucket, "
+    f"q, CAST(-1 AS BIGINT) AS bucket_key, estimate, n "
+    f"FROM ({ORACLES.pop('dds_sliding_p95')}) "
+    f"UNION ALL "
+    f"SELECT 'daily_rollup' AS form, day_bucket AS bucket, q, bucket_key, "
+    f"estimate, n FROM ({ORACLES.pop('dds_daily_rollup')}) "
+    f"ORDER BY form, bucket, q")
+
+# token-budget mixture construction: the selection tag is mod-2^64
+# arithmetic, so the twin replays it in HUGEINT and folds the same
+# greedy prefix (operators/pipeline.py::duckdb_mix_sources_sql)
+from p2pddsketch_spark.operators.pipeline import duckdb_mix_sources_sql
+
+ORACLES["mix_sources"] = duckdb_mix_sources_sql(
+    {f"src{i}": 700 for i in range(20)})
+
 # merged gate row (round 5): both pure-Catalyst quantile-plan forms —
 # ungrouped events.value and lang-grouped documents.n_chars — in one
 # row, tagged by `src` (`lang` NULL on the ungrouped side)

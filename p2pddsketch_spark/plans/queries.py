@@ -285,6 +285,49 @@ def q_dds_sliding_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           alpha=0.01, window_hours=6)
 
 
+def q_dds_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both hourly-bucket-state window forms in ONE gate row (round-5
+    merge of the `dds_sliding_p95` + `dds_daily_rollup` rows — the same
+    "rollup from mergeable hourly counts, never re-scan raw data"
+    pattern, sliding vs tumbling): 6-hour sliding p50/p95 and the
+    hypertable daily rollup, tagged by `form`. The sliding form has no
+    bucket_key column of its own, so it carries the −1 sentinel (NULL
+    would hash engine-dependently)."""
+    s = q_dds_sliding_p95(spark, sf_dir).select(
+        F.lit("sliding_6h").alias("form"),
+        F.col("window_end").cast("string").alias("bucket"),
+        "q", F.lit(-1).cast("long").alias("bucket_key"),
+        "estimate", F.col("n").cast("long").alias("n"))
+    d = q_dds_daily_rollup(spark, sf_dir).select(
+        F.lit("daily_rollup").alias("form"),
+        F.col("day_bucket").alias("bucket"),
+        "q", "bucket_key", "estimate", F.col("n").cast("long").alias("n"))
+    return s.unionByName(d).orderBy("form", "bucket", "q")
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture construction fingerprint: `mix_sources`
+    (per-source greedy prefix in splitmix64 order, bucketed two-phase
+    plan — the fact table never shuffles) at 700 tokens per source,
+    summarized per source as (n_docs, n_tokens, id_checksum). HARD
+    oracle: the tag is mod-2^64 arithmetic, so the twin replays the
+    selection in HUGEINT and the same window fold
+    (`operators/pipeline.py::duckdb_mix_sources_sql`). Bucket-
+    granularity equivalence, layout invariance, and budget monotonicity
+    are pytest-pinned (tests/test_pipeline.py)."""
+    from p2pddsketch_spark.operators.pipeline import mix_sources
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.size(F.split("text", " ")).cast("long").alias("n_tok")))
+    budgets = {f"src{i}": 700 for i in range(20)}
+    return (mix_sources(docs, budgets)
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 F.sum("doc_id").cast("long").alias("id_checksum"))
+            .orderBy("source"))
+
+
 # --------------------------------------------------------- relational layer
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:

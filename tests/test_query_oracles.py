@@ -42,7 +42,7 @@ SUBSET = [
     "dds_decayed_quantiles",    # exponentially time-decayed quantiles
     "events_asof_orders",       # as-of join vs DuckDB's native ASOF
     "events_interval_join",     # bucketized range join vs BETWEEN join
-    "dds_daily_rollup",         # hypertable rollup from hourly state
+    "dds_windows",              # 6h-sliding + daily hourly-state rollup (r5 merge)
     "weighted_sample",          # A-ES weighted reservoir vs SQL tags
     "sketch_counts_events",     # deterministic counters of the multi-sketch build
     "streaming_dds_hourly",     # foreachBatch streaming == batch quantile SQL
@@ -97,6 +97,7 @@ SUBSET = [
     "wdds_window_quantiles",    # windowed DDSketch, bucket-aligned hard twin
     "semdedup_pairs",           # SemDeDup k=1 exactness regime == all-pairs filter
     "kmeans_centroid",          # distributed k-means k=1 == normalized mean
+    "mix_sources",              # token-budget mixture, HUGEINT splitmix twin
 ]
 
 
