@@ -202,3 +202,22 @@ def test_bpe_tokenize_plan_broadcasts_symbol_dim(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mix_sources_plan_broadcasts_bounds_no_fact_sort_join(spark):
+    """mix_sources' output path must join the fact rows against the
+    driver-computed per-source bounds with a BROADCAST hash join (the
+    bounds table is |sources| rows) — a SortMergeJoin here would shuffle
+    the whole corpus, defeating the operator's no-fact-shuffle design.
+    The only Exchange in the output plan belongs to the boundary-bucket
+    window (a ~1/2^bucket_bits sliver per source by construction)."""
+    from pyspark.sql import functions as F
+    from p2pddsketch_spark.operators.pipeline import mix_sources
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "source",
+                    F.size(F.split("text", " ")).cast("long").alias("n_tok")))
+    out = mix_sources(docs, {"src0": 700, "src1": 700})
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
