@@ -26,8 +26,8 @@ import pandas as pd
 
 __all__ = ["dds_quantile_udf", "sketch_count_udf", "sketch_cardinality_udf",
            "dds_build_udaf", "sketch_merge_udaf", "theta_build_udaf",
-           "theta_cardinality_udf", "ams_f2_udf", "ams_inner_udf",
-           "register_sketch_udfs"]
+           "theta_cardinality_udf", "hll_build_udaf", "ams_f2_udf",
+           "ams_inner_udf", "register_sketch_udfs"]
 
 
 @lru_cache(maxsize=None)
@@ -162,8 +162,36 @@ def register_sketch_udfs(spark) -> None:
     spark.udf.register("sketch_merge", sketch_merge_udaf())
     spark.udf.register("theta_build", theta_build_udaf())
     spark.udf.register("theta_cardinality", theta_cardinality_udf())
+    spark.udf.register("hll_build", hll_build_udaf())
     spark.udf.register("ams_f2", ams_f2_udf())
     spark.udf.register("ams_inner", ams_inner_udf())
+
+
+@lru_cache(maxsize=None)
+def hll_build_udaf(p: int = 14, seed: int = 0):
+    """GROUPED_AGG pandas UDAF: aggregate int64 keys into HyperLogLog
+    bytes inside `groupBy().agg(...)` / SQL `GROUP BY` — the
+    distinct-counting UDAF sibling of `dds_build`/`theta_build`
+    (estimate via the existing `hll_cardinality` scalar UDF; blobs
+    re-aggregate with the generic `sketch_merge`). Registers are a pure
+    max over item hashes, so the result is deterministic regardless of
+    row order and the same UDAF re-run on any partitioning of the data
+    byte-matches (pytest-pinned).
+
+    Scale note: same as `dds_build` — GROUPED_AGG cannot partially
+    aggregate, so raw rows shuffle to their group's reducer; the
+    mapInArrow harness is the 10^12-row path, and `sketch_merge`
+    re-aggregates its persisted partials from SQL."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.hll import HyperLogLog
+
+    @pandas_udf("binary")
+    def hll_build(v: pd.Series) -> bytes:
+        sk = HyperLogLog(p=p, seed=seed)
+        sk.update_batch(v.to_numpy(dtype=np.int64))
+        return sk.to_bytes()
+
+    return hll_build
 
 
 @lru_cache(maxsize=None)

@@ -157,3 +157,40 @@ def test_ams_blobs_through_generic_sql_surface(spark, tmp_path):
     sb = AmsSketch(128).update_batch(kb)
     assert got["f2"] == sa.estimate_f2()
     assert got["joinsize"] == sa.inner_product(sb)
+
+
+def test_hll_build_udaf_and_merge(spark):
+    """hll_build: GROUPED_AGG HLL from SQL GROUP BY. The per-group blob
+    byte-matches a direct single-threaded build (registers are a pure
+    max over item hashes); sketch_merge re-aggregation to a coarser
+    grouping byte-matches the one-shot build; estimates from
+    hll_cardinality stay within the p=14 error bound of exact."""
+    from p2pddsketch_spark.functions.sketch_udfs import (hll_build_udaf,
+                                                         sketch_merge_udaf)
+    from p2pddsketch_spark.sketches.hll import HyperLogLog
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    fine = (ev.groupBy("event_type", (F.col("user_id") % 4).alias("b"))
+            .agg(hll_build_udaf(14, 0)("user_id").alias("sketch")))
+    coarse = (fine.groupBy("event_type")
+              .agg(sketch_merge_udaf()("sketch").alias("sketch")))
+    got = {r["event_type"]: bytes(r["sketch"]) for r in coarse.collect()}
+    pdf = ev.select("event_type", "user_id").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        direct = HyperLogLog(p=14, seed=0).update_batch(
+            grp["user_id"].to_numpy())
+        assert got[etype] == direct.to_bytes(), etype
+    # SQL surface: estimate within the HLL bound of the exact distinct
+    register_sketch_udfs(spark)
+    ev.createOrReplaceTempView("ev_hll_udaf")
+    # (a GROUPED_AGG pandas UDF can't share a query with non-pandas
+    # aggregates like COUNT DISTINCT — compare via two queries)
+    rows = spark.sql(
+        "SELECT event_type, hll_cardinality(hll_build(user_id)) AS est "
+        "FROM ev_hll_udaf GROUP BY event_type").collect()
+    exact = {r["event_type"]: r["exact"] for r in spark.sql(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS exact "
+        "FROM ev_hll_udaf GROUP BY event_type").collect()}
+    assert rows
+    for r in rows:
+        e = exact[r["event_type"]]
+        assert abs(r["est"] - e) / e < 0.05, r
