@@ -26,8 +26,9 @@ import pandas as pd
 
 __all__ = ["dds_quantile_udf", "sketch_count_udf", "sketch_cardinality_udf",
            "dds_build_udaf", "sketch_merge_udaf", "theta_build_udaf",
-           "theta_cardinality_udf", "hll_build_udaf", "ams_f2_udf",
-           "ams_inner_udf", "register_sketch_udfs"]
+           "theta_cardinality_udf", "hll_build_udaf", "cms_build_udaf",
+           "cms_count_udf", "ams_f2_udf", "ams_inner_udf",
+           "register_sketch_udfs"]
 
 
 @lru_cache(maxsize=None)
@@ -163,8 +164,57 @@ def register_sketch_udfs(spark) -> None:
     spark.udf.register("theta_build", theta_build_udaf())
     spark.udf.register("theta_cardinality", theta_cardinality_udf())
     spark.udf.register("hll_build", hll_build_udaf())
+    spark.udf.register("cms_build", cms_build_udaf())
+    spark.udf.register("cms_count", cms_count_udf())
     spark.udf.register("ams_f2", ams_f2_udf())
     spark.udf.register("ams_inner", ams_inner_udf())
+
+
+@lru_cache(maxsize=None)
+def cms_build_udaf(depth: int = 5, width: int = 16384, seed: int = 0):
+    """GROUPED_AGG pandas UDAF: aggregate int64 keys into count-min
+    bytes inside `groupBy().agg(...)` / SQL `GROUP BY` — the frequency
+    UDAF sibling of `hll_build`/`theta_build`/`dds_build`. Counters are
+    additive integers, so the blob is deterministic regardless of row
+    order and `sketch_merge` re-aggregation byte-matches a one-shot
+    build (pytest-pinned). Same scale note as `dds_build`: the
+    GROUPED_AGG form is the SQL-convenience path; the mapInArrow
+    harness is the 10^12-row path."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.cms import CountMinSketch
+
+    @pandas_udf("binary")
+    def cms_build(v: pd.Series) -> bytes:
+        sk = CountMinSketch(depth=depth, width=width, seed=seed)
+        sk.update_batch(v.to_numpy(dtype=np.int64))
+        return sk.to_bytes()
+
+    return cms_build
+
+
+@lru_cache(maxsize=None)
+def cms_count_udf():
+    """SCALAR pandas UDF: count-min point-frequency estimate —
+    `SELECT cms_count(sketch, item) FROM ...` (upper bound with the
+    standard (eps, delta) guarantee; exact while counters are sparse)."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.cms import CountMinSketch
+
+    @pandas_udf("long")
+    def cms_count(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        out = np.zeros(len(blobs), dtype=np.int64)
+        cache = {}
+        for i, (b, it) in enumerate(zip(blobs, items)):
+            if b is None or it is None:
+                continue
+            key = bytes(b)
+            sk = cache.get(key)
+            if sk is None:
+                sk = cache[key] = CountMinSketch.from_bytes(key)
+            out[i] = int(sk.estimate(np.asarray([int(it)], dtype=np.int64))[0])
+        return pd.Series(out, dtype="int64")
+
+    return cms_count
 
 
 @lru_cache(maxsize=None)

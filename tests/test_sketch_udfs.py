@@ -194,3 +194,43 @@ def test_hll_build_udaf_and_merge(spark):
     for r in rows:
         e = exact[r["event_type"]]
         assert abs(r["est"] - e) / e < 0.05, r
+
+
+def test_cms_build_udaf_point_counts(spark):
+    """cms_build: GROUPED_AGG count-min from SQL GROUP BY; point
+    queries via cms_count. Per-group blob byte-matches a direct build;
+    sketch_merge re-aggregation byte-matches one-shot; point estimates
+    upper-bound exact counts and are exact in the sparse regime (5
+    event types × ≤ 500 users per group << width 16384)."""
+    from p2pddsketch_spark.functions.sketch_udfs import (cms_build_udaf,
+                                                         sketch_merge_udaf)
+    from p2pddsketch_spark.sketches.cms import CountMinSketch
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    fine = (ev.groupBy("event_type", (F.col("user_id") % 4).alias("b"))
+            .agg(cms_build_udaf(5, 16384, 0)("user_id").alias("sketch")))
+    coarse = (fine.groupBy("event_type")
+              .agg(sketch_merge_udaf()("sketch").alias("sketch")))
+    got = {r["event_type"]: bytes(r["sketch"]) for r in coarse.collect()}
+    pdf = ev.select("event_type", "user_id").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        direct = CountMinSketch(depth=5, width=16384, seed=0).update_batch(
+            grp["user_id"].to_numpy())
+        assert got[etype] == direct.to_bytes(), etype
+    # SQL point query: estimate >= exact, == exact while sparse
+    register_sketch_udfs(spark)
+    ev.createOrReplaceTempView("ev_cms_udaf")
+    spark.sql(
+        "SELECT event_type, cms_build(user_id) AS sketch "
+        "FROM ev_cms_udaf GROUP BY event_type"
+    ).createOrReplaceTempView("cms_blobs")
+    rows = spark.sql(
+        "SELECT b.event_type, e.user_id, cms_count(b.sketch, e.user_id) AS est "
+        "FROM (SELECT DISTINCT event_type, user_id FROM ev_cms_udaf "
+        "      WHERE user_id < 10) e "
+        "JOIN cms_blobs b USING (event_type)").collect()
+    assert rows
+    exact = pdf.groupby(["event_type", "user_id"]).size().to_dict()
+    for r in rows:
+        e = exact[(r["event_type"], r["user_id"])]
+        assert r["est"] >= e, r
+        assert r["est"] == e, r   # sparse regime: no collisions expected
