@@ -485,3 +485,45 @@ def test_mix_sources_edge_cases(spark, mix_docs):
         [(1, 0, 5), (2, 0, 5), (3, 1, 5)], "doc_id long, grp int, n long")
     got = mix_sources(idf, {0: 6}, group_col="grp", len_col="n")
     assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
+
+
+def test_mix_sources_adversarial_shapes(spark):
+    """Seeded adversarial corpus: zero-length docs (never advance the
+    running total but obey the prefix rule), one giant source next to
+    singleton sources, duplicate lengths, and a budget landing EXACTLY
+    on a prefix sum (the pre == budget boundary drops everything after).
+    Distributed selection == plain-pandas greedy replay for every
+    budget configuration, at two bucket granularities."""
+    import numpy as np
+    from p2pddsketch_spark.operators.pipeline import mix_sources
+    rng = np.random.default_rng(4242)
+    rows = []
+    did = 0
+    # giant source: 400 docs incl. ~10% zero-length
+    for _ in range(400):
+        n = 0 if rng.random() < 0.1 else int(rng.integers(1, 40))
+        rows.append((did, "giant", n)); did += 1
+    # 30 singleton sources
+    for i in range(30):
+        rows.append((did, f"tiny{i}", int(rng.integers(0, 20)))); did += 1
+    # duplicate-length source
+    for _ in range(50):
+        rows.append((did, "dup", 7)); did += 1
+    pdf_rows = rows
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    import pandas as pd
+    pdf = pd.DataFrame(pdf_rows, columns=["doc_id", "source", "n_tok"])
+
+    # an exact prefix-sum budget for 'dup': first 13 docs in tag order
+    budgets_list = [
+        {"giant": 500, "dup": 13 * 7, "tiny0": 1, "tiny5": 0},
+        {"giant": 10**9, "dup": 1, **{f"tiny{i}": 5 for i in range(30)}},
+        {"giant": 1, "dup": 350},
+    ]
+    for budgets in budgets_list:
+        want = _mix_expected(pdf, budgets)
+        for bits in (3, 12):
+            got = sorted(r["doc_id"] for r in
+                         mix_sources(df, budgets, bucket_bits=bits)
+                         .select("doc_id").collect())
+            assert got == want, (budgets, bits)
