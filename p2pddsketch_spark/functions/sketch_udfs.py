@@ -28,7 +28,8 @@ __all__ = ["dds_quantile_udf", "sketch_count_udf", "sketch_cardinality_udf",
            "dds_build_udaf", "sketch_merge_udaf", "theta_build_udaf",
            "theta_cardinality_udf", "hll_build_udaf", "cms_build_udaf",
            "cms_count_udf", "ams_f2_udf", "ams_inner_udf",
-           "register_sketch_udfs"]
+           "kll_build_udaf", "tdigest_build_udaf", "bloom_build_udaf",
+           "bloom_contains_udf", "register_sketch_udfs"]
 
 
 @lru_cache(maxsize=None)
@@ -157,6 +158,10 @@ def ams_inner_udf():
 
 def register_sketch_udfs(spark) -> None:
     spark.udf.register("dds_quantile", dds_quantile_udf())
+    # same UDF under the honest name: quantile() dispatches on the blob
+    # magic (operators/harness.py:_MAGIC_TABLE), so it serves KLL / REQ /
+    # t-digest / moment blobs too, not just DDSketch
+    spark.udf.register("sketch_quantile", dds_quantile_udf())
     spark.udf.register("sketch_count", sketch_count_udf())
     spark.udf.register("hll_cardinality", sketch_cardinality_udf())
     spark.udf.register("dds_build", dds_build_udaf())
@@ -168,6 +173,10 @@ def register_sketch_udfs(spark) -> None:
     spark.udf.register("cms_count", cms_count_udf())
     spark.udf.register("ams_f2", ams_f2_udf())
     spark.udf.register("ams_inner", ams_inner_udf())
+    spark.udf.register("kll_build", kll_build_udaf())
+    spark.udf.register("tdigest_build", tdigest_build_udaf())
+    spark.udf.register("bloom_build", bloom_build_udaf())
+    spark.udf.register("bloom_contains", bloom_contains_udf())
 
 
 @lru_cache(maxsize=None)
@@ -205,7 +214,8 @@ def cms_count_udf():
         out = np.zeros(len(blobs), dtype=np.int64)
         cache = {}
         for i, (b, it) in enumerate(zip(blobs, items)):
-            if b is None or it is None:
+            # NULL item arrives as NaN through Arrow's nullable int64
+            if b is None or pd.isna(it):
                 continue
             key = bytes(b)
             sk = cache.get(key)
@@ -263,6 +273,109 @@ def theta_build_udaf(k: int = 4096, seed: int = 0):
         return sk.to_bytes()
 
     return theta_build
+
+
+@lru_cache(maxsize=None)
+def kll_build_udaf(k: int = 256):
+    """GROUPED_AGG pandas UDAF: aggregate float64 values into KLL
+    sketch bytes inside `groupBy().agg(...)` / SQL `GROUP BY` — the
+    comparison-based quantile UDAF of the north rule's five named
+    families (query via the generic `sketch_quantile`; re-aggregate
+    persisted blobs with `sketch_merge`). The compaction schedule is
+    derandomized (per-level flip bits, sketches/kll.py:55), so the
+    result is reproducible for a given row order; below the level-0
+    capacity no compaction fires and the canonical sorted wire form
+    makes the blob row-order-INVARIANT (pytest-pinned). Past capacity
+    the blob depends on arrival order the way every KLL does, while n
+    and total item weight stay exactly conserved (pytest-pinned).
+
+    Scale note: same as `dds_build` — GROUPED_AGG cannot partially
+    aggregate, so raw rows shuffle to their group's reducer; the
+    mapInArrow harness is the 10^12-row path."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.kll import KLLSketch
+
+    @pandas_udf("binary")
+    def kll_build(v: pd.Series) -> bytes:
+        sk = KLLSketch(k=k)
+        sk.update_batch(v.to_numpy(dtype=np.float64))
+        return sk.to_bytes()
+
+    return kll_build
+
+
+@lru_cache(maxsize=None)
+def tdigest_build_udaf(delta: float = 200.0):
+    """GROUPED_AGG pandas UDAF: aggregate float64 values into t-digest
+    bytes inside `groupBy().agg(...)` / SQL `GROUP BY` (query via
+    `sketch_quantile`; re-aggregate with `sketch_merge`). Centroid
+    placement depends on arrival order — the standard t-digest
+    trade-off — but n, min and max are exactly conserved and quantile
+    estimates hold their rank-error bound under any order
+    (pytest-pinned)."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.tdigest import TDigest
+
+    @pandas_udf("binary")
+    def tdigest_build(v: pd.Series) -> bytes:
+        sk = TDigest(delta=delta)
+        sk.update_batch(v.to_numpy(dtype=np.float64))
+        return sk.to_bytes()
+
+    return tdigest_build
+
+
+@lru_cache(maxsize=None)
+def bloom_build_udaf(m_bits: int = 1 << 20, k: int = 5, seed: int = 0):
+    """GROUPED_AGG pandas UDAF: aggregate int64 keys into Bloom-filter
+    bytes inside `groupBy().agg(...)` / SQL `GROUP BY` — the membership
+    UDAF of the north rule's five named families (probe via
+    `bloom_contains`; re-aggregate with `sketch_merge`). The bitset is
+    a pure OR over item hashes, so the blob is deterministic regardless
+    of row order or partitioning and `sketch_merge` re-aggregation
+    byte-matches a one-shot build (pytest-pinned). n_added is additive
+    across merges (it counts insertions, not distinct items)."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.bloom import BloomFilter
+
+    @pandas_udf("binary")
+    def bloom_build(v: pd.Series) -> bytes:
+        sk = BloomFilter(m_bits=m_bits, k=k, seed=seed)
+        sk.update_batch(v.to_numpy(dtype=np.int64))
+        return sk.to_bytes()
+
+    return bloom_build
+
+
+@lru_cache(maxsize=None)
+def bloom_contains_udf():
+    """SCALAR pandas UDF: Bloom membership probe —
+    `SELECT bloom_contains(sketch, item) FROM ...`. No false negatives
+    ever; false-positive rate bounded by the filter's (m, k, n) as
+    usual. NULL blob or NULL item → NULL (nullable boolean), matching
+    `theta_cardinality`'s outer-join behavior."""
+    from pyspark.sql.functions import pandas_udf
+    from p2pddsketch_spark.sketches.bloom import BloomFilter
+
+    @pandas_udf("boolean")
+    def bloom_contains(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        out: list[bool | None] = []
+        cache: dict[bytes, BloomFilter] = {}
+        for b, it in zip(blobs, items):
+            # a NULL item in a nullable int64 column reaches pandas as
+            # NaN, not None — pd.isna covers both
+            if b is None or pd.isna(it):
+                out.append(None)
+                continue
+            key = bytes(b)
+            sk = cache.get(key)
+            if sk is None:
+                sk = cache[key] = BloomFilter.from_bytes(key)
+            out.append(bool(sk.contains(
+                np.asarray([int(it)], dtype=np.int64))[0]))
+        return pd.Series(out, dtype="object")
+
+    return bloom_contains
 
 
 @lru_cache(maxsize=None)

@@ -196,6 +196,103 @@ def test_hll_build_udaf_and_merge(spark):
         assert abs(r["est"] - e) / e < 0.05, r
 
 
+def test_bloom_build_udaf_and_contains(spark):
+    """bloom_build: GROUPED_AGG Bloom filter from SQL GROUP BY — the
+    membership member of the north rule's five named UDAF families.
+    Per-group blob byte-matches a direct build (bitset OR is
+    order-invariant); sketch_merge re-aggregation byte-matches the
+    one-shot build; bloom_contains has NO false negatives on every
+    inserted key and NULL-propagates on outer-join rows."""
+    from p2pddsketch_spark.functions.sketch_udfs import (bloom_build_udaf,
+                                                         sketch_merge_udaf)
+    from p2pddsketch_spark.sketches.bloom import BloomFilter
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    fine = (ev.groupBy("event_type", (F.col("user_id") % 4).alias("b"))
+            .agg(bloom_build_udaf(1 << 16, 5, 0)("user_id").alias("sketch")))
+    coarse = (fine.groupBy("event_type")
+              .agg(sketch_merge_udaf()("sketch").alias("sketch")))
+    got = {r["event_type"]: bytes(r["sketch"]) for r in coarse.collect()}
+    pdf = ev.select("event_type", "user_id").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        direct = BloomFilter(m_bits=1 << 16, k=5, seed=0).update_batch(
+            grp["user_id"].to_numpy())
+        assert got[etype] == direct.to_bytes(), etype
+    # SQL probe: no false negatives across every (event_type, user) pair
+    register_sketch_udfs(spark)
+    ev.createOrReplaceTempView("ev_blm_udaf")
+    spark.sql(
+        "SELECT event_type, bloom_build(user_id) AS sketch "
+        "FROM ev_blm_udaf GROUP BY event_type"
+    ).createOrReplaceTempView("blm_blobs")
+    rows = spark.sql(
+        "SELECT e.event_type, e.user_id, bloom_contains(b.sketch, e.user_id) AS hit "
+        "FROM (SELECT DISTINCT event_type, user_id FROM ev_blm_udaf) e "
+        "JOIN blm_blobs b USING (event_type)").collect()
+    assert rows and all(r["hit"] is True for r in rows)
+    # NULL blob / NULL item → NULL, not a worker TypeError
+    nulls = spark.sql(
+        "SELECT bloom_contains(CAST(NULL AS BINARY), 1L) AS a, "
+        "       bloom_contains(sketch, CAST(NULL AS BIGINT)) AS b "
+        "FROM blm_blobs LIMIT 1").collect()[0]
+    assert nulls["a"] is None and nulls["b"] is None
+
+
+def test_kll_build_udaf_order_invariant_below_capacity(spark):
+    """kll_build in the no-compaction regime (group size ≤ k): level 0
+    holds every value and the canonical sorted wire form makes the blob
+    row-order-INVARIANT — the same group shuffled through two different
+    partitionings produces byte-identical sketches that byte-match a
+    direct build."""
+    from p2pddsketch_spark.functions.sketch_udfs import kll_build_udaf
+    from p2pddsketch_spark.sketches.kll import KLLSketch
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100.0, 15.0, size=200)
+    rows = [(int(i % 3), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    blobs = {}
+    for nparts in (1, 7):
+        out = (df.repartition(nparts, "v").groupBy("g")
+               .agg(kll_build_udaf(256)("v").alias("sk")).collect())
+        blobs[nparts] = {r["g"]: bytes(r["sk"]) for r in out}
+    assert blobs[1] == blobs[7]
+    for g in range(3):
+        direct = KLLSketch(k=256).update_batch(vals[np.arange(200) % 3 == g])
+        assert blobs[1][g] == direct.to_bytes(), g
+
+
+def test_kll_tdigest_udafs_conservation_and_rank_bounds(spark):
+    """kll_build / tdigest_build on a compaction-sized group: n (and
+    KLL's total item weight) are exactly conserved, and the p50/p95
+    estimates read back through the generic `sketch_quantile` dispatch
+    stay within 5% fractional rank of exact — the two order-sensitive
+    quantile families' UDAF contract."""
+    from p2pddsketch_spark.sketches.kll import KLLSketch
+    from p2pddsketch_spark.sketches.tdigest import TDigest
+    register_sketch_udfs(spark)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.createOrReplaceTempView("ev_kll_udaf")
+    rows = spark.sql(
+        "SELECT event_type, "
+        "       kll_build(value) AS kll, tdigest_build(value) AS tdg, "
+        "       sketch_quantile(kll_build(value), 0.5) AS kll_p50, "
+        "       sketch_quantile(tdigest_build(value), 0.95) AS tdg_p95 "
+        "FROM ev_kll_udaf GROUP BY event_type").collect()
+    assert rows
+    pdf = ev.select("event_type", "value").toPandas()
+    for r in rows:
+        grp = np.sort(pdf[pdf["event_type"] == r["event_type"]]["value"]
+                      .to_numpy(dtype=np.float64))
+        n = grp.size
+        kll = KLLSketch.from_bytes(bytes(r["kll"]))
+        tdg = TDigest.from_bytes(bytes(r["tdg"]))
+        assert kll.n == n and tdg.n == n
+        _, w = kll._items_weights()
+        assert int(w.sum()) == n          # weight conservation through compaction
+        for est, q in ((r["kll_p50"], 0.5), (r["tdg_p95"], 0.95)):
+            frac_rank = np.searchsorted(grp, est, side="right") / n
+            assert abs(frac_rank - q) < 0.05, (r["event_type"], q, est)
+
+
 def test_cms_build_udaf_point_counts(spark):
     """cms_build: GROUPED_AGG count-min from SQL GROUP BY; point
     queries via cms_count. Per-group blob byte-matches a direct build;
