@@ -70,7 +70,10 @@ def sketch_merge_udaf():
 
     @pandas_udf("binary")
     def sketch_merge(blobs: pd.Series) -> bytes:
-        return merge_blobs([bytes(b) for b in blobs if b is not None])
+        live = [bytes(b) for b in blobs if b is not None]
+        # an all-NULL group (outer join / empty partition) aggregates to
+        # NULL, matching built-in aggregates — not a worker IndexError
+        return merge_blobs(live) if live else None
 
     return sketch_merge
 

@@ -128,6 +128,16 @@ def merge_blobs(blobs: list[bytes]) -> bytes:
     order; DDSketch additionally uses the order-invariant n-way merge.
     """
     blobs = sorted(bytes(b) for b in blobs)
+    if not blobs:
+        raise ValueError("merge_blobs: no blobs to merge")
+    # all blobs must decode to ONE sketch class (HLL1/HLL2 are the same
+    # class in two wire formats); a mixed GROUP BY otherwise surfaces as
+    # a confusing AttributeError from deep inside some .merge()
+    classes = {SKETCH_TYPES.get(b[:4]) for b in blobs}
+    if len(classes) != 1 or None in classes:
+        magics = sorted({repr(bytes(b[:4])) for b in blobs})
+        raise ValueError(
+            f"merge_blobs: blobs of mixed/unknown sketch types {magics}")
     first = sketch_from_bytes(blobs[0])
     if isinstance(first, DDSketch):
         return DDSketch.merge_many([sketch_from_bytes(b) for b in blobs]).to_bytes()

@@ -175,7 +175,14 @@ class CountingBloomFilter:
         s.net_weight = int(net)
         body = bytes(data[struct.calcsize("<4sqqqqB"):])
         if codec == 1:
-            body = zlib.decompress(body)
+            try:
+                body = zlib.decompress(body)
+            except zlib.error as e:
+                # keep the ValueError decode contract (wire-robustness
+                # suite): a torn deflate stream is corruption like any
+                # other truncation
+                raise ValueError(
+                    f"truncated CountingBloom payload: {e}") from e
         elif codec != 0:
             raise ValueError(f"unknown CountingBloom codec {codec}")
         s.counts = np.frombuffer(body, dtype="<i4", count=int(m)
