@@ -246,18 +246,32 @@ def ann_topk_pq_encoded(enc: DataFrame, codebooks: np.ndarray,
             # per query; chunk sized so the gather stays ~64 MB
             chunk = max(1, 8_000_000 // max(m * n, 1))
             sub = np.arange(m)[:, None]
+            # the pre-top must pick the SAME rows the global
+            # (adc desc, neighbor_id asc) window would: break score
+            # ties by id, or the kept set depends on row order within
+            # the partition (= file layout — a rebuilt/appended index
+            # would answer differently on ties)
+            id_key = np.argsort(np.argsort(ids, kind="stable"),
+                                kind="stable")  # rank of each id, any dtype
             for q0 in range(0, len(qids), chunk):
                 lut = luts[q0:q0 + chunk]              # (c, m, nk)
                 s = lut[:, sub, codes].sum(axis=1)     # (c, n)
                 if cell_offs is not None:
                     s = s + cell_offs[q0:q0 + chunk][:, lids]
+                s = np.round(s, 9)                     # rank on emitted value
                 # per-partition pre-top: ship only topn rows per query
                 part = np.argpartition(-s, take - 1, axis=1)[:, :take]
                 rowsel = np.arange(part.shape[0])[:, None]
+                bmin = s[rowsel, part].min(axis=1)
+                tied = (s >= bmin[:, None]).sum(axis=1) > take
+                for r in np.nonzero(tied)[0]:
+                    cand = np.nonzero(s[r] >= bmin[r])[0]
+                    order = np.lexsort((id_key[cand], -s[r, cand]))
+                    part[r] = cand[order[:take]]
                 yield pd.DataFrame({
                     "query_id": np.repeat(qids[q0:q0 + chunk], take),
                     "neighbor_id": ids[part.ravel()],
-                    "adc": np.round(s[rowsel, part].ravel(), 9),
+                    "adc": s[rowsel, part].ravel(),
                 })
 
     scored = enc.mapInPandas(score, schema=schema)

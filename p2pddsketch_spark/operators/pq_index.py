@@ -247,8 +247,15 @@ def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
                          f"input dim {dim}")
 
     if nlist > 0:
+        # cluster rows by their target partition before the dynamic-
+        # partition write: without this every task writes a file into
+        # every list_id dir (tasks × nlist tiny files — measured 7.6 s
+        # of the 11.5 s sf0.1 receipt build); with it each list's rows
+        # land in one task → one file per list per shuffle partition,
+        # the layout a 100 TB code corpus wants anyway
         _encode_with_lists(df, cb, coarse, id_col, vec_col, normalize,
                            residual=(encode == "residual")) \
+            .repartition("list_id") \
             .write.mode("overwrite").partitionBy("list_id").parquet(codes_p)
         spark.createDataFrame(
             [(i, [float(v) for v in coarse[i]]) for i in range(nlist)],
@@ -330,6 +337,7 @@ def append_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
         _encode_with_lists(df, cb, coarse, id_col, vec_col,
                            manifest["normalize"],
                            residual=(manifest.get("encode") == "residual")) \
+            .repartition("list_id") \
             .write.mode("append").partitionBy("list_id").parquet(codes_p)
     else:
         encode_pq(df, cb, id_col=id_col, vec_col=vec_col,

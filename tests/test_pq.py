@@ -106,3 +106,42 @@ def test_trained_path_recall_on_embeddings(spark):
     merged = got.merge(brute, on=["query_id", "neighbor_id"],
                        suffixes=("_a", "_b"))
     assert (merged["cosine_a"] == merged["cosine_b"]).all()
+
+
+def test_adc_pretop_tie_break_is_layout_invariant(spark):
+    """A corpus with many EXACT duplicate vectors maximizes ADC score
+    ties at the pre-top boundary. The per-partition pre-top must pick
+    the same winners the global (adc desc, neighbor_id asc) ranking
+    would, so the answer cannot depend on row order within a partition
+    — i.e. on file layout (a rebuilt or appended index must answer
+    identically). Regression for the argpartition tie bug."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(4, 8))
+    # 40 copies of each of 4 distinct vectors → huge tie groups
+    rows = [(i, [float(v) for v in base[i % 4]]) for i in range(160)]
+    queries_rows = [(1000 + j, [float(v) for v in base[j]]) for j in range(2)]
+    queries = spark.createDataFrame(
+        queries_rows, "query_id long, query_vec array<float>")
+    cb = train_pq(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        m=4, k=16, sample_size=200, seed=5)
+    answers = []
+    for nparts, shuffle_seed in ((1, 0), (5, 1), (13, 2)):
+        df = spark.createDataFrame(
+            sorted(rows, key=lambda r: (r[0] * 2654435761 + shuffle_seed)
+                   % (1 << 32)),
+            "vec_id long, embedding array<float>").repartition(nparts)
+        got = (ann_topk_pq(df, queries, k=10, codebooks=cb)
+               .toPandas().sort_values(["query_id", "rank"])
+               .reset_index(drop=True))
+        answers.append(got)
+    for other in answers[1:]:
+        assert (answers[0]["neighbor_id"] == other["neighbor_id"]).all()
+        assert (answers[0]["cosine"] == other["cosine"]).all()
+    # ties resolved the way the global ranking promises: among equal
+    # scores, ascending neighbor_id
+    a = answers[0]
+    for _, grp in a.groupby("query_id"):
+        for _, tie in grp.groupby("cosine"):
+            nid = tie["neighbor_id"].to_numpy()
+            assert (np.sort(nid) == nid).all()
