@@ -268,6 +268,13 @@ def main(argv: list[str] | None = None) -> int:
     card.add_argument("--version", type=int, default=None,
                       help="committed version to query (default: latest)")
 
+    ov = sub.add_parser("overlap", help="pairwise group overlap "
+                        "(|A∩B|, |A∪B|, Jaccard) from stored theta blobs")
+    ov.add_argument("--state", required=True)
+    ov.add_argument("--sketch", default="theta")
+    ov.add_argument("--version", type=int, default=None,
+                    help="committed version to query (default: latest)")
+
     tk = sub.add_parser("topk", help="per-group heavy hitters from "
                         "stored SpaceSaving blobs")
     tk.add_argument("--state", required=True)
@@ -544,6 +551,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "cardinality":
             rows = R.rollup_cardinality(spark, args.state, args.sketch,
                                         version=args.version).collect()
+            print(json.dumps({"sketch": args.sketch,
+                              "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "overlap":
+            rows = R.rollup_overlap(spark, args.state, args.sketch,
+                                    version=args.version).collect()
             print(json.dumps({"sketch": args.sketch,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))

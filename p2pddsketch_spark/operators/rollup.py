@@ -67,6 +67,7 @@ from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
 __all__ = ["rollup_update", "rollup_stream_update", "rollup_merge_states",
            "rollup_state",
            "rollup_versions", "rollup_quantiles", "rollup_cardinality",
+           "rollup_overlap",
            "rollup_topk", "rollup_histogram", "rollup_drift",
            "rollup_topk_drift",
            "rollup_window_cardinality", "rollup_window_counts",
@@ -894,6 +895,53 @@ def rollup_cardinality(spark: SparkSession, state_dir: str,
     return (st.mapInPandas(_decode_map(sketch_name, "cardinality", (), ddl),
                            schema=ddl)
             .orderBy(*group_cols))
+
+
+def rollup_overlap(spark: SparkSession, state_dir: str,
+                   sketch_name: str = "theta", version: int | None = None,
+                   _versions: list | None = None) -> DataFrame:
+    """Pairwise distinct-set overlap between GROUPS from stored theta
+    blobs: |A∩B|, |A∪B| and Jaccard for every group pair, zero input
+    re-scan — the corpus-overlap monitor ("how much does crawl dump A
+    share with dump B?") answered from committed warehouse state, and
+    from any committed `version` for time travel. Only theta supports
+    set intersection (HLL can only union — sketches/theta.py:2-4);
+    a non-theta family is a clean UsageError, not an AttributeError.
+
+    Scale shape: one blob per group is collected (k-bounded, ≤ k
+    hashes each) and the |G|·(|G|−1)/2 pairs are computed driver-side
+    on the tiny summaries — the whole point of set-operation sketches.
+    Group keys are emitted as `<col>_a` / `<col>_b` column pairs in
+    lexicographic pair order. Under-k regime estimates are exact
+    (hard-oracle-testable); past k they carry the KMV error bound."""
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+    st, group_cols, _, _ = _version_state(spark, state_dir, sketch_name,
+                                          version, _versions)
+    rows = st.collect()
+    decoded = []
+    for row in rows:
+        sk = sketch_from_bytes(bytes(row["sketch"]))
+        if not isinstance(sk, ThetaSketch):
+            raise UsageError(
+                f"overlap needs theta blobs (set intersection); "
+                f"{sketch_name!r} decodes to {type(sk).__name__}")
+        decoded.append((tuple(row[c] for c in group_cols), sk))
+    decoded.sort(key=lambda t: t[0])
+    out = []
+    for i in range(len(decoded)):
+        ka, sa = decoded[i]
+        for kb, sb in decoded[i + 1:]:
+            inter = float(np.round(sa.intersection_cardinality(sb), 1))
+            union = float(np.round(sa.union_cardinality(sb), 1))
+            jac = float(np.round(inter / union, 6)) if union > 0 else None
+            out.append(tuple(ka) + tuple(kb) + (inter, union, jac))
+    gddl_a = "".join(f"{c}_a {st.schema[c].dataType.simpleString()}, "
+                     for c in group_cols)
+    gddl_b = "".join(f"{c}_b {st.schema[c].dataType.simpleString()}, "
+                     for c in group_cols)
+    ddl = f"{gddl_a}{gddl_b}inter_est double, union_est double, jaccard double"
+    order = [f"{c}_a" for c in group_cols] + [f"{c}_b" for c in group_cols]
+    return spark.createDataFrame(out or [], ddl).orderBy(*order)
 
 
 def rollup_histogram(spark: SparkSession, state_dir: str,

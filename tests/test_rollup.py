@@ -2173,3 +2173,57 @@ def test_restore_refuses_corrupt_source_manifest(spark, seq_dir, tmp_path,
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "not committing" in err["error"]
     assert R.rollup_versions(spark, state)[-1][0] == tip_before
+
+
+def test_overlap_from_stored_theta_blobs(spark, seq_dir, tmp_path, capsys):
+    """rollup_overlap: pairwise |A∩B| / |A∪B| / Jaccard across groups
+    straight from committed theta blobs. The fixture token universe
+    (< 1000 ids) sits far under k=4096, so theta keeps every hash and
+    every estimate is the EXACT set arithmetic — pinned against a
+    pandas set-ops replay per source pair. Wrong-family blobs refuse
+    cleanly, both as the typed operator error and the CLI JSON line."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+    state = str(tmp_path / "state")
+    specs = [
+        SketchSpec("theta", lambda: ThetaSketch(k=4096),
+                   array_extractor("tokens")),
+        SketchSpec("hll", lambda: HyperLogLog(p=12),
+                   array_extractor("tokens")),
+    ]
+    R.rollup_update(spark, seq_dir, state, specs,
+                    group_cols=("source",), salt_buckets=4)
+    got = {(r["source_a"], r["source_b"]):
+           (r["inter_est"], r["union_est"], r["jaccard"])
+           for r in R.rollup_overlap(spark, state, "theta").collect()}
+    # exact replay: per-source distinct token sets
+    pdf = (spark.read.parquet(seq_dir)
+           .select("source", F.explode("tokens").alias("tok")).toPandas())
+    sets = {s: set(g["tok"]) for s, g in pdf.groupby("source")}
+    names = sorted(sets)
+    assert len(got) == len(names) * (len(names) - 1) // 2
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            gi, gu, gj = got[(a, b)]
+            assert gi == float(inter) and gu == float(union), (a, b)
+            assert gj == round(inter / union, 6)
+    # wrong family: clean typed refusal, not AttributeError
+    with pytest.raises(UsageError, match="needs theta blobs"):
+        R.rollup_overlap(spark, state, "hll")
+    # CLI roundtrip + JSON error contract
+    rc = rollup_sketches.main(["overlap", "--state", state])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["rows"]) == len(got)
+    one = out["rows"][0]
+    key = (one["source_a"], one["source_b"])
+    assert (one["inter_est"], one["union_est"], one["jaccard"]) == got[key]
+    rc = rollup_sketches.main(
+        ["overlap", "--state", state, "--sketch", "hll"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "needs theta blobs" in err["error"]
