@@ -268,6 +268,24 @@ def main(argv: list[str] | None = None) -> int:
     card.add_argument("--version", type=int, default=None,
                       help="committed version to query (default: latest)")
 
+    fn = sub.add_parser("filter-new", help="incremental dedup: keep only "
+                        "input rows whose key the warehouse's bloom state "
+                        "has never ingested")
+    fn.add_argument("--input", required=True,
+                    help="parquet file/dir of the NEW batch")
+    fn.add_argument("--state", required=True)
+    fn.add_argument("--sketch", default="bloom")
+    fn.add_argument("--key-col", required=True,
+                    help="int64 key column matching the blobs' key space")
+    fn.add_argument("--hash-of", default=None,
+                    help="derive --key-col as xxhash64 of this column "
+                    "first (e.g. a text column)")
+    fn.add_argument("--keep", choices=("new", "seen"), default="new")
+    fn.add_argument("--version", type=int, default=None,
+                    help="committed version to probe (default: latest)")
+    fn.add_argument("--output", required=True,
+                    help="parquet dir for the surviving rows")
+
     ov = sub.add_parser("overlap", help="pairwise group overlap "
                         "(|A∩B|, |A∪B|, Jaccard) from stored theta blobs")
     ov.add_argument("--state", required=True)
@@ -553,6 +571,23 @@ def main(argv: list[str] | None = None) -> int:
                                         version=args.version).collect()
             print(json.dumps({"sketch": args.sketch,
                               "rows": [row.asDict() for row in rows]},
+                             sort_keys=True))
+        elif args.cmd == "filter-new":
+            df = spark.read.parquet(args.input)
+            if args.hash_of:
+                from pyspark.sql import functions as F
+                df = df.withColumn(args.key_col, F.xxhash64(args.hash_of))
+            n_in = df.count()
+            out = R.rollup_dedup_filter(spark, df, args.state,
+                                        key_col=args.key_col,
+                                        sketch_name=args.sketch,
+                                        version=args.version,
+                                        keep=args.keep)
+            out.write.mode("error").parquet(args.output)
+            n_out = spark.read.parquet(args.output).count()
+            print(json.dumps({"rows_in": n_in, "rows_kept": n_out,
+                              "rows_dropped": n_in - n_out,
+                              "keep": args.keep, "sketch": args.sketch},
                              sort_keys=True))
         elif args.cmd == "overlap":
             rows = R.rollup_overlap(spark, args.state, args.sketch,

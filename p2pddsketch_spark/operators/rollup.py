@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 from p2pddsketch_spark.errors import GenericError, UsageError
 from p2pddsketch_spark.operators.harness import (SketchSpec, build_partials,
                                                  build_partials_from_files,
-                                                 merge_partials,
+                                                 merge_blobs, merge_partials,
                                                  parquet_file_list,
                                                  sketch_from_bytes)
 from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
@@ -67,7 +67,7 @@ from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
 __all__ = ["rollup_update", "rollup_stream_update", "rollup_merge_states",
            "rollup_state",
            "rollup_versions", "rollup_quantiles", "rollup_cardinality",
-           "rollup_overlap",
+           "rollup_overlap", "rollup_dedup_filter",
            "rollup_topk", "rollup_histogram", "rollup_drift",
            "rollup_topk_drift",
            "rollup_window_cardinality", "rollup_window_counts",
@@ -942,6 +942,58 @@ def rollup_overlap(spark: SparkSession, state_dir: str,
     ddl = f"{gddl_a}{gddl_b}inter_est double, union_est double, jaccard double"
     order = [f"{c}_a" for c in group_cols] + [f"{c}_b" for c in group_cols]
     return spark.createDataFrame(out or [], ddl).orderBy(*order)
+
+
+def rollup_dedup_filter(spark: SparkSession, df: DataFrame, state_dir: str,
+                        key_col: str, sketch_name: str = "bloom",
+                        version: int | None = None, keep: str = "new",
+                        _versions: list | None = None) -> DataFrame:
+    """Filter a NEW batch against the warehouse's Bloom state: the
+    incremental-dedup primitive — dedup arriving data against ALL
+    previously-ingested data without rescanning history. Stored blobs
+    (every group's, at the chosen committed `version`) OR-merge into
+    one filter, broadcast kilobytes, probed in a vectorized mapInArrow
+    stage; `df` never shuffles.
+
+    `keep="new"` returns rows whose int64 `key_col` was NEVER ingested
+    — guaranteed, because Bloom has no false negatives (a previously
+    seen key always hits the filter and is dropped). The cost is the
+    false-positive rate: that fraction of genuinely-new rows is dropped
+    too (conservative dedup — right for training-data pipelines, where
+    a lost new doc is cheap and a duplicate is not). `keep="seen"`
+    returns the complement: a SUPERSET of the truly-seen rows (FP
+    inflated), the candidate set for an exact verify join.
+
+    `key_col` must carry the same int64 key space the stored blobs
+    ingested (token ids for the CLI's token-family bloom; a document
+    hash for a doc-level dedup state built via
+    `SketchSpec("bloom", ..., scalar_int_extractor(...))`)."""
+    from p2pddsketch_spark.sketches.bloom import BloomFilter
+    if keep not in ("new", "seen"):
+        raise UsageError(f"keep must be 'new' or 'seen', got {keep!r}")
+    st, _, _, _ = _version_state(spark, state_dir, sketch_name,
+                                 version, _versions)
+    blobs = [bytes(r["sketch"]) for r in st.select("sketch").collect()]
+    merged = merge_blobs(blobs)
+    if not isinstance(sketch_from_bytes(merged), BloomFilter):
+        raise UsageError(
+            f"dedup filter needs bloom blobs (membership); {sketch_name!r} "
+            f"decodes to {type(sketch_from_bytes(merged)).__name__}")
+    bblob = spark.sparkContext.broadcast(merged)
+    key_idx = df.columns.index(key_col)
+    want_new = keep == "new"
+
+    def probe(batches):
+        import pyarrow as pa
+        bf = sketch_from_bytes(bblob.value)
+        for batch in batches:
+            keys = batch.column(key_idx).to_numpy(zero_copy_only=False)
+            hit = bf.contains(keys.astype(np.int64))
+            yield batch.filter(pa.array(~hit if want_new else hit))
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    return df.mapInArrow(probe, schema)
 
 
 def rollup_histogram(spark: SparkSession, state_dir: str,

@@ -2227,3 +2227,74 @@ def test_overlap_from_stored_theta_blobs(spark, seq_dir, tmp_path, capsys):
     assert rc == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "needs theta blobs" in err["error"]
+
+
+def test_dedup_filter_against_stored_bloom_state(spark, seq_dir, tmp_path,
+                                                 capsys):
+    """rollup_dedup_filter: incremental dedup of a new batch against the
+    warehouse's Bloom state. No-FN is the hard guarantee — NO doc whose
+    key was ingested survives keep='new' — while FP loss on genuinely
+    new docs stays at the filter's rate; keep='seen' returns a superset
+    of the truly seen keys. Driven both as the operator and end-to-end
+    through the CLI (--hash-of derivation, parquet out, JSON counts)."""
+    import os
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    from p2pddsketch_spark.plans.queries import scalar_int_extractor
+    from p2pddsketch_spark.sketches.bloom import BloomFilter
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+    state = str(tmp_path / "state")
+    keyed = (spark.read.parquet(seq_dir)
+             .withColumn("key", F.xxhash64("doc_id")))
+    full_dir = str(tmp_path / "keyed")
+    keyed.repartition(8).write.parquet(full_dir)
+    files = sorted(os.listdir(full_dir))
+    half_dir = str(tmp_path / "half")
+    os.makedirs(half_dir)
+    for f in files:
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(full_dir, f), half_dir)
+        if len(os.listdir(half_dir)) == 4:
+            break
+    specs = [
+        SketchSpec("bloom", lambda: BloomFilter(m_bits=1 << 21, k=5),
+                   scalar_int_extractor("key")),
+        SketchSpec("theta", lambda: ThetaSketch(k=4096),
+                   scalar_int_extractor("key")),
+    ]
+    R.rollup_update(spark, half_dir, state, specs,
+                    group_cols=("source",), salt_buckets=4)
+    seen = {r["key"] for r in
+            spark.read.parquet(half_dir).select("key").collect()}
+    alln = {r["key"] for r in
+            spark.read.parquet(full_dir).select("key").collect()}
+    new = alln - seen
+    full = spark.read.parquet(full_dir)
+    kept = {r["key"] for r in
+            R.rollup_dedup_filter(spark, full, state, "key")
+            .select("key").collect()}
+    assert not (kept & seen)            # no false negatives, ever
+    assert kept <= new
+    assert len(kept) >= 0.9 * len(new)  # FP loss bounded
+    got_seen = {r["key"] for r in
+                R.rollup_dedup_filter(spark, full, state, "key",
+                                      keep="seen").select("key").collect()}
+    assert got_seen >= seen             # superset of the truly seen
+    assert got_seen == alln - kept
+    with pytest.raises(UsageError, match="needs bloom blobs"):
+        R.rollup_dedup_filter(spark, full, state, "key",
+                              sketch_name="theta")
+    with pytest.raises(UsageError, match="keep must be"):
+        R.rollup_dedup_filter(spark, full, state, "key", keep="nope")
+    # CLI: derive the key from doc_id, write survivors, report counts
+    outdir = str(tmp_path / "survivors")
+    rc = rollup_sketches.main([
+        "filter-new", "--input", full_dir, "--state", state,
+        "--key-col", "key", "--hash-of", "doc_id", "--output", outdir])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows_kept"] == len(kept)
+    assert st["rows_in"] == len(alln)
+    assert ({r["key"] for r in
+             spark.read.parquet(outdir).select("key").collect()} == kept)
