@@ -268,6 +268,23 @@ def main(argv: list[str] | None = None) -> int:
     card.add_argument("--version", type=int, default=None,
                       help="committed version to query (default: latest)")
 
+    sd = sub.add_parser("stream-dedup", help="streaming dedup ingest: "
+                        "drain a drop dir, drop ever-seen keys, append "
+                        "survivors, fold their keys into the Bloom state")
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--state", required=True)
+    sd.add_argument("--output", required=True,
+                    help="deduped-corpus dir (survivors append here)")
+    sd.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint dir (the discovery ledger)")
+    sd.add_argument("--key-col", required=True,
+                    help="int64 key column to dedup on")
+    sd.add_argument("--hash-of", default=None,
+                    help="derive --key-col as xxhash64 of this column")
+    sd.add_argument("--m-bits", type=int, default=1 << 22)
+    sd.add_argument("--salt-buckets", type=int, default=8)
+    sd.add_argument("--max-files-per-trigger", type=int, default=None)
+
     fn = sub.add_parser("filter-new", help="incremental dedup: keep only "
                         "input rows whose key the warehouse's bloom state "
                         "has never ingested")
@@ -572,6 +589,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"sketch": args.sketch,
                               "rows": [row.asDict() for row in rows]},
                              sort_keys=True))
+        elif args.cmd == "stream-dedup":
+            stats = R.rollup_stream_dedup(
+                spark, args.input, args.state, args.output,
+                key_col=args.key_col, checkpoint_dir=args.checkpoint,
+                hash_of=args.hash_of, m_bits=args.m_bits,
+                salt_buckets=args.salt_buckets,
+                max_files_per_trigger=args.max_files_per_trigger)
+            print(json.dumps(stats, sort_keys=True))
         elif args.cmd == "filter-new":
             df = spark.read.parquet(args.input)
             if args.hash_of:

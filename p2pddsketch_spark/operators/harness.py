@@ -162,6 +162,21 @@ def scalar_extractor(column: str) -> Callable[[pa.RecordBatch], np.ndarray]:
     return extract
 
 
+def scalar_int_extractor(column: str) -> Callable[[pa.RecordBatch], np.ndarray]:
+    """Extract an integer column from an Arrow batch as int64 (nulls
+    dropped) — the identity-key sibling of `scalar_extractor` for
+    HLL/Bloom/theta/CMS ingestion, where values are keys, not
+    measurements."""
+    def extract(batch: pa.RecordBatch) -> np.ndarray:
+        col = batch.column(column)
+        if col.null_count:
+            col = col.drop_null()
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    extract.columns = [column]
+    extract.key = f"scalar_int:{column}"
+    return extract
+
+
 def pair_extractor(value_col: str, ts_col: str) -> Callable[[pa.RecordBatch], np.ndarray]:
     """Extract two int64-able columns as an (n, 2) [value, ts] array for
     the sliding-window sketches (SlidingHyperLogLog / EcmSketch /

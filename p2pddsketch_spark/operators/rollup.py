@@ -60,6 +60,7 @@ from p2pddsketch_spark.operators.harness import (SketchSpec, build_partials,
                                                  build_partials_from_files,
                                                  merge_blobs, merge_partials,
                                                  parquet_file_list,
+                                                 scalar_int_extractor,
                                                  sketch_from_bytes)
 from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
                                                      _write_text)
@@ -67,7 +68,7 @@ from p2pddsketch_spark.operators.maintenance import (_hadoop_fs, _read_text,
 __all__ = ["rollup_update", "rollup_stream_update", "rollup_merge_states",
            "rollup_state",
            "rollup_versions", "rollup_quantiles", "rollup_cardinality",
-           "rollup_overlap", "rollup_dedup_filter",
+           "rollup_overlap", "rollup_dedup_filter", "rollup_stream_dedup",
            "rollup_topk", "rollup_histogram", "rollup_drift",
            "rollup_topk_drift",
            "rollup_window_cardinality", "rollup_window_counts",
@@ -421,6 +422,129 @@ def rollup_stream_update(spark: SparkSession, input_dir: str, state_dir: str,
             "batches_fenced": stats["skipped"],
             "new_files": stats["new_files"],
             "total_files": len(latest[1]["files"]) if latest else 0,
+            "noop": stats["batches"] == 0}
+
+
+def rollup_stream_dedup(spark: SparkSession, input_dir: str, state_dir: str,
+                        out_dir: str, key_col: str,
+                        checkpoint_dir: str | None = None,
+                        hash_of: str | None = None,
+                        m_bits: int = 1 << 22, k: int = 5,
+                        salt_buckets: int = 8,
+                        max_files_per_trigger: int | None = None) -> dict:
+    """Streaming DEDUP INGEST: drain a parquet drop directory under
+    `availableNow`, and per micro-batch (1) drop rows whose int64
+    `key_col` duplicates an earlier row of the SAME batch, (2) drop
+    rows whose key the warehouse's Bloom state has EVER ingested,
+    (3) append the survivors to `out_dir` and (4) fold the survivors'
+    keys into the Bloom state — so the output corpus carries globally
+    unique keys across every batch and every run (Bloom has no false
+    negatives; the cost is its FP rate of genuinely-new rows dropped).
+
+    State == corpus content: only SURVIVOR keys enter the filter, so a
+    key lost to a false positive stays absent from both, and the
+    invariant "out_dir keys are exactly the state's ingested keys"
+    holds version for version.
+
+    Exactly-once across the three ledgers (checkpoint, state manifest,
+    output dir): the state commit reuses `rollup_stream_update`'s
+    lineage fence, and survivors land at
+    `out_dir/ingest_version=<state version>` with mode("overwrite") —
+    a crash between the survivors write and the manifest commit
+    recomputes the same version from the same state and overwrites the
+    same directory; a replay after the manifest commit is fenced
+    before either write. Among same-key rows within one batch the kept
+    ROW is arbitrary (key semantics only).
+
+    The reference has no ingest pipeline at all (it re-reads its full
+    dataset per run, /root/reference/main.cpp:214-396); this is the
+    brief's training-data firehose: raw drops in, deduped corpus +
+    queryable sketch state out."""
+    from p2pddsketch_spark.sketches.bloom import BloomFilter
+    if checkpoint_dir is None:
+        raise UsageError("checkpoint_dir is required (it is the "
+                         "exactly-once discovery ledger)")
+    specs = [SketchSpec("bloom", lambda: BloomFilter(m_bits=m_bits, k=k),
+                        scalar_int_extractor(key_col))]
+    spec_names = ["bloom"]
+    spec_sig = _spec_signature(specs)
+    if not any(ch in input_dir for ch in "*?[{"):
+        fs, jpath = _hadoop_fs(spark, input_dir)
+        empty = not fs.exists(jpath)
+        if not empty and fs.getFileStatus(jpath).isDirectory():
+            empty = not fs.listFiles(jpath, True).hasNext()
+        if empty:
+            latest = _latest(spark, state_dir)
+            return {"version": latest[0] if latest else 0, "batches": 0,
+                    "batches_fenced": 0, "rows_in": 0, "rows_kept": 0,
+                    "noop": True,
+                    "reason": "input dir absent or empty (producer race)"}
+    schema = spark.read.parquet(input_dir).schema
+
+    stats = {"batches": 0, "skipped": 0, "rows_in": 0, "rows_kept": 0}
+
+    def advance(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _latest(spark, state_dir)
+        done = _check_config(latest, spec_names, spec_sig, ())
+        files = _source_log_files(spark, checkpoint_dir, int(batch_id))
+        if files is None:
+            files = sorted({_norm_uri(r[0]) for r in batch_df
+                            .select(F.input_file_name()).distinct().collect()})
+        if not files or all(p in done for p in files):
+            stats["skipped"] += 1
+            return
+        overlap = [p for p in files if p in done]
+        if overlap:
+            raise UsageError(
+                "streaming batch mixes files already in the dedup state "
+                f"manifest (e.g. {overlap[0]!r}) with new ones: use the "
+                "checkpoint that built this state, or a fresh state dir.")
+        if hash_of is not None:
+            batch_df = batch_df.withColumn(key_col, F.xxhash64(hash_of))
+        n_in = batch_df.count()
+        batch_df = batch_df.dropDuplicates([key_col])
+        have_state = latest is not None and bool(
+            spark.read.parquet(_blobs_path(state_dir, latest[0])).head(1))
+        if have_state:
+            survivors = rollup_dedup_filter(
+                spark, batch_df, state_dir, key_col,
+                _versions=[(latest[0], latest[1])], version=latest[0])
+        else:
+            survivors = batch_df
+        version = (latest[0] + 1) if latest else 1
+        dest = out_dir.rstrip("/") + f"/ingest_version={version}"
+        # localCheckpoint: the survivors feed BOTH the output write and
+        # the state partials — one probe pass, and the two consumers
+        # cannot diverge on a recomputed nondeterministic plan
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(dest)
+        n_kept = spark.read.parquet(dest).count()
+        partials = build_partials(spark.read.parquet(dest), specs, (),
+                                  salt_buckets)
+        _merge_and_commit(
+            spark, state_dir, partials, specs, (), latest, done, files,
+            extra={"stream_checkpoint": checkpoint_dir,
+                   "stream_batch_id": int(batch_id),
+                   "ingest_out": dest, "rows_in": int(n_in),
+                   "rows_kept": int(n_kept)})
+        stats["batches"] += 1
+        stats["rows_in"] += int(n_in)
+        stats["rows_kept"] += int(n_kept)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    q = (reader.parquet(input_dir)
+         .writeStream.foreachBatch(advance)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    latest = _latest(spark, state_dir)
+    return {"version": latest[0] if latest else 0,
+            "batches": stats["batches"],
+            "batches_fenced": stats["skipped"],
+            "rows_in": stats["rows_in"],
+            "rows_kept": stats["rows_kept"],
             "noop": stats["batches"] == 0}
 
 

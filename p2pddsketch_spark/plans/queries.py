@@ -1269,17 +1269,10 @@ def _spacesaving(k: int):
     return SpaceSaving(k=k)
 
 
-def scalar_int_extractor(column: str):
-    import pyarrow as pa
-
-    def extract(batch: "pa.RecordBatch") -> np.ndarray:
-        col = batch.column(column)
-        if col.null_count:
-            col = col.drop_null()
-        return col.to_numpy(zero_copy_only=False).astype(np.int64)
-    extract.columns = [column]
-    extract.key = f"scalar_int:{column}"
-    return extract
+# moved to the harness (operators must not import from plans);
+# re-exported here for existing callers
+from p2pddsketch_spark.operators.harness import \
+    scalar_int_extractor  # noqa: E402,F401
 
 
 # ------------------------------------------------- round-3 additions:

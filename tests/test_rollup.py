@@ -2298,3 +2298,94 @@ def test_dedup_filter_against_stored_bloom_state(spark, seq_dir, tmp_path,
     assert st["rows_in"] == len(alln)
     assert ({r["key"] for r in
              spark.read.parquet(outdir).select("key").collect()} == kept)
+
+
+def test_stream_dedup_ingest_end_to_end(spark, tmp_path, capsys):
+    """rollup_stream_dedup: the training-data firehose — overlapping
+    drops stream in, a deduped corpus + Bloom state come out. Pinned:
+    the output corpus carries EXACTLY the distinct input keys (the FP
+    rate at this fill is ~1e-13, so exact equality is the honest
+    assertion), one state version per micro-batch with rows_in/rows_kept
+    metrics, a rerun on the same checkpoint is a fenced noop, NEW drops
+    append only never-seen keys, and a FRESH checkpoint against the
+    populated state refuses loudly instead of double-counting."""
+    import os
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_sketches
+    drop = str(tmp_path / "drop")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    os.makedirs(drop)
+    # 6 files, heavy cross-file key overlap: file i carries keys
+    # [i*100, i*100 + 180) — ~45% of each file duplicates its neighbor
+    for i in range(6):
+        rows = [(int(k), f"doc-{k}") for k in range(i * 100, i * 100 + 180)]
+        (spark.createDataFrame(rows, "key long, text string")
+         .coalesce(1).write.parquet(str(tmp_path / f"stage{i}")))
+        src = [f for f in os.listdir(str(tmp_path / f"stage{i}"))
+               if f.endswith(".parquet")][0]
+        shutil.copy(str(tmp_path / f"stage{i}" / src), f"{drop}/f{i}.parquet")
+    stats = R.rollup_stream_dedup(spark, drop, state, out, key_col="key",
+                                  checkpoint_dir=ck, salt_buckets=4,
+                                  max_files_per_trigger=2)
+    assert stats["batches"] == 3 and not stats["noop"]
+    assert stats["rows_in"] == 6 * 180
+    expect = set(range(0, 680))          # distinct keys in the 6 drops
+    got = {r["key"] for r in spark.read.parquet(out).select("key").collect()}
+    assert got == expect
+    assert stats["rows_kept"] == len(expect)
+    # no duplicate keys anywhere in the corpus
+    n = spark.read.parquet(out).count()
+    assert n == len(expect)
+    # one committed state version per batch, with ingest metrics
+    vers = R.rollup_versions(spark, state)
+    assert [v for v, _ in vers] == [1, 2, 3]
+    assert sum(m["rows_kept"] for _, m in vers) == len(expect)
+    # rerun, same checkpoint: everything fenced, nothing re-ingested
+    again = R.rollup_stream_dedup(spark, drop, state, out, key_col="key",
+                                  checkpoint_dir=ck, salt_buckets=4)
+    assert again["noop"] and again["batches"] == 0
+    assert spark.read.parquet(out).count() == len(expect)
+    # new drop, half old keys / half new: only the new half survives
+    rows = [(int(k), f"doc-{k}") for k in range(600, 800)]
+    (spark.createDataFrame(rows, "key long, text string")
+     .coalesce(1).write.parquet(str(tmp_path / "stage7")))
+    src = [f for f in os.listdir(str(tmp_path / "stage7"))
+           if f.endswith(".parquet")][0]
+    shutil.copy(str(tmp_path / "stage7" / src), f"{drop}/f7.parquet")
+    more = R.rollup_stream_dedup(spark, drop, state, out, key_col="key",
+                                 checkpoint_dir=ck, salt_buckets=4)
+    assert more["batches"] == 1 and more["rows_kept"] == 120
+    got2 = {r["key"] for r in spark.read.parquet(out).select("key").collect()}
+    assert got2 == set(range(0, 800))
+    # probing the warehouse now finds nothing new in the full history
+    full = spark.read.parquet(drop)
+    assert R.rollup_dedup_filter(spark, full, state, "key").count() == 0
+    # fresh checkpoint + populated state: an all-old batch is a pure
+    # replay (fenced), but once a NEW file lands the batch MIXES
+    # ingested files with unseen ones -> loud refusal, because skipping
+    # would lose the new file and merging would double-count the old
+    rows = [(int(k), f"doc-{k}") for k in range(900, 910)]
+    (spark.createDataFrame(rows, "key long, text string")
+     .coalesce(1).write.parquet(str(tmp_path / "stage8")))
+    src = [f for f in os.listdir(str(tmp_path / "stage8"))
+           if f.endswith(".parquet")][0]
+    shutil.copy(str(tmp_path / "stage8" / src), f"{drop}/f8.parquet")
+    with pytest.raises(Exception, match="mixes files already"):
+        # surfaces wrapped in Spark's StreamingQueryException, like the
+        # stream-update sibling refusal
+        R.rollup_stream_dedup(spark, drop, state, out, key_col="key",
+                              checkpoint_dir=str(tmp_path / "ck2"),
+                              salt_buckets=4)
+    # CLI drive on a fresh pipeline (hash-of derivation path)
+    state2, out2, ck3 = (str(tmp_path / p) for p in ("s2", "o2", "ck3"))
+    rc = rollup_sketches.main([
+        "stream-dedup", "--input", drop, "--state", state2,
+        "--output", out2, "--checkpoint", ck3,
+        "--key-col", "k2", "--hash-of", "text"])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows_kept"] == 810    # 800 keys + the 10 in f8.parquet
+    assert spark.read.parquet(out2).count() == 810
