@@ -245,6 +245,48 @@ def warehouse_receipt(spark, sf_dir: str, reps: int) -> dict:
             "window_queries_secs": round(t_q, 3)}
 
 
+def stream_dedup_receipt(spark, sf_dir: str, reps: int) -> dict:
+    """Dedup-ingest sentinel: the documents table, re-dropped as files
+    with every doc DUPLICATED across two drops, streamed through
+    `rollup_stream_dedup` (2 micro-batches). Reported: ingest wall
+    (best of `reps`), rows in/kept, and the measured dedup ratio — the
+    never-rescan-history contract made a number."""
+    import shutil as sh
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from p2pddsketch_spark.operators import rollup as R
+    reps = max(1, int(reps))
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.xxhash64("doc_id").alias("key"), "doc_id", "source"))
+    best = stats = None
+    for _ in range(reps):
+        tmp = tempfile.mkdtemp(prefix="bench_sdedup_")
+        try:
+            drop = os.path.join(tmp, "drop")
+            # wave 1 = full corpus, wave 2 = the same corpus again:
+            # a 50% duplicate firehose
+            docs.repartition(4).write.parquet(drop)
+            docs.repartition(4).write.mode("append").parquet(drop)
+            t0 = time.monotonic()
+            st = R.rollup_stream_dedup(
+                spark, drop, os.path.join(tmp, "state"),
+                os.path.join(tmp, "corpus"), key_col="key",
+                checkpoint_dir=os.path.join(tmp, "ck"),
+                salt_buckets=8, max_files_per_trigger=4)
+            dt = time.monotonic() - t0
+            if best is None or dt < best:
+                best, stats = dt, st
+        finally:
+            sh.rmtree(tmp, ignore_errors=True)
+    return {"secs": round(best, 3), "rows_in": stats["rows_in"],
+            "rows_kept": stats["rows_kept"],
+            "dup_pct": round(100.0 * (1 - stats["rows_kept"] /
+                                      max(stats["rows_in"], 1)), 2),
+            "batches": stats["batches"],
+            "rows_per_sec": round(stats["rows_in"] / best, 1)}
+
+
 def mix_receipt(spark, sf_dir: str, reps: int) -> dict:
     """Data-mixture construction sentinel: mix_sources over the
     documents table with per-source budgets at ~half each source's
@@ -560,6 +602,9 @@ def main():
         pr = pq_index_receipt(spark, sf_dir, reps)
         tp["pq_index"] = pr
         print(f"# pq index receipt: {pr}", file=sys.stderr)
+        sdr = stream_dedup_receipt(spark, sf_dir, reps)
+        tp["stream_dedup"] = sdr
+        print(f"# stream dedup receipt: {sdr}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
