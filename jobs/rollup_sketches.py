@@ -282,6 +282,10 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--hash-of", default=None,
                     help="derive --key-col as xxhash64 of this column")
     sd.add_argument("--m-bits", type=int, default=1 << 22)
+    sd.add_argument("--max-fill", type=float, default=0.5,
+                    help="refuse to ingest once the Bloom state's bit "
+                    "fill exceeds this ratio (saturation = silent data "
+                    "loss; re-shard into a larger --m-bits state)")
     sd.add_argument("--salt-buckets", type=int, default=8)
     sd.add_argument("--max-files-per-trigger", type=int, default=None)
 
@@ -595,7 +599,8 @@ def main(argv: list[str] | None = None) -> int:
                 key_col=args.key_col, checkpoint_dir=args.checkpoint,
                 hash_of=args.hash_of, m_bits=args.m_bits,
                 salt_buckets=args.salt_buckets,
-                max_files_per_trigger=args.max_files_per_trigger)
+                max_files_per_trigger=args.max_files_per_trigger,
+                max_fill=args.max_fill)
             print(json.dumps(stats, sort_keys=True))
         elif args.cmd == "filter-new":
             df = spark.read.parquet(args.input)

@@ -431,7 +431,8 @@ def rollup_stream_dedup(spark: SparkSession, input_dir: str, state_dir: str,
                         hash_of: str | None = None,
                         m_bits: int = 1 << 22, k: int = 5,
                         salt_buckets: int = 8,
-                        max_files_per_trigger: int | None = None) -> dict:
+                        max_files_per_trigger: int | None = None,
+                        max_fill: float = 0.5) -> dict:
     """Streaming DEDUP INGEST: drain a parquet drop directory under
     `availableNow`, and per micro-batch (1) drop rows whose int64
     `key_col` duplicates an earlier row of the SAME batch, (2) drop
@@ -455,6 +456,15 @@ def rollup_stream_dedup(spark: SparkSession, input_dir: str, state_dir: str,
     same directory; a replay after the manifest commit is fenced
     before either write. Among same-key rows within one batch the kept
     ROW is arbitrary (key semantics only).
+
+    A saturating filter is DATA LOSS, not degradation: past ~50% bit
+    fill the FP rate climbs steeply and ever more genuinely-new rows
+    get dropped as "seen". Each batch therefore refuses loudly (before
+    ingesting anything) once the state's fill ratio exceeds
+    `max_fill` — re-shard into a bigger `m_bits` state instead of
+    silently discarding the firehose. Size m ≈ n·k/ln2 bits for the
+    expected corpus cardinality n; the final fill ratio rides the
+    return stats and every commit manifest.
 
     The reference has no ingest pipeline at all (it re-reads its full
     dataset per run, /root/reference/main.cpp:214-396); this is the
@@ -506,6 +516,22 @@ def rollup_stream_dedup(spark: SparkSession, input_dir: str, state_dir: str,
         have_state = latest is not None and bool(
             spark.read.parquet(_blobs_path(state_dir, latest[0])).head(1))
         if have_state:
+            blob = merge_blobs([bytes(r["sketch"]) for r in
+                                spark.read.parquet(
+                                    _blobs_path(state_dir, latest[0]))
+                                .select("sketch").collect()])
+            bf = sketch_from_bytes(blob)
+            fill = float(np.unpackbits(
+                bf.bits.view(np.uint8)).mean())
+            stats["fill_pct"] = round(100.0 * fill, 3)
+            if fill > max_fill:
+                raise UsageError(
+                    f"dedup Bloom state at {state_dir!r} is "
+                    f"{100 * fill:.1f}% full (max_fill="
+                    f"{100 * max_fill:.0f}%): past this point the FP "
+                    "rate silently drops genuinely-new rows — re-shard "
+                    "into a larger m_bits state (m ≈ n·k/ln2 for "
+                    "expected corpus cardinality n)")
             survivors = rollup_dedup_filter(
                 spark, batch_df, state_dir, key_col,
                 _versions=[(latest[0], latest[1])], version=latest[0])
@@ -526,7 +552,8 @@ def rollup_stream_dedup(spark: SparkSession, input_dir: str, state_dir: str,
             extra={"stream_checkpoint": checkpoint_dir,
                    "stream_batch_id": int(batch_id),
                    "ingest_out": dest, "rows_in": int(n_in),
-                   "rows_kept": int(n_kept)})
+                   "rows_kept": int(n_kept),
+                   "state_fill_pct_before": stats.get("fill_pct", 0.0)})
         stats["batches"] += 1
         stats["rows_in"] += int(n_in)
         stats["rows_kept"] += int(n_kept)
@@ -540,11 +567,22 @@ def rollup_stream_dedup(spark: SparkSession, input_dir: str, state_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     latest = _latest(spark, state_dir)
+    fill_pct = None
+    if latest is not None:
+        blobs = [bytes(r["sketch"]) for r in
+                 spark.read.parquet(_blobs_path(state_dir, latest[0]))
+                 .select("sketch").collect()]
+        if blobs:
+            bf = sketch_from_bytes(merge_blobs(blobs))
+            fill_pct = round(
+                100.0 * float(np.unpackbits(bf.bits.view(np.uint8)).mean()),
+                3)
     return {"version": latest[0] if latest else 0,
             "batches": stats["batches"],
             "batches_fenced": stats["skipped"],
             "rows_in": stats["rows_in"],
             "rows_kept": stats["rows_kept"],
+            "fill_pct": fill_pct,
             "noop": stats["batches"] == 0}
 
 

@@ -2389,3 +2389,40 @@ def test_stream_dedup_ingest_end_to_end(spark, tmp_path, capsys):
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["rows_kept"] == 810    # 800 keys + the 10 in f8.parquet
     assert spark.read.parquet(out2).count() == 810
+
+
+def test_stream_dedup_refuses_saturated_state(spark, tmp_path):
+    """A saturating dedup filter is silent data loss (the FP rate
+    climbs and genuinely-new rows get dropped as 'seen'), so a batch
+    must refuse BEFORE ingesting once the state's bit fill exceeds
+    max_fill — with the re-shard guidance — and the fill ratio must
+    ride the stats."""
+    import os
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+
+    def add_file(name, lo, hi):
+        stage = str(tmp_path / f"stage_{name}")
+        (spark.createDataFrame([(int(x),) for x in range(lo, hi)], "key long")
+         .coalesce(1).write.parquet(stage))
+        src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, src), f"{drop}/{name}.parquet")
+
+    add_file("f0", 0, 200)
+    state, out, ck = (str(tmp_path / p) for p in ("state", "out", "ck"))
+    # m_bits=256, k=5, 200 keys -> fill ~ 98%: first run ingests (no
+    # prior state to check), second refuses before touching the drop
+    st = R.rollup_stream_dedup(spark, drop, state, out, key_col="key",
+                               checkpoint_dir=ck, m_bits=256, k=5,
+                               salt_buckets=2)
+    assert st["batches"] == 1 and st["fill_pct"] > 50
+    add_file("f1", 200, 400)
+    with pytest.raises(Exception, match="re-shard"):
+        R.rollup_stream_dedup(spark, drop, state, out, key_col="key",
+                              checkpoint_dir=ck, m_bits=256, k=5,
+                              salt_buckets=2)
+    # a generous max_fill lets the same batch through (caller's call)
+    st2 = R.rollup_stream_dedup(spark, drop, state, out, key_col="key",
+                                checkpoint_dir=ck, m_bits=256, k=5,
+                                salt_buckets=2, max_fill=1.0)
+    assert st2["batches"] == 1
