@@ -539,10 +539,10 @@ def rollup_stream_dedup(spark: SparkSession, input_dir: str, state_dir: str,
             survivors = batch_df
         version = (latest[0] + 1) if latest else 1
         dest = out_dir.rstrip("/") + f"/ingest_version={version}"
-        # localCheckpoint: the survivors feed BOTH the output write and
-        # the state partials — one probe pass, and the two consumers
-        # cannot diverge on a recomputed nondeterministic plan
-        survivors = survivors.localCheckpoint(eager=True)
+        # the survivors plan executes exactly once (this write); the
+        # state partials then re-read DEST, so the corpus and the state
+        # cannot diverge even though dropDuplicates picks an arbitrary
+        # row among same-key duplicates
         survivors.write.mode("overwrite").parquet(dest)
         n_kept = spark.read.parquet(dest).count()
         partials = build_partials(spark.read.parquet(dest), specs, (),
