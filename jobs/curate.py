@@ -38,6 +38,21 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--dedup-state", default=None,
+                   help="bloom warehouse state dir (operators/rollup.py): "
+                   "drop docs whose RAW content hash any previous curate "
+                   "run already published — incremental cross-run dedup "
+                   "with no history re-scan. The output gains a "
+                   "content_hash column (xxhash64 of the ingested text, "
+                   "computed BEFORE span-strip/PII mutation so future raw "
+                   "duplicates match).")
+    p.add_argument("--update-dedup-state", action="store_true",
+                   help="after publishing, fold the output's content "
+                   "hashes into --dedup-state (file-lineage committed; a "
+                   "re-run over the same output is a no-op)")
+    p.add_argument("--dedup-m-bits", type=int, default=1 << 22,
+                   help="bloom width for a state created by this run "
+                   "(size m ≈ n·k/ln2 for expected corpus cardinality)")
     p.add_argument("--min-quality", type=float, default=0.0)
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--langs", nargs="*", default=[])
@@ -110,6 +125,25 @@ def main(argv=None):
         from p2pddsketch_spark.sources.ingest import read_documents
         df = read_documents(spark, args.input, args.format)
     n0 = df.count()
+
+    # 0b. cross-run dedup: drop docs whose raw content an earlier curate
+    #     run already PUBLISHED (probed against the bloom warehouse
+    #     state — broadcast kilobytes, no history re-scan, no false
+    #     negatives). The hash is taken at ingest, before any
+    #     text-mutating stage, and rides into the output so
+    #     --update-dedup-state folds exactly these raw-content keys.
+    #     Scope: EXACT content across runs. Docs dropped in-pipeline
+    #     (quality / near-dup losers) are not recorded and will be
+    #     re-processed if re-dropped; carrying near-dup state across
+    #     runs would need the minhash signatures, not a bloom.
+    n0b = n0
+    if args.dedup_state:
+        from p2pddsketch_spark.operators import rollup as R
+        df = df.withColumn("content_hash", F.xxhash64(args.text_col))
+        if R.rollup_versions(spark, args.dedup_state):
+            df = R.rollup_dedup_filter(spark, df, args.dedup_state,
+                                       "content_hash")
+            n0b = df.count()
 
     # 1. exact dedup — deterministic winner per identical content
     df = dedup.exact_dedup(df, args.text_col, args.id_col)
@@ -240,6 +274,22 @@ def main(argv=None):
 
     df.write.mode("overwrite").parquet(args.output)
 
+    # 7b. fold the published raw-content hashes into the dedup state —
+    #     committed with the OUTPUT's file lineage, so re-running the
+    #     fold over the same published corpus is a no-op
+    dedup_state_version = None
+    if args.dedup_state and args.update_dedup_state:
+        from p2pddsketch_spark.operators import rollup as R
+        from p2pddsketch_spark.operators.harness import scalar_int_extractor
+        from p2pddsketch_spark.sketches.bloom import BloomFilter
+        st = R.rollup_update(
+            spark, args.output, args.dedup_state,
+            [SketchSpec("bloom",
+                        lambda: BloomFilter(m_bits=args.dedup_m_bits, k=5),
+                        scalar_int_extractor("content_hash"))],
+            group_cols=(), salt_buckets=8)
+        dedup_state_version = st["version"]
+
     # 5. one-pass sketch summary of the curated corpus
     summary_specs = [SketchSpec(
         "dds_len", lambda: DDSketch(alpha=0.01, bin_limit=1 << 20),
@@ -252,7 +302,9 @@ def main(argv=None):
 
     manifest = {
         "input": args.input, "output": args.output,
-        "rows_in": n0, "after_exact_dedup": n1, "after_near_dedup": n2,
+        "rows_in": n0, "after_state_dedup": n0b,
+        "dedup_state_version": dedup_state_version,
+        "after_exact_dedup": n1, "after_near_dedup": n2,
         "after_semantic_dedup": n2b,
         "after_quality": n3, "after_lang": n4, "after_decontaminate": n5,
         "after_mix": n6,

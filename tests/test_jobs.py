@@ -385,3 +385,69 @@ def test_curate_mix_budget_stage(spark, tmp_path, capsys):
             "--output", str(tmp_path / "curated_mix_bad"),
             "--mix-budgets", "src0",
         ])
+
+
+def test_curate_incremental_dedup_state(spark, tmp_path, capsys):
+    """--dedup-state: the second curate run over a drop that re-contains
+    the first run's docs publishes ONLY the genuinely-new content — the
+    cross-run dedup leg. Pinned: run-1 publishes and commits state v1;
+    run-2 over old+new drops every previously-published doc before the
+    pipeline (after_state_dedup), publishes only new docs, state
+    advances to v2; run-3 over the same drop publishes nothing."""
+    from pyspark.sql import functions as F
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wave1 = str(tmp_path / "wave1")
+    docs.where(F.col("doc_id") < 250).write.parquet(wave1)
+    state = str(tmp_path / "state")
+
+    rc = curate.main([
+        "--input", wave1, "--output", str(tmp_path / "out1"),
+        "--jaccard", "0.5", "--dedup-state", state,
+        "--update-dedup-state"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    m1 = json.loads(out[out.index("{"):])
+    assert m1["after_state_dedup"] == m1["rows_in"]   # no state yet
+    assert m1["dedup_state_version"] == 1
+    out1 = spark.read.parquet(str(tmp_path / "out1"))
+    assert "content_hash" in out1.columns
+    n_pub1 = out1.count()
+
+    # wave 2 drop: every wave-1 doc again + the rest of the corpus
+    wave2 = str(tmp_path / "wave2")
+    docs.write.parquet(wave2)
+    rc = curate.main([
+        "--input", wave2, "--output", str(tmp_path / "out2"),
+        "--jaccard", "0.5", "--dedup-state", state,
+        "--update-dedup-state"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    m2 = json.loads(out[out.index("{"):])
+    # every published wave-1 text was dropped by the state probe
+    assert m2["after_state_dedup"] <= m2["rows_in"] - n_pub1
+    assert m2["dedup_state_version"] == 2
+    pub1 = {r["content_hash"] for r in
+            out1.select("content_hash").collect()}
+    pub2 = {r["content_hash"] for r in
+            spark.read.parquet(str(tmp_path / "out2"))
+            .select("content_hash").collect()}
+    assert not (pub1 & pub2)          # nothing published twice, ever
+
+    # wave 3 == wave 2. The state records PUBLISHED content, so the only
+    # survivors of the probe are docs the earlier runs processed but
+    # dropped in-pipeline (quality/near-dup losers) — and whatever they
+    # publish now still never duplicates past output
+    n_pub2 = spark.read.parquet(str(tmp_path / "out2")).count()
+    rc = curate.main([
+        "--input", wave2, "--output", str(tmp_path / "out3"),
+        "--jaccard", "0.5", "--dedup-state", state])
+    assert rc == 0
+    out = capsys.readouterr().out
+    m3 = json.loads(out[out.index("{"):])
+    assert m3["after_state_dedup"] == m3["rows_in"] - n_pub1 - n_pub2
+    pub3 = {r["content_hash"] for r in
+            spark.read.parquet(str(tmp_path / "out3"))
+            .select("content_hash").collect()}
+    assert not (pub3 & (pub1 | pub2))
