@@ -28,7 +28,14 @@ group — the monitoring queries versioning exists for);
 `window-topk-drift` answer trailing-event-time-window questions from
 the sliding families `--sketches shll,ecm,eh,wdds,wss` + `--ts-col`;
 `--version` time-travels any point query to an older committed
-version; `merge` fans N independently-built states into a fresh one
+version; `overlap` answers pairwise group set-overlap (|A∩B|, |A∪B|,
+Jaccard) from stored theta blobs; `filter-new` dedups an arriving
+batch against the Bloom state of everything ever ingested
+(`--hash-of` derives the key, survivors land as parquet);
+`stream-dedup` is the dedup-ingest firehose — drop dir in, deduped
+corpus + updated Bloom state out, one exactly-once commit per
+micro-batch, refusing on a saturating filter (--max-fill);
+`merge` fans N independently-built states into a fresh one
 (blob tables only); `restore` rolls back to a committed version by
 committing it forward as the new tip (append-only history; the next
 `update` re-folds the undone files); `fsck` audits the

@@ -25,6 +25,7 @@ from p2pddsketch_spark.operators import rollup as R
 from p2pddsketch_spark.operators.harness import (SketchSpec, array_extractor,
                                                  parquet_file_list,
                                                  scalar_extractor,
+                                                 scalar_int_extractor,
                                                  build_sketches_from_files,
                                                  collect_sketches)
 from p2pddsketch_spark.sketches.ddsketch import DDSketch
@@ -2426,3 +2427,67 @@ def test_stream_dedup_refuses_saturated_state(spark, tmp_path):
                                 checkpoint_dir=ck, m_bits=256, k=5,
                                 salt_buckets=2, max_fill=1.0)
     assert st2["batches"] == 1
+
+
+def test_overlap_multi_column_groups(spark, tmp_path):
+    """rollup_overlap with a composite group key: every group column is
+    emitted as a `<col>_a` / `<col>_b` pair (types preserved) and the
+    under-k estimates stay exact set arithmetic."""
+    from p2pddsketch_spark.sketches.theta import ThetaSketch
+    rows = []
+    for src in ("a", "b"):
+        for shard in (0, 1):
+            base = (ord(src) - ord("a")) * 50 + shard * 25
+            rows += [(src, shard, int(k)) for k in range(base, base + 40)]
+    df = spark.createDataFrame(rows, "src string, shard int, key long")
+    seq = str(tmp_path / "seq")
+    df.repartition(2).write.parquet(seq)
+    state = str(tmp_path / "state")
+    R.rollup_update(spark, seq, state,
+                    [SketchSpec("theta", lambda: ThetaSketch(k=1024),
+                                scalar_int_extractor("key"))],
+                    group_cols=("src", "shard"), salt_buckets=2)
+    out = R.rollup_overlap(spark, state, "theta").toPandas()
+    assert list(out.columns) == ["src_a", "shard_a", "src_b", "shard_b",
+                                 "inter_est", "union_est", "jaccard"]
+    assert len(out) == 6                       # C(4,2) group pairs
+    pdf = df.toPandas()
+    sets = {(s, sh): set(g["key"])
+            for (s, sh), g in pdf.groupby(["src", "shard"])}
+    for _, r in out.iterrows():
+        a, b = (r["src_a"], r["shard_a"]), (r["src_b"], r["shard_b"])
+        assert r["inter_est"] == float(len(sets[a] & sets[b]))
+        assert r["union_est"] == float(len(sets[a] | sets[b]))
+
+
+def test_stream_dedup_output_invariant_under_batching(spark, tmp_path):
+    """The published key set must not depend on micro-batch slicing:
+    the same 6-file overlapping drop drained at 1, 3, and 6 files per
+    trigger publishes the identical key set (the batching only moves
+    WHICH batch first claims a key)."""
+    import os
+    drops = str(tmp_path / "drop")
+    os.makedirs(drops)
+    for i in range(6):
+        stage = str(tmp_path / f"s{i}")
+        (spark.createDataFrame(
+            [(int(k),) for k in range(i * 40, i * 40 + 70)], "key long")
+         .coalesce(1).write.parquet(stage))
+        src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, src), f"{drops}/f{i}.parquet")
+    results = {}
+    for mft in (1, 3, 6):
+        state, out, ck = (str(tmp_path / f"{p}{mft}")
+                          for p in ("st", "out", "ck"))
+        stats = R.rollup_stream_dedup(spark, drops, state, out,
+                                      key_col="key", checkpoint_dir=ck,
+                                      salt_buckets=2,
+                                      max_files_per_trigger=mft)
+        keys = {r["key"] for r in
+                spark.read.parquet(out).select("key").collect()}
+        results[mft] = (stats["rows_kept"], keys)
+        assert stats["batches"] == (6 + mft - 1) // mft
+    expect = set(range(0, 270))
+    for mft, (kept, keys) in results.items():
+        assert keys == expect, mft
+        assert kept == len(expect), mft
