@@ -503,6 +503,61 @@ def approx_percentile_receipt(spark, seq_path: str, reps: int) -> dict:
             "dds_alpha": 0.001, "native_accuracy_param": 10000}
 
 
+def tail_accuracy_receipt(spark, seq_path: str) -> dict:
+    """Measured (not claimed) accuracy of every quantile family the
+    library ships, on the same one-pass build over the bench corpus's
+    n_tok: DDSketch(α=0.001), KLL(k=256), REQ(k=32, the tail
+    specialist), t-digest(δ=200), moment sketch — at p50/p99/p999.
+    Two error metrics per estimate, because the contracts differ:
+    `rank` = distance of the estimate's fractional-rank INTERVAL from q
+    (duplicates give an estimate a rank range; inside it the error is
+    0) — the comparison-family contract; `rel` = |est − exact|/exact —
+    DDSketch's α contract. The p999 column is why REQ exists."""
+    import numpy as np
+    from p2pddsketch_spark.operators.harness import (SketchSpec,
+                                                     build_sketches,
+                                                     collect_sketches,
+                                                     scalar_extractor)
+    from p2pddsketch_spark.sketches.ddsketch import DDSketch
+    from p2pddsketch_spark.sketches.kll import KLLSketch
+    from p2pddsketch_spark.sketches.moments import MomentSketch
+    from p2pddsketch_spark.sketches.req import ReqSketch
+    from p2pddsketch_spark.sketches.tdigest import TDigest
+    seq = spark.read.parquet(seq_path)
+    specs = [
+        SketchSpec("dds", lambda: DDSketch(alpha=0.001, bin_limit=1 << 22),
+                   scalar_extractor("n_tok")),
+        SketchSpec("kll", lambda: KLLSketch(k=256),
+                   scalar_extractor("n_tok")),
+        SketchSpec("req", lambda: ReqSketch(k=32),
+                   scalar_extractor("n_tok")),
+        SketchSpec("tdigest", lambda: TDigest(delta=200.0),
+                   scalar_extractor("n_tok")),
+        SketchSpec("moments", lambda: MomentSketch(k=6, zscale=24.0),
+                   scalar_extractor("n_tok")),
+    ]
+    t0 = time.monotonic()
+    sk = collect_sketches(build_sketches(seq, specs, salt_buckets=16))
+    build_secs = round(time.monotonic() - t0, 3)
+    vals = np.sort(seq.select("n_tok").toPandas()["n_tok"]
+                   .to_numpy(dtype=np.float64))
+    n = vals.size
+    out = {"build_secs": build_secs, "n": int(n)}
+    for q, label in ((0.5, "p50"), (0.99, "p99"), (0.999, "p999")):
+        exact = float(vals[int(q * (n - 1))])
+        col = {}
+        for fam in ("dds", "kll", "req", "tdigest", "moments"):
+            est = float(sk[fam].quantile(q))
+            lo = np.searchsorted(vals, est, side="left") / n
+            hi = np.searchsorted(vals, est, side="right") / n
+            rank_err = max(0.0, lo - q, q - hi)
+            col[fam] = {"rank": round(float(rank_err), 6),
+                        "rel": round(abs(est - exact) / exact, 6)
+                        if exact else None}
+        out[label] = col
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -590,6 +645,9 @@ def main():
         ap = approx_percentile_receipt(spark, seq_path, reps)
         tp["approx_percentile"] = ap
         print(f"# approx_percentile receipt: {ap}", file=sys.stderr)
+        ta = tail_accuracy_receipt(spark, seq_path)
+        tp["tail_accuracy"] = ta
+        print(f"# tail accuracy receipt: {ta}", file=sys.stderr)
         wr = warehouse_receipt(spark, sf_dir, reps)
         tp["warehouse"] = wr
         print(f"# warehouse receipt: {wr}", file=sys.stderr)
