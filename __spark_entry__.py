@@ -38,14 +38,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front-loads the queries whose newest driver row is r3, plus this
     round's never-verified/changed entries: 31 r3-stale + 7 round-5
     merges of in-window rows (`dds_signed`, `dds_catalyst`, `dds_rank`,
-    `text_profile`, `token_stats`, `packing`, `dds_windows` — each
-    folds two-to-four same-family rows under a tag column, one composed
-    twin) + 9 new hard-oracle rows (`strip_spans`; the sliding family's
-    `shll_window_users`, `wss_window_top_users`, `eh_window_counts`,
-    `ecm_window_freq`, `wdds_window_quantiles` — EVERY sliding sketch
-    now has a driver gate row; `semdedup_pairs`, `kmeans_centroid`, and
-    `mix_sources` with exactness-regime / HUGEINT twins) + 3 rows added
-    late in r4
+    `text_profile`, `token_stats`, `packing`, `dds_windows`, plus the
+    final-sitting `count_windows` = EH + ECM — each folds two-to-four
+    same-family rows under a tag column, one composed twin) + new
+    hard-oracle rows (`strip_spans`; the sliding family's
+    `shll_window_users`, `wss_window_top_users`, `count_windows`,
+    `wdds_window_quantiles` — EVERY sliding sketch has a driver gate
+    row; `semdedup_pairs`, `kmeans_centroid`, `mix_sources` with
+    exactness-regime / HUGEINT twins; `source_kl` per-source
+    token-distribution divergence) + 3 rows added late in r4
     (`bpe_tokenize`, `ams_joinsize`, `minhash_tokens_pairs`;
     `bpe_encode` and `bpe_pack` were folded into `bpe_tokenize` /
     `packing`) = 50 exactly. All r4-verified rows sit beyond slot 50.
@@ -72,9 +73,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_signed": Q.q_dds_signed,
         # round-5 new: exact substring dedup (fills the slot the merge freed)
         "strip_spans": Q.q_strip_spans,
-        # round-5 new: DGIM exponential-histogram window counts (exact
-        # regime over the Catalyst-pre-aggregated hourly table)
-        "eh_window_counts": Q.q_eh_window_counts,
+        # round-5 merge (final sitting): DGIM exponential-histogram
+        # window counts + ECM windowed per-user frequencies — both
+        # trailing-window counting families, exact regimes, in one
+        # tagged row (form column)
+        "count_windows": Q.q_count_windows,
         "dds_events_hourly": Q.q_dds_events_hourly,
         # round-5 merge: 6h-sliding + daily-rollup hourly-state window
         # forms in one row (form column)
@@ -85,9 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 merge: global + cohort percentile-rank enrichment in
         # one row (scope column; was dds_rank_enrich + dds_rank_by_user_bucket)
         "dds_rank": Q.q_dds_rank,
-        # round-5 new: ECM-sketch windowed per-user frequencies (exact-EH
-        # regime, collision-inclusive splitmix64-in-SQL twin)
-        "ecm_window_freq": Q.q_ecm_window_freq,
+        # round-5 new (final sitting; fills the slot the count_windows
+        # merge freed): per-source token-distribution KL divergence from
+        # the corpus blend — exact, decimal-summed libm terms
+        "source_kl": Q.q_source_kl,
         "tpch_q6": Q.q_tpch_q6,
         "top_orders": Q.q_top_orders,
         "join_revenue_by_nation": Q.q_join_topsuppliers,

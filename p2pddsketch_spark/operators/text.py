@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 __all__ = ["words_col", "doc_stats", "top_tokens", "distinct_tokens_by",
            "language_id_col", "fingerprint_md5_col", "rolling_fingerprint",
            "quality_score", "bm25_topk", "repetition_stats",
-           "bigram_surprisal", "redact_pii", "PII_PATTERNS"]
+           "bigram_surprisal", "redact_pii", "PII_PATTERNS",
+           "source_kl_divergence"]
 
 STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
@@ -154,6 +155,52 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
                             F.col("n_bigrams").cast("double"), 6).alias("rare_ratio"),
                     F.col("_surp_sum").cast("double").alias("surprisal"))
             .orderBy(id_col))
+
+
+def source_kl_divergence(df: DataFrame, text_col: str = "text",
+                         source_col: str = "source") -> DataFrame:
+    """Per-source token-distribution divergence from the whole corpus:
+    KL(P_source ‖ P_corpus) in bits over whitespace unigrams — the
+    distributional complement of the theta set-overlap view, and a
+    standard mixture-curation signal (which source least resembles the
+    blend it feeds). Every source token occurs in the corpus
+    distribution by construction, so no smoothing is needed and the
+    value is exact. Output: (source, n_tok, n_types, kl_bits).
+
+    Float-parity discipline (`bigram_surprisal`'s): each token's
+    contribution (c_s/n_s)·ln((c_s·n)/(n_s·c))/ln 2 is rounded to 6
+    decimals and summed as DECIMAL(20,6) — exact and associative, so the
+    result is shuffle-order-free and the DuckDB twin replays the same
+    libm expression verbatim.
+
+    100 TB: two hash aggregations with map-side combine (per-(source,
+    token), then per-token) and one join keyed on token — hot stopword
+    keys are the skew risk, which AQE skew-join splits; the per-source
+    totals and the 1-row corpus total ride broadcasts. The fact table
+    shuffles once, as (source, token) partial counts. No Python."""
+    w = df.select(F.col(source_col).alias("source"),
+                  F.explode(words_col(text_col)).alias("t"))
+    per = w.groupBy("source", "t").agg(F.count("*").alias("c_s"))
+    ns = per.groupBy("source").agg(F.sum("c_s").alias("n_s"),
+                                   F.count("*").alias("n_types"))
+    corpus = per.groupBy("t").agg(F.sum("c_s").alias("c"))
+    tot = corpus.agg(F.sum("c").alias("n"))
+    term = F.round(
+        (F.col("c_s").cast("double") / F.col("n_s").cast("double"))
+        * F.log((F.col("c_s").cast("double") * F.col("n").cast("double"))
+                / (F.col("n_s").cast("double") * F.col("c").cast("double")))
+        / F.log(F.lit(2.0)), 6).cast("decimal(20,6)")
+    kl = (per.join(corpus, "t")
+          .join(F.broadcast(ns.select("source", "n_s")), "source")
+          .crossJoin(F.broadcast(tot))
+          .select("source", term.alias("term"))
+          .groupBy("source").agg(F.sum("term").alias("kl")))
+    return (ns.join(kl, "source")
+            .select("source",
+                    F.col("n_s").cast("long").alias("n_tok"),
+                    F.col("n_types").cast("long").alias("n_types"),
+                    F.round(F.col("kl").cast("double"), 6).alias("kl_bits"))
+            .orderBy("source"))
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

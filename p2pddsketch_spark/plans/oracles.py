@@ -2265,6 +2265,46 @@ GROUP BY c.user_id, w.wd
 ORDER BY c.user_id, window_days
 """
 
+# merged gate row (round 5, final sitting): both trailing-window
+# counting families — DGIM exponential histogram and ECM windowed
+# count-min — in one tagged frame; the EH-only (n_buckets, total)
+# columns carry the −1 sentinel on ECM rows
+ORACLES["count_windows"] = (
+    f"SELECT 'eh' AS form, event_type AS key, window_days, est, err, "
+    f"n_buckets, total FROM ({ORACLES.pop('eh_window_counts')}) "
+    f"UNION ALL "
+    f"SELECT 'ecm' AS form, CAST(user_id AS VARCHAR) AS key, window_days, "
+    f"est, err, CAST(-1 AS BIGINT) AS n_buckets, CAST(-1 AS BIGINT) AS total "
+    f"FROM ({ORACLES.pop('ecm_window_freq')}) "
+    f"ORDER BY form, key, window_days")
+
+# Per-source token-distribution KL divergence from the corpus blend —
+# the identical libm expression to text.source_kl_divergence: each term
+# rounded to 6 decimals and summed as DECIMAL(20,6) (exact,
+# shuffle-order-free), final value cast to DOUBLE and rounded.
+ORACLES["source_kl"] = f"""
+WITH w AS (SELECT source, unnest({_WORDS}) AS t FROM documents),
+per AS (SELECT source, t, count(*) AS c_s FROM w GROUP BY source, t),
+ns AS (SELECT source, sum(c_s) AS n_s, count(*) AS n_types
+       FROM per GROUP BY source),
+corpus AS (SELECT t, sum(c_s) AS c FROM per GROUP BY t),
+tot AS (SELECT sum(c) AS n FROM corpus),
+terms AS (
+  SELECT p.source,
+         CAST(ROUND((CAST(p.c_s AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+              * ln((CAST(p.c_s AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                   / (CAST(s.n_s AS DOUBLE) * CAST(c0.c AS DOUBLE)))
+              / ln(CAST(2.0 AS DOUBLE)), 6) AS DECIMAL(20,6)) AS term
+  FROM per p JOIN corpus c0 USING (t) JOIN ns s USING (source)
+  CROSS JOIN tot),
+kl AS (SELECT source, sum(term) AS klsum FROM terms GROUP BY source)
+SELECT s.source, CAST(s.n_s AS BIGINT) AS n_tok,
+       CAST(s.n_types AS BIGINT) AS n_types,
+       ROUND(CAST(k.klsum AS DOUBLE), 6) AS kl_bits
+FROM ns s JOIN kl k USING (source)
+ORDER BY s.source
+"""
+
 
 # Windowed-SpaceSaving heavy hitters, exact regime (k=4096 >> user
 # universe): counts exact, err literally 0, rank = (count DESC, user

@@ -2397,6 +2397,37 @@ def q_ecm_window_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "window_days"))
 
 
+def q_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both trailing-window COUNTING sketch families in ONE gate row
+    (round-5 final-sitting merge of the `eh_window_counts` +
+    `ecm_window_freq` rows — the DGIM exponential histogram and the ECM
+    windowed count-min, each in its exact regime with a hard SQL twin;
+    see the part docstrings above for the regime arguments). Tagged by
+    `form`; the EH-only (n_buckets, total) columns carry the −1
+    sentinel on ECM rows (NULL would hash engine-dependently). The
+    freed window slot funds the `source_kl` row."""
+    e = q_eh_window_counts(spark, sf_dir).select(
+        F.lit("eh").alias("form"), F.col("event_type").alias("key"),
+        "window_days", "est", "err", "n_buckets", "total")
+    c = q_ecm_window_freq(spark, sf_dir).select(
+        F.lit("ecm").alias("form"),
+        F.col("user_id").cast("string").alias("key"),
+        "window_days", "est", "err",
+        F.lit(-1).cast("long").alias("n_buckets"),
+        F.lit(-1).cast("long").alias("total"))
+    return e.unionByName(c).orderBy("form", "key", "window_days")
+
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution KL divergence from the corpus blend
+    (`text.source_kl_divergence`) — exact, pure Catalyst, decimal-summed
+    libm terms; the DuckDB twin is the identical expression. Reference
+    scope: gap-fill (the reference has no text pipeline; its analog is
+    the per-peer-vs-global quantile comparison of
+    /root/reference/main.cpp's testQuantile)."""
+    return text.source_kl_divergence(load(spark, sf_dir, "documents"))
+
+
 def q_shll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-HLL trailing-window distinct users per event_type — the
     sliding-sketch family's first HARD gate row. The skyline invariant

@@ -6,6 +6,7 @@ pytest (SURVEY.md §5.2 item 5)."""
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as E
 
@@ -34,8 +35,8 @@ SUBSET = [
     "neardup_clusters",         # connected components vs recursive CTE
     "bm25_topk",                # BM25 ranked retrieval
     "dds_rank",                 # global + cohort percentile ranks (r5 merge)
-    "eh_window_counts",         # DGIM exponential histogram, exact regime
-    "ecm_window_freq",          # ECM windowed count-min, collision-exact twin
+    "count_windows",            # DGIM EH + ECM windowed count-min (r5 merge)
+    "source_kl",                # per-source KL divergence, decimal log sums
     "fd_gram_exact",            # Frequent Directions lossless gram
     "heavy_users_spacesaving",  # SpaceSaving exact-k == GROUP BY count
     "theta_token_overlap",      # theta under-k == exact set ops
@@ -202,6 +203,25 @@ def test_stratified_sample_exact_and_partition_invariant(spark):
     # layout invariance
     again = E.queries()["stratified_sample"](spark, SF_DIR).toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(again))
+
+
+def test_source_kl_semantics(spark):
+    """Information-theory pins for `source_kl_divergence` beyond the SQL
+    twin: KL(P_source ‖ P_corpus) is non-negative up to the per-term
+    6-decimal rounding (≥ −n_types·5e-7), a single-source corpus has
+    KL exactly 0 (P_source == P_corpus term-by-term: ln 1 = 0 rounds to
+    +0.0), and the per-source token totals sum to the corpus total."""
+    from p2pddsketch_spark.operators.text import source_kl_divergence
+    got = E.queries()["source_kl"](spark, SF_DIR).toPandas()
+    assert len(got) > 1
+    assert (got["kl_bits"] >= -got["n_types"] * 5e-7).all()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_corpus = docs.selectExpr(
+        "sum(size(split(text, ' '))) AS n").collect()[0]["n"]
+    assert int(got["n_tok"].sum()) == int(n_corpus)
+    one = source_kl_divergence(
+        docs.withColumn("source", F.lit("only"))).toPandas()
+    assert len(one) == 1 and one["kl_bits"].iloc[0] == 0.0
 
 
 def test_registry_window_policy():
