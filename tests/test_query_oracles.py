@@ -249,8 +249,14 @@ def test_registry_window_policy():
             pass
     if not rounds:
         pytest.skip("no driver CORRECTNESS files yet (round 1)")
-    latest = rounds[max(rounds)]
-    green = {n for n, row in latest.items()
+    # the TWO most recent rounds embody the staleness bound: a slot-51+
+    # query is legitimate iff the driver verified it last round (the
+    # gate skips it this round) — and once THIS round's file lands
+    # (covering only the in-window 50), last round's rows must still
+    # count, or every correctly-rotated slot-51+ entry would flunk the
+    # moment the driver writes the new file
+    recent = sorted(rounds)[-2:]
+    green = {n for r in recent for n, row in rounds[r].items()
              if row.get("rows_match") and row.get("schema_match")
              and row.get("hash_match")}
     stale = [n for n in names[50:] if n not in green]
