@@ -2,8 +2,9 @@
 
 The external gate verifies only the FIRST 50 `__spark_entry__.queries()`
 entries each round, and the registry guard test bounds staleness at two
-rounds (every slot-51+ entry must be green in the LATEST
-CORRECTNESS_r*.json). This tool computes, from the CORRECTNESS history
+rounds (every slot-51+ entry must be green in one of the TWO most
+recent CORRECTNESS_r*.json files — "verified last round, skipped this
+round" is the steady state the rotation maintains). This tool computes, from the CORRECTNESS history
 and the current registration order, the set that MUST be front-loaded
 next round and proposes a full ordering (must-rotate first, ordered by
 recorded gate cost descending so the expensive rows spread across
@@ -57,6 +58,10 @@ def main() -> int:
         return 0
     latest_n = max(rounds)
     latest_green = {n for n, row in rounds[latest_n].items() if green(row)}
+    # same two-round acceptance as the guard test: a beyond-window entry
+    # is fine if its newest green row is at most one round old
+    recent_green = {n for r in sorted(rounds)[-2:]
+                    for n, row in rounds[r].items() if green(row)}
     try:
         times = json.load(open(os.path.join(REPO, "BENCH",
                                             "gate_times.json")))["spark_secs"]
@@ -65,7 +70,7 @@ def main() -> int:
 
     window = names[:args.window]
     beyond = names[args.window:]
-    stale_now = [n for n in beyond if n not in latest_green]
+    stale_now = [n for n in beyond if n not in recent_green]
 
     # after the NEXT driver round, today's window becomes r{latest+1}-green
     # and today's beyond-window entries (green only in r{latest}) must
@@ -77,8 +82,8 @@ def main() -> int:
     print(f"registry: {len(names)} queries; window {args.window}; "
           f"latest driver round r{latest_n} ({len(latest_green)} green)")
     if stale_now:
-        print(f"VIOLATION — beyond-window entries not green in r{latest_n}: "
-              f"{stale_now}")
+        print(f"VIOLATION — beyond-window entries without a green row in "
+              f"the two most recent rounds: {stale_now}")
         return 1
     print(f"\nnext-round window plan: front-load these {len(must_rotate)} "
           f"(gate-cost-descending), then up to {free} new/changed entries:")
