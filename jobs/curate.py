@@ -9,8 +9,11 @@ way a 100 TB pre-training corpus job would:
   canonical copy kept — Lee et al. 2022) → quality filter →
   optional language filter → optional eval-set decontamination (8-gram
   overlap vs --benchmark-input) → optional PII scrub (--redact-pii) →
-  optional token-budget mixture (--mix-budgets source=tokens,…:
-  deterministic per-source greedy prefix in splitmix order) →
+  optional DSIR-style importance selection (--importance-target SRC:
+  keep docs whose unigram log-likelihood ratio toward that source
+  clears --importance-min-bits) → optional token-budget mixture
+  (--mix-budgets source=tokens,…: deterministic per-source greedy
+  prefix in splitmix order) →
   optional deterministic train/val/test split column (--assign-splits)
   → write curated table + one-pass sketch summary (DDSketch over doc
   length) + manifest.
@@ -72,6 +75,15 @@ def main(argv=None):
                    help="> 0: exact substring dedup (Lee et al. 2022) — "
                         "cut duplicated word spans of at least this many "
                         "words, keeping one canonical copy corpus-wide")
+    p.add_argument("--importance-target", default=None,
+                   help="DSIR-style selection: keep docs whose unigram "
+                        "log-likelihood ratio toward this source (vs the "
+                        "rest of the corpus) is at least "
+                        "--importance-min-bits")
+    p.add_argument("--importance-min-bits", type=float, default=0.0,
+                   help="threshold in bits for --importance-target "
+                        "(default 0: doc looks more like the target than "
+                        "the rest)")
     p.add_argument("--mix-budgets", default=None,
                    help="comma list 'source=tokens' (e.g. "
                         "web=1000000,code=250000): after all filters, keep "
@@ -249,6 +261,25 @@ def main(argv=None):
               .join(red.withColumnRenamed("redacted", args.text_col),
                     args.id_col, "inner"))
 
+    # 6a2. DSIR-style importance selection: keep docs whose unigram
+    #      log-likelihood ratio toward the target source clears the
+    #      threshold (the likelihood table is built on the CURRENT
+    #      surviving corpus, so upstream dedup/quality filters shape it)
+    if args.importance_target is not None:
+        from p2pddsketch_spark.operators.pipeline import importance_scores
+        if "source" not in df.columns:
+            raise ValueError("--importance-target needs a 'source' column "
+                             "in the input documents")
+        imp = importance_scores(df, args.importance_target,
+                                text_col=args.text_col, id_col=args.id_col)
+        df = df.join(
+            imp.where(F.col("score_bits") >= args.importance_min_bits)
+               .select(F.col("doc_id").alias(args.id_col)),
+            args.id_col, "inner")
+        n5b = df.count()
+    else:
+        n5b = n5
+
     # 6b. token-budget mixture: turn per-domain weights into a concrete
     #     training subset (deterministic splitmix-ordered greedy prefix
     #     per source — rerun/layout-invariant, monotone in the budget)
@@ -265,7 +296,7 @@ def main(argv=None):
             len_col="_n_tok").drop("_n_tok"))
         n6 = df.count()
     else:
-        n6 = n5
+        n6 = n5b
 
     # 7. deterministic split column (stable under reruns/corpus growth)
     if args.assign_splits:
@@ -307,7 +338,7 @@ def main(argv=None):
         "after_exact_dedup": n1, "after_near_dedup": n2,
         "after_semantic_dedup": n2b,
         "after_quality": n3, "after_lang": n4, "after_decontaminate": n5,
-        "after_mix": n6,
+        "after_importance": n5b, "after_mix": n6,
         "docs_span_stripped": n_span_docs,
         "docs_with_pii_redacted": n_redacted,
         "secs": round(time.monotonic() - t0, 2), **quantiles,

@@ -23,7 +23,8 @@ from p2pddsketch_spark.operators.text import words_col
 
 __all__ = ["build_vocab", "tokenize", "pack_sequences",
            "ngram_contamination", "split_assign", "vocab_coverage",
-           "chunk_text", "mix_sources", "duckdb_mix_sources_sql"]
+           "chunk_text", "mix_sources", "duckdb_mix_sources_sql",
+           "importance_scores", "duckdb_importance_sql"]
 
 
 def chunk_text(df: DataFrame, size: int = 20, overlap: int = 5,
@@ -263,6 +264,89 @@ def ngram_contamination(df: DataFrame, bench: DataFrame, n: int = 8,
                     F.coalesce("shared_grams", F.lit(0)).alias("shared_grams"))
             .withColumn("contaminated", F.col("shared_grams") > 0)
             .orderBy(id_col))
+
+
+def importance_scores(df: DataFrame, target_source: str,
+                      text_col: str = "text", source_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by the log-likelihood ratio of
+    its unigram occurrences under the TARGET source's distribution vs
+    the rest-of-corpus distribution, add-one smoothed over the union
+    vocabulary — docs that look like the target domain score high and
+    can be kept by thresholding or rank-sampling. Output:
+    (doc_id, n_terms, score_bits).
+
+    Exactness: with Laplace smoothing every per-occurrence term
+    ln(((c_t+1)·(n_r+V)) / ((c_r+1)·(n_t+V))) / ln 2 is finite; it is
+    rounded to 6 decimals, multiplied by the doc's integer occurrence
+    count (exact decimal scaling), and summed as DECIMAL — associative
+    and shuffle-order-free, so `duckdb_importance_sql` replays it
+    verbatim.
+
+    100 TB: one (source, token)-keyed aggregation builds the vocabulary
+    likelihood table (map-side combine), one (doc, token) count, one
+    token-keyed join (stopword skew → AQE), and the three scalars
+    (n_t, n_r, V) ride a broadcast. The fact table shuffles twice —
+    once per aggregation — both as partial counts. No Python."""
+    from p2pddsketch_spark.operators.text import words_col
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(source_col).alias("source"),
+                    F.explode(words_col(text_col)).alias("t"))
+    is_t = (F.col("source") == F.lit(target_source)).cast("long")
+    vocab = tok.groupBy("t").agg(
+        F.sum(is_t).alias("c_t"),
+        F.sum(F.lit(1) - is_t).alias("c_r"))
+    scal = vocab.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"),
+                     F.count("*").alias("v"))
+    dtc = tok.groupBy("doc_id", "t").agg(F.count("*").alias("cnt"))
+    term = F.round(
+        F.log(((F.col("c_t").cast("double") + F.lit(1.0))
+               * (F.col("n_r").cast("double") + F.col("v").cast("double")))
+              / ((F.col("c_r").cast("double") + F.lit(1.0))
+                 * (F.col("n_t").cast("double") + F.col("v").cast("double"))))
+        / F.log(F.lit(2.0)), 6).cast("decimal(20,6)")
+    return (dtc.join(vocab, "t")
+            .crossJoin(F.broadcast(scal))
+            .select("doc_id", "cnt",
+                    (term * F.col("cnt").cast("decimal(10,0)")).alias("w"))
+            .groupBy("doc_id")
+            .agg(F.sum("cnt").cast("long").alias("n_terms"),
+                 F.round(F.sum("w").cast("double"), 6).alias("score_bits"))
+            .orderBy("doc_id"))
+
+
+def duckdb_importance_sql(target_source: str, table: str = "documents",
+                          id_col: str = "doc_id",
+                          source_col: str = "source",
+                          words_expr: str = "string_split(text, ' ')") -> str:
+    """Exact twin of `importance_scores`: identical smoothing, the same
+    per-occurrence ROUND(·, 6) term scaled by the integer count and
+    DECIMAL-summed."""
+    return f"""
+WITH tok AS (SELECT {id_col} AS doc_id, {source_col} AS source,
+                    unnest({words_expr}) AS t FROM {table}),
+vocab AS (SELECT t,
+                 sum(CASE WHEN source = '{target_source}' THEN 1 ELSE 0 END) AS c_t,
+                 sum(CASE WHEN source = '{target_source}' THEN 0 ELSE 1 END) AS c_r
+          FROM tok GROUP BY t),
+scal AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r, count(*) AS v FROM vocab),
+dtc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t),
+terms AS (
+  SELECT d.doc_id, d.cnt,
+         CAST(ROUND(ln(((CAST(vb.c_t AS DOUBLE) + 1.0)
+                        * (CAST(s.n_r AS DOUBLE) + CAST(s.v AS DOUBLE)))
+                       / ((CAST(vb.c_r AS DOUBLE) + 1.0)
+                          * (CAST(s.n_t AS DOUBLE) + CAST(s.v AS DOUBLE))))
+                    / ln(CAST(2.0 AS DOUBLE)), 6) AS DECIMAL(20,6))
+         * CAST(d.cnt AS DECIMAL(10,0)) AS w
+  FROM dtc d JOIN vocab vb USING (t) CROSS JOIN scal s)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_terms,
+       ROUND(CAST(sum(w) AS DOUBLE), 6) AS score_bits
+FROM terms GROUP BY doc_id
+ORDER BY doc_id
+"""
 
 
 def mix_sources(df: DataFrame, budgets: dict[str, int],

@@ -42,6 +42,37 @@ def test_curate_funnel(spark, tmp_path, capsys):
     assert curated.count() == m["after_lang"]
 
 
+def test_curate_importance_stage(spark, tmp_path, capsys):
+    """--importance-target keeps exactly the docs whose DSIR score (over
+    the post-quality surviving corpus) clears the threshold, and the
+    funnel records the stage."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate
+    rc = curate.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", str(tmp_path / "curated"),
+        "--jaccard", "0.5",
+        "--importance-target", "src3",
+    ])
+    assert rc == 0
+    from pyspark.sql import functions as F
+    out = capsys.readouterr().out
+    m = json.loads(out[out.index("{"):])
+    assert 0 < m["after_importance"] <= m["after_decontaminate"]
+    # no --mix-budgets: the mix stage must inherit the importance count
+    assert m["after_mix"] == m["after_importance"]
+    curated = spark.read.parquet(str(tmp_path / "curated"))
+    assert curated.count() == m["after_importance"]
+    # src3 must survive disproportionately: its docs score >= 0 by
+    # construction more often than the rest of the blend
+    frac = curated.groupBy().agg(
+        F.avg((F.col("source") == "src3").cast("double"))).collect()[0][0]
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").groupBy().agg(
+        F.avg((F.col("source") == "src3").cast("double"))).collect()[0][0]
+    assert frac > base
+
+
 def test_curate_semantic_dedup_stage(spark, tmp_path, capsys):
     """--embeddings-input adds the SemDeDup stage: the funnel stays
     monotone through it, the stage count lands between near-dup and

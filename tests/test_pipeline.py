@@ -471,6 +471,37 @@ def test_mix_sources_duckdb_twin(spark, mix_docs):
             {"n_docs": "int64", "n_tokens": "int64", "id_checksum": "int64"}))
 
 
+def test_importance_scores_twin_and_semantics(spark, mix_docs):
+    """DSIR-style importance weights: exact parity with the DuckDB twin
+    (same smoothing, same rounded-term decimal sums), target-source docs
+    average strictly higher than the rest, and n_terms conserves the
+    corpus token count."""
+    import duckdb
+
+    import pandas as pd
+    from p2pddsketch_spark.operators.pipeline import (duckdb_importance_sql,
+                                                      importance_scores)
+    got = importance_scores(
+        spark.read.parquet(f"{SF_DIR_MIX}/documents.parquet"),
+        "src3").toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF_DIR_MIX}/documents.parquet'")
+    want = con.sql(duckdb_importance_sql("src3")).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True)
+           .astype({"n_terms": "int64"}),
+        want.sort_values("doc_id").reset_index(drop=True)
+            .astype({"n_terms": "int64"}))
+    src = (spark.read.parquet(f"{SF_DIR_MIX}/documents.parquet")
+           .select("doc_id", "source",
+                   F.size(F.split("text", " ")).alias("n_w")).toPandas())
+    m = got.merge(src, on="doc_id")
+    assert (m["n_terms"] == m["n_w"]).all()
+    assert (m[m.source == "src3"]["score_bits"].mean()
+            > m[m.source != "src3"]["score_bits"].mean())
+
+
 def test_mix_sources_edge_cases(spark, mix_docs):
     from p2pddsketch_spark.operators.pipeline import mix_sources
     # empty budget map -> empty result, schema preserved
