@@ -84,6 +84,11 @@ def main(argv=None):
                    help="threshold in bits for --importance-target "
                         "(default 0: doc looks more like the target than "
                         "the rest)")
+    p.add_argument("--importance-buckets", type=int, default=0,
+                   help="hashed-feature space size for the importance "
+                        "model (0 = raw vocabulary; >0 bounds the "
+                        "likelihood table at this many buckets so it "
+                        "broadcasts — the form that scales)")
     p.add_argument("--mix-budgets", default=None,
                    help="comma list 'source=tokens' (e.g. "
                         "web=1000000,code=250000): after all filters, keep "
@@ -271,7 +276,8 @@ def main(argv=None):
             raise ValueError("--importance-target needs a 'source' column "
                              "in the input documents")
         imp = importance_scores(df, args.importance_target,
-                                text_col=args.text_col, id_col=args.id_col)
+                                text_col=args.text_col, id_col=args.id_col,
+                                hash_buckets=args.importance_buckets or None)
         df = df.join(
             imp.where(F.col("score_bits") >= args.importance_min_bits)
                .select(F.col("doc_id").alias(args.id_col)),

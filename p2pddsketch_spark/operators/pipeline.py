@@ -268,38 +268,58 @@ def ngram_contamination(df: DataFrame, bench: DataFrame, n: int = 8,
 
 def importance_scores(df: DataFrame, target_source: str,
                       text_col: str = "text", source_col: str = "source",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      hash_buckets: int | None = None) -> DataFrame:
     """DSIR-style importance weights for data selection (Xie et al.
     2023, "Data Selection for Language Models via Importance
     Resampling"): score every document by the log-likelihood ratio of
     its unigram occurrences under the TARGET source's distribution vs
-    the rest-of-corpus distribution, add-one smoothed over the union
-    vocabulary — docs that look like the target domain score high and
-    can be kept by thresholding or rank-sampling. Output:
-    (doc_id, n_terms, score_bits).
+    the rest-of-corpus distribution, add-one smoothed — docs that look
+    like the target domain score high and can be kept by thresholding
+    or rank-sampling. Output: (doc_id, n_terms, score_bits).
+
+    `hash_buckets=B` switches to the paper's HASHED feature space:
+    tokens map to pmod(xxhash64(t), B) and smoothing runs over the B
+    buckets. This is the 100 TB form — the likelihood table is bounded
+    at B rows regardless of corpus vocabulary, so it BROADCASTS and the
+    per-doc scoring join never shuffles the fact side. Pick B well
+    below the smaller class's token count (the paper's regime: B=10^4
+    against 10^9+-token corpora) — when B rivals n_target, the B-term
+    Laplace mass drowns the class-prior correction (n_r+V)/(n_t+V) and
+    the scores degenerate to length bias. Default (None) scores over
+    the raw union vocabulary (V = distinct tokens, token-keyed join,
+    stopword skew → AQE).
 
     Exactness: with Laplace smoothing every per-occurrence term
     ln(((c_t+1)·(n_r+V)) / ((c_r+1)·(n_t+V))) / ln 2 is finite; it is
     rounded to 6 decimals, multiplied by the doc's integer occurrence
     count (exact decimal scaling), and summed as DECIMAL — associative
     and shuffle-order-free, so `duckdb_importance_sql` replays it
-    verbatim.
+    verbatim (hashed form included, via the XXH64-in-SQL chain).
 
-    100 TB: one (source, token)-keyed aggregation builds the vocabulary
-    likelihood table (map-side combine), one (doc, token) count, one
-    token-keyed join (stopword skew → AQE), and the three scalars
-    (n_t, n_r, V) ride a broadcast. The fact table shuffles twice —
-    once per aggregation — both as partial counts. No Python."""
+    100 TB: one feature-keyed aggregation builds the likelihood table
+    (map-side combine), one (doc, feature) count, one feature-keyed
+    join, and the scalars (n_t, n_r, V) ride a broadcast. No Python."""
     from p2pddsketch_spark.operators.text import words_col
-    tok = df.select(F.col(id_col).alias("doc_id"),
-                    F.col(source_col).alias("source"),
-                    F.explode(words_col(text_col)).alias("t"))
+    feat = F.col("_t")
+    if hash_buckets is not None:
+        if hash_buckets < 2:
+            raise ValueError("hash_buckets must be >= 2")
+        feat = F.pmod(F.xxhash64(F.col("_t")), F.lit(hash_buckets))
+    tok = (df.select(F.col(id_col).alias("doc_id"),
+                     F.col(source_col).alias("source"),
+                     F.explode(words_col(text_col)).alias("_t"))
+           .select("doc_id", "source", feat.alias("t")))
     is_t = (F.col("source") == F.lit(target_source)).cast("long")
     vocab = tok.groupBy("t").agg(
         F.sum(is_t).alias("c_t"),
         F.sum(F.lit(1) - is_t).alias("c_r"))
     scal = vocab.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"),
                      F.count("*").alias("v"))
+    if hash_buckets is not None:
+        # smoothing runs over the FULL feature space, occupied or not
+        scal = scal.select("n_t", "n_r",
+                           F.lit(hash_buckets).cast("long").alias("v"))
     dtc = tok.groupBy("doc_id", "t").agg(F.count("*").alias("cnt"))
     term = F.round(
         F.log(((F.col("c_t").cast("double") + F.lit(1.0))
@@ -307,7 +327,8 @@ def importance_scores(df: DataFrame, target_source: str,
               / ((F.col("c_r").cast("double") + F.lit(1.0))
                  * (F.col("n_t").cast("double") + F.col("v").cast("double"))))
         / F.log(F.lit(2.0)), 6).cast("decimal(20,6)")
-    return (dtc.join(vocab, "t")
+    like = F.broadcast(vocab) if hash_buckets is not None else vocab
+    return (dtc.join(like, "t")
             .crossJoin(F.broadcast(scal))
             .select("doc_id", "cnt",
                     (term * F.col("cnt").cast("decimal(10,0)")).alias("w"))
@@ -320,18 +341,44 @@ def importance_scores(df: DataFrame, target_source: str,
 def duckdb_importance_sql(target_source: str, table: str = "documents",
                           id_col: str = "doc_id",
                           source_col: str = "source",
-                          words_expr: str = "string_split(text, ' ')") -> str:
+                          words_expr: str = "string_split(text, ' ')",
+                          hash_buckets: int | None = None) -> str:
     """Exact twin of `importance_scores`: identical smoothing, the same
     per-occurrence ROUND(·, 6) term scaled by the integer count and
-    DECIMAL-summed."""
+    DECIMAL-summed. With `hash_buckets`, distinct tokens are hashed
+    once through the XXH64-in-SQL chain and folded to Spark's
+    pmod(xxhash64, B) bucket (signed reinterpretation of the unsigned
+    HUGEINT, then positive mod)."""
+    raw = f"""tok0 AS (SELECT {id_col} AS doc_id, {source_col} AS source,
+                    unnest({words_expr}) AS t FROM {table})"""
+    if hash_buckets is None:
+        tok_cte = f"{raw}, tok AS (SELECT * FROM tok0)"
+        v_sql = "count(*)"
+    else:
+        from p2pddsketch_spark.functions.xxh_sql import xxhash64_sql_ctes
+        b = hash_buckets
+        tok_cte = (
+            f"{raw},\n"
+            f"toks AS (SELECT DISTINCT t FROM tok0),"
+            + xxhash64_sql_ctes("toks", "t", "hx")
+            + f""",
+feat AS (SELECT t,
+                CAST((((CASE WHEN h >= 9223372036854775808::HUGEINT
+                        THEN h - 18446744073709551616::HUGEINT ELSE h END)
+                       % {b}::HUGEINT) + {b}::HUGEINT) % {b}::HUGEINT
+                     AS BIGINT) AS f
+         FROM hx),
+tok AS (SELECT t0.doc_id, t0.source, fe.f AS t
+        FROM tok0 t0 JOIN feat fe USING (t))"""
+        )
+        v_sql = str(hash_buckets)
     return f"""
-WITH tok AS (SELECT {id_col} AS doc_id, {source_col} AS source,
-                    unnest({words_expr}) AS t FROM {table}),
+WITH {tok_cte},
 vocab AS (SELECT t,
                  sum(CASE WHEN source = '{target_source}' THEN 1 ELSE 0 END) AS c_t,
                  sum(CASE WHEN source = '{target_source}' THEN 0 ELSE 1 END) AS c_r
           FROM tok GROUP BY t),
-scal AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r, count(*) AS v FROM vocab),
+scal AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r, {v_sql} AS v FROM vocab),
 dtc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t),
 terms AS (
   SELECT d.doc_id, d.cnt,

@@ -502,6 +502,41 @@ def test_importance_scores_twin_and_semantics(spark, mix_docs):
             > m[m.source != "src3"]["score_bits"].mean())
 
 
+def test_importance_scores_hashed_features(spark):
+    """The paper's hashed-feature form: pmod(xxhash64, B) buckets replayed
+    exactly through the XXH64-in-SQL chain, the likelihood table
+    broadcast (never a fact-side shuffle), and target/rest separation
+    preserved under bucketing."""
+    import duckdb
+
+    import pandas as pd
+    from p2pddsketch_spark.operators.pipeline import (duckdb_importance_sql,
+                                                      importance_scores)
+    docs = spark.read.parquet(f"{SF_DIR_MIX}/documents.parquet")
+    # B must sit well below the corpus token count (the paper's regime:
+    # B=10^4 vs 10^9+ tokens) or the B-term Laplace mass drowns the
+    # class-prior correction; the fixture has ~160k tokens, so B=64
+    # keeps that regime while still exercising bucket collisions
+    # (31 distinct tokens)
+    out = importance_scores(docs, "src3", hash_buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF_DIR_MIX}/documents.parquet'")
+    want = (con.sql(duckdb_importance_sql("src3", hash_buckets=64)).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype({"n_terms": "int64"}),
+                                  want.astype({"n_terms": "int64"}))
+    src = docs.select("doc_id", "source").toPandas()
+    m = got.merge(src, on="doc_id")
+    assert (m[m.source == "src3"]["score_bits"].mean()
+            > m[m.source != "src3"]["score_bits"].mean())
+    with pytest.raises(ValueError):
+        importance_scores(docs, "src3", hash_buckets=1)
+
+
 def test_mix_sources_edge_cases(spark, mix_docs):
     from p2pddsketch_spark.operators.pipeline import mix_sources
     # empty budget map -> empty result, schema preserved
