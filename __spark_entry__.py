@@ -36,17 +36,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's verification window: the
     external gate checks the FIRST 50 entries each round. Round 5
     front-loads the queries whose newest driver row is r3, plus this
-    round's never-verified/changed entries: 31 r3-stale + 7 round-5
+    round's never-verified/changed entries: 29 r3-stale + 8 round-5
     merges of in-window rows (`dds_signed`, `dds_catalyst`, `dds_rank`,
-    `text_profile`, `token_stats`, `packing`, `dds_windows`, plus the
-    final-sitting `count_windows` = EH + ECM — each folds two-to-four
-    same-family rows under a tag column, one composed twin) + new
-    hard-oracle rows (`strip_spans`; the sliding family's
-    `shll_window_users`, `wss_window_top_users`, `count_windows`,
-    `wdds_window_quantiles` — EVERY sliding sketch has a driver gate
-    row; `semdedup_pairs`, `kmeans_centroid`, `mix_sources` with
-    exactness-regime / HUGEINT twins; `source_kl` per-source
-    token-distribution divergence) + 3 rows added late in r4
+    `text_profile`, `token_stats`, `packing`, `dds_windows`,
+    `count_windows` = EH + ECM, and `event_joins` = AS-OF + interval —
+    each folds two-to-four same-family rows under a tag column, one
+    composed twin) + new hard-oracle rows (`strip_spans`; the sliding
+    family's `shll_window_users`, `wss_window_top_users`,
+    `count_windows`, `wdds_window_quantiles` — EVERY sliding sketch has
+    a driver gate row; `semdedup_pairs`, `kmeans_centroid`,
+    `mix_sources` with exactness-regime / HUGEINT twins; `source_kl`
+    per-source token-distribution divergence; `importance_select` DSIR
+    scores in both feature spaces) + 3 rows added late in r4
     (`bpe_tokenize`, `ams_joinsize`, `minhash_tokens_pairs`;
     `bpe_encode` and `bpe_pack` were folded into `bpe_tokenize` /
     `packing`) = 50 exactly. All r4-verified rows sit beyond slot 50.
@@ -100,8 +101,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_cube": Q.q_revenue_cube,
         "value_pivot": Q.q_value_pivot,
         "window_running_value": Q.q_window_running_value,
-        "events_asof_orders": Q.q_events_asof_orders,
-        "events_interval_join": Q.q_events_interval_join,
+        # round-5 merge (continuation sitting): AS-OF join + bucketized
+        # interval join in one tagged row (form column; was
+        # events_asof_orders + events_interval_join — both temporal
+        # event-join operators emitting (left id, right id) pairs)
+        "event_joins": Q.q_event_joins,
+        # round-5 new (continuation sitting; fills the slot the
+        # event_joins merge freed): DSIR importance-resampling scores,
+        # raw + hashed-bucket feature spaces, decimal-exact twin
+        "importance_select": Q.q_importance_select,
         "user_sessions": Q.q_user_sessions,
         "funnel_conversion": Q.q_funnel_conversion,
         "session_duration_p95": Q.q_session_duration_p95,

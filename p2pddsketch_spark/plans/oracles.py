@@ -106,6 +106,21 @@ from p2pddsketch_spark.operators.pipeline import duckdb_mix_sources_sql
 ORACLES["mix_sources"] = duckdb_mix_sources_sql(
     {f"src{i}": 700 for i in range(20)})
 
+# DSIR importance scores toward src3, both feature spaces in one tagged
+# row: the raw union-vocabulary twin and the hashed-bucket twin (B=64,
+# replayed through the XXH64-in-SQL chain) — each per-occurrence term
+# ROUND(·,6)-scaled and decimal-summed exactly like the Spark plan
+# (operators/pipeline.py::duckdb_importance_sql)
+from p2pddsketch_spark.operators.pipeline import duckdb_importance_sql
+
+ORACLES["importance_select"] = (
+    f"SELECT 'raw' AS form, doc_id, n_terms, score_bits "
+    f"FROM ({duckdb_importance_sql('src3')}) "
+    f"UNION ALL "
+    f"SELECT 'hashed' AS form, doc_id, n_terms, score_bits "
+    f"FROM ({duckdb_importance_sql('src3', hash_buckets=64)}) "
+    f"ORDER BY form, doc_id")
+
 # merged gate row (round 5): both pure-Catalyst quantile-plan forms —
 # ungrouped events.value and lang-grouped documents.n_chars — in one
 # row, tagged by `src` (`lang` NULL on the ungrouped side)
@@ -195,30 +210,31 @@ ORDER BY c_mktsegment
 
 # DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
 # as-of implementation (ties deterministic: right side deduped).
-ORACLES["events_asof_orders"] = """
+# Round-5 merge of the events_asof_orders + events_interval_join rows:
+# DuckDB's NATIVE ASOF LEFT JOIN and a plain BETWEEN range join, tagged
+# and union'd exactly like the Spark frame.
+ORACLES["event_joins"] = """
 WITH r AS (
   SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
   FROM orders GROUP BY o_custkey, o_orderdate
-)
-SELECT e.event_id, r.last_orderkey,
-       strftime(r.o_orderdate, '%Y-%m-%d') AS asof_date
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000) e
-ASOF LEFT JOIN r
-  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
-ORDER BY event_id
-"""
-
-ORACLES["events_interval_join"] = """
-WITH win AS (
+), win AS (
   SELECT event_id AS window_id, user_id, ts AS w_start,
          ts + INTERVAL 2 HOUR AS w_end
   FROM events WHERE event_id % 97 = 0
 )
-SELECT w.window_id, e.event_id
+SELECT 'asof' AS form, CAST(e.event_id AS BIGINT) AS a,
+       CAST(r.last_orderkey AS BIGINT) AS b,
+       strftime(r.o_orderdate, '%Y-%m-%d') AS tag
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000) e
+ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+UNION ALL
+SELECT 'interval' AS form, CAST(w.window_id AS BIGINT) AS a,
+       CAST(e.event_id AS BIGINT) AS b, CAST(NULL AS VARCHAR) AS tag
 FROM events e
 JOIN win w ON e.user_id = w.user_id
           AND e.ts BETWEEN w.w_start AND w.w_end
-ORDER BY window_id, event_id
+ORDER BY form, a, b
 """
 
 ORACLES["window_running_value"] = """

@@ -328,6 +328,30 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-resampling scores (Xie et al. 2023) toward
+    the `src3` domain, BOTH feature spaces in one tagged frame: the raw
+    union-vocabulary form and the paper's hashed form (pmod(xxhash64, 64)
+    buckets — the 100 TB shape: the likelihood table is bounded at B
+    rows and broadcasts, so the per-doc scoring join never shuffles the
+    fact side; B = 64 sits well below the target class's ~1.4k gate-SF
+    tokens, keeping the Laplace mass inside the regime the operator's
+    docstring requires). HARD oracle: every per-occurrence log-ratio
+    term is rounded to 6 decimals and decimal-summed, so
+    `duckdb_importance_sql` replays both forms verbatim — the hashed one
+    through the XXH64-in-SQL chain. Reference scope: gap-fill (the
+    reference has no selection pipeline; its analog is the
+    per-peer-vs-global comparison of /root/reference/main.cpp's
+    testQuantile)."""
+    from p2pddsketch_spark.operators.pipeline import importance_scores
+    docs = load(spark, sf_dir, "documents")
+    raw = importance_scores(docs, "src3").select(
+        F.lit("raw").alias("form"), "doc_id", "n_terms", "score_bits")
+    hashed = importance_scores(docs, "src3", hash_buckets=64).select(
+        F.lit("hashed").alias("form"), "doc_id", "n_terms", "score_bits")
+    return raw.unionByName(hashed).orderBy("form", "doc_id")
+
+
 # --------------------------------------------------------- relational layer
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,6 +512,29 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         start_col="w_start", end_col="w_end")
     return (out.select("window_id", "event_id")
             .orderBy("window_id", "event_id"))
+
+
+def q_event_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 merge of the `events_asof_orders` + `events_interval_join`
+    gate rows: both temporal event-join operators (operators/asof.py's
+    union+window AS-OF plan and its bucketized range join) in one tagged
+    frame — they share the events scan family and each emits (left id,
+    right id) join pairs, so one row pins both. Schema:
+    (form, a, b, tag) with form ∈ {asof, interval}; for asof, a =
+    event_id, b = matched last_orderkey (nullable: LEFT semantics) and
+    tag = the matched order date; for interval, a = window_id, b = the
+    contained event_id."""
+    asof = q_events_asof_orders(spark, sf_dir).select(
+        F.lit("asof").alias("form"),
+        F.col("event_id").cast("long").alias("a"),
+        F.col("last_orderkey").cast("long").alias("b"),
+        F.col("asof_date").alias("tag"))
+    intv = q_events_interval_join(spark, sf_dir).select(
+        F.lit("interval").alias("form"),
+        F.col("window_id").cast("long").alias("a"),
+        F.col("event_id").cast("long").alias("b"),
+        F.lit(None).cast("string").alias("tag"))
+    return asof.unionByName(intv).orderBy("form", "a", "b")
 
 
 # ------------------------------------------------------------ text analysis

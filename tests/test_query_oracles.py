@@ -41,8 +41,8 @@ SUBSET = [
     "heavy_users_spacesaving",  # SpaceSaving exact-k == GROUP BY count
     "theta_token_overlap",      # theta under-k == exact set ops
     "dds_decayed_quantiles",    # exponentially time-decayed quantiles
-    "events_asof_orders",       # as-of join vs DuckDB's native ASOF
-    "events_interval_join",     # bucketized range join vs BETWEEN join
+    "event_joins",              # as-of + interval joins in one row (r5 merge)
+    "importance_select",        # DSIR scores, raw + hashed feature spaces
     "dds_windows",              # 6h-sliding + daily hourly-state rollup (r5 merge)
     "weighted_sample",          # A-ES weighted reservoir vs SQL tags
     "sketch_counts_events",     # deterministic counters of the multi-sketch build
