@@ -47,6 +47,7 @@ PIPELINE = [
     "tokenize_vocab",
     "strip_spans",       # exact substring dedup (added round 5)
     "source_kl",         # per-source KL divergence (round 5, final sitting)
+    "importance_select",  # DSIR raw+hashed scoring (round 5, final sitting)
 ]
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
