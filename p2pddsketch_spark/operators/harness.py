@@ -35,8 +35,8 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
 
 from p2pddsketch_spark.sketches.ddsketch import DDSketch
 from p2pddsketch_spark.sketches.hll import HyperLogLog
@@ -487,6 +487,51 @@ def _merge_fn(out_schema: StructType, group_cols: tuple[str, ...], final: bool):
 
 # ----------------------------------------------------------------- pipeline
 
+# floor on rows per sub-row-group slice: below this the per-task decode
+# prefix waste outweighs the parallelism gained
+_MIN_SLICE_ROWS = 32_768
+
+
+def _file_work_units(paths: list[str], files_per_task: int,
+                     target_tasks: int) -> list[list[tuple]]:
+    """Task list for the stage-1 file reader. Unit = (path, row_group,
+    start_row, n_rows); row_group −1 means the whole file and n_rows −1
+    the row group's tail. Whole-file units grouped `files_per_task` per
+    task are the default (the 10^12-row regime: the file IS the
+    parallelism grain); when that yields fewer tasks than
+    `target_tasks` — the single/few-file inputs a local bench or an
+    unpartitioned drop produces — the footers are probed (driver-side,
+    metadata only) and work splits per ROW GROUP, then into row RANGES
+    within a row group, so one 126 MB file no longer serializes stage 1
+    onto one core. `files_per_task` > 1 is treated as a deliberate
+    undersubscription factor (the measured fat-worker win on
+    memory-bus-bound token workloads) and scales the target down."""
+    import pyarrow.parquet as pq
+
+    chunks = [[(p, -1, 0, -1) for p in paths[i:i + files_per_task]]
+              for i in range(0, len(paths), files_per_task)]
+    if len(chunks) >= target_tasks:
+        return chunks
+    rg_units: list[tuple] = []
+    for p in paths:
+        meta = pq.ParquetFile(p).metadata
+        for rg in range(meta.num_row_groups):
+            rg_units.append((p, rg, 0, meta.row_group(rg).num_rows))
+    if not rg_units:
+        return chunks
+    out: list[tuple] = []
+    if len(rg_units) >= target_tasks:
+        out = rg_units
+    else:
+        per_rg = -(-target_tasks // len(rg_units))   # ceil
+        for p, rg, _, n in rg_units:
+            slices = max(1, min(per_rg, n // _MIN_SLICE_ROWS))
+            bounds = [(n * i) // slices for i in range(slices + 1)]
+            out.extend((p, rg, lo, hi - lo)
+                       for lo, hi in zip(bounds, bounds[1:]) if hi > lo)
+    return [[u] for u in out]
+
+
 def build_partials_from_files(spark: SparkSession, paths: list[str],
                               specs: list[SketchSpec],
                               group_cols: tuple[str, ...] = (),
@@ -498,7 +543,9 @@ def build_partials_from_files(spark: SparkSession, paths: list[str],
     Arrow IPC. ~10× stage-1 throughput for Python-side consumers; column
     pruning via `columns=` is preserved. The unit of parallelism (and of
     checkpoint lineage) is the input file — exactly the granularity a
-    10^12-row Iceberg table exposes via its manifest."""
+    10^12-row Iceberg table exposes via its manifest — refined to row
+    groups / row ranges only when the file list alone would leave cores
+    idle (`_file_work_units`)."""
     import pyarrow.parquet as pq
 
     needed = sorted({c for s in specs for c in s.columns} | set(group_cols))
@@ -507,7 +554,15 @@ def build_partials_from_files(spark: SparkSession, paths: list[str],
     out_schema = _partial_schema(probe, group_cols)
     build = _make_stage1(specs, group_cols, salt_buckets, out_schema)
 
-    chunks = [paths[i:i + files_per_task] for i in range(0, len(paths), files_per_task)]
+    par = max(1, int(spark.sparkContext.defaultParallelism))
+    target = max(1, par // max(1, files_per_task))
+    chunks = _file_work_units(paths, files_per_task, target)
+    # scalar-only reads take bigger batches: the 2048-row default guards
+    # the token-ARRAY workloads' mmap-churn cliff (large per-batch list
+    # allocations); a few plain numeric/string columns at 32k rows are
+    # a couple hundred KB and the per-batch Python overhead dominates
+    if not any(isinstance(f.dataType, ArrayType) for f in probe.schema.fields):
+        batch_size = max(batch_size, 32_768)
     # spark.range with numPartitions == len(chunks) puts EXACTLY one chunk
     # id in each partition — no round-robin skew in file→task assignment
     ids_df = spark.range(0, len(chunks), numPartitions=len(chunks))
@@ -517,11 +572,29 @@ def build_partials_from_files(spark: SparkSession, paths: list[str],
         def file_batches():
             for b in batches:
                 for cid in b.column(0).to_pylist():
-                    for f in chunks_bc.value[cid]:
+                    for f, rg, start, n in chunks_bc.value[cid]:
                         # modest batch_size keeps per-batch allocations a few
                         # MB — large batches re-trigger the mmap-churn cliff
-                        yield from pq.ParquetFile(f).iter_batches(
-                            columns=needed, batch_size=batch_size)
+                        pf = pq.ParquetFile(f)
+                        if rg < 0:
+                            yield from pf.iter_batches(
+                                columns=needed, batch_size=batch_size)
+                            continue
+                        # row-range slice: stream the row group and crop to
+                        # [start, start+n) — the prefix is decoded and
+                        # dropped (parquet has no sub-row-group seek), the
+                        # tail is never read thanks to the early break
+                        end, pos = start + n, 0
+                        for bb in pf.iter_batches(columns=needed,
+                                                  batch_size=batch_size,
+                                                  row_groups=[rg]):
+                            lo = max(start - pos, 0)
+                            hi = min(end - pos, bb.num_rows)
+                            if hi > lo:
+                                yield bb.slice(lo, hi - lo)
+                            pos += bb.num_rows
+                            if pos >= end:
+                                break
         yield from build(file_batches())
 
     return ids_df.mapInArrow(run, schema=out_schema)
@@ -547,10 +620,26 @@ def build_partials(df: DataFrame, specs: list[SketchSpec],
                    group_cols: tuple[str, ...] = (),
                    salt_buckets: int = 32) -> DataFrame:
     """Stage 1 only: per-(partition, spec, group) sketch rows with lineage
-    metrics. Persist this to parquet for checkpoint/resume."""
+    metrics. Persist this to parquet for checkpoint/resume.
+
+    Small-file inputs arrive as one (or a few) scan partitions — a
+    single-file table serializes stage 1 onto one core. When the backing
+    file count is positive but below the parallelism, the PRUNED
+    projection is round-robin repartitioned first: the shuffle moves only
+    the needed columns of an input that is by definition small, and at
+    production scale (files ≫ cores) the branch never fires, so raw data
+    is still never shuffled there. Non-file-backed frames (views,
+    foreachBatch micro-batches) report no files and keep their layout."""
     needed = sorted({c for s in specs for c in s.columns} | set(group_cols))
     out_schema = _partial_schema(df, group_cols)
     pruned = df.select(*needed)
+    par = max(1, int(df.sparkSession.sparkContext.defaultParallelism))
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        nfiles = 0
+    if 0 < nfiles < par:
+        pruned = pruned.repartition(par)
     return pruned.mapInArrow(_make_stage1(specs, group_cols, salt_buckets, out_schema),
                              schema=out_schema)
 

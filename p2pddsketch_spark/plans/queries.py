@@ -1199,8 +1199,15 @@ def q_sketch_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SketchSpec("cbf_churn", lambda: CountingBloomFilter(m=1 << 16, k=5),
                    _retracted_ids),
     ]
-    out = build_sketches(ev, specs, salt_buckets=16)
-    sk = collect_sketches(out)
+    # file-list fast path + auto driver/shuffle final merge: the pyarrow
+    # in-task read sidesteps the JVM->Python Arrow IPC of the whole events
+    # table (measured ~0.7 s serial at sf1.0) and row-group/row-range
+    # splitting parallelizes the single-file scan (round-6, guide §4.1/§2)
+    from p2pddsketch_spark.operators.harness import (
+        build_partials_from_files, final_sketches, parquet_file_list)
+    sk = final_sketches(build_partials_from_files(
+        spark, parquet_file_list(f"{sf_dir}/events.parquet"), specs,
+        salt_buckets=16))
     blob = spark.sparkContext.broadcast(sk["bloom_users"].to_bytes())
 
     # turnstile: subtract the retraction stream's counters (merge with a
@@ -1216,25 +1223,24 @@ def q_sketch_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbf.merge(neg)
     cbf_blob = spark.sparkContext.broadcast(cbf.to_bytes())
 
-    def probe_cbf(batches):
+    # ONE distributed probe job for BOTH filters (round-6): the Bloom
+    # filter probes every distinct id, the merged counting-Bloom probes
+    # the surviving (id % 7 != 0) subset — same sets as the former two
+    # jobs, the cbf filter applied inside the task
+    def probe_both(batches):
+        bf = BloomFilter.from_bytes(blob.value)
         f = CountingBloomFilter.from_bytes(cbf_blob.value)
         for pdf in batches:
-            hits = f.contains(pdf["user_id"].to_numpy(dtype=np.int64))
-            yield pd.DataFrame({"hits": [int(hits.sum())]})
+            ids = pdf["user_id"].to_numpy(dtype=np.int64)
+            surv = ids[ids % 7 != 0]
+            yield pd.DataFrame({"bloom_hits": [int(bf.contains(ids).sum())],
+                                "cbf_hits": [int(f.contains(surv).sum())]})
 
-    cbf_hits = (ev.select("user_id").where(F.col("user_id") % 7 != 0)
-                .distinct().mapInPandas(probe_cbf, "hits long")
-                .agg(F.sum("hits")).collect()[0][0] or 0)
-
-    def probe(batches):
-        bf = BloomFilter.from_bytes(blob.value)
-        for pdf in batches:
-            hits = bf.contains(pdf["user_id"].to_numpy(dtype=np.int64))
-            yield pd.DataFrame({"hits": [int(hits.sum())]})
-
-    bloom_hits = (ev.select("user_id").distinct()
-                  .mapInPandas(probe, "hits long")
-                  .agg(F.sum("hits")).collect()[0][0] or 0)
+    hits_row = (ev.select("user_id").distinct()
+                .mapInPandas(probe_both, "bloom_hits long, cbf_hits long")
+                .agg(F.sum("bloom_hits"), F.sum("cbf_hits")).collect()[0])
+    bloom_hits = hits_row[0] or 0
+    cbf_hits = hits_row[1] or 0
     # (bloom's n_added is NOT here: SET_SEMANTICS sketches get per-batch
     # pre-uniqued input from the harness, so that counter depends on
     # batch boundaries — only layout-invariant values qualify)

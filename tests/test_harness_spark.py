@@ -310,3 +310,62 @@ def test_unique_counts_matches_np_unique_across_domains():
         assert np.array_equal(np.asarray(uv, dtype=np.int64),
                               np.asarray(ev, dtype=np.int64)), vals.dtype
         assert np.array_equal(uc, ec), vals.dtype
+
+
+def test_file_work_units_cover_rows_exactly(spark, sequences_path, tmp_path,
+                                            monkeypatch):
+    """Round-6 stage-1 splitting: `_file_work_units` must (a) keep the
+    whole-file grouping when the file list alone saturates the target,
+    (b) otherwise split per row group / row range covering every row
+    exactly once, and (c) produce byte-identical final sketches through
+    `build_partials_from_files` under any such split."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_spark.operators.harness import (
+        _file_work_units, build_partials_from_files, final_sketches,
+        parquet_file_list)
+
+    paths = parquet_file_list(sequences_path)
+    # (a) enough files for the target -> untouched whole-file chunks
+    chunks = _file_work_units(paths, 1, max(1, len(paths) // 2))
+    assert all(u[1] == -1 for ch in chunks for u in ch)
+    assert [u[0] for ch in chunks for u in ch] == paths
+
+    # single big file: force row-range splitting
+    one = str(tmp_path / "one.parquet")
+    spark.read.parquet(sequences_path).coalesce(1).write.parquet(one)
+    fpaths = parquet_file_list(one)
+    assert len(fpaths) == 1
+    total = pq.ParquetFile(fpaths[0]).metadata.num_rows
+    # the fixture is smaller than the production slice floor; lower it so
+    # the splitting branch is exercised
+    from p2pddsketch_spark.operators import harness as H
+    monkeypatch.setattr(H, "_MIN_SLICE_ROWS", 1024)
+    chunks = _file_work_units(fpaths, 1, 8)
+    units = [u for ch in chunks for u in ch]
+    assert len(units) > 1
+    # (b) disjoint, ordered, complete row coverage per (file, row group)
+    from collections import defaultdict
+    by_rg = defaultdict(list)
+    for p, rg, start, n in units:
+        assert rg >= 0 and n > 0
+        by_rg[(p, rg)].append((start, n))
+    covered = 0
+    for (p, rg), spans in by_rg.items():
+        spans.sort()
+        pos = spans[0][0]
+        assert pos == 0
+        for start, n in spans:
+            assert start == pos
+            pos += n
+        covered += pos
+        assert pos == pq.ParquetFile(p).metadata.row_group(rg).num_rows
+    assert covered == total
+
+    # (c) identical final sketch bytes, split vs whole-file read
+    spec = [SketchSpec("dds", lambda: DDSketch(alpha=ALPHA, bin_limit=1 << 22),
+                       scalar_extractor("n_tok"))]
+    split_sk = final_sketches(build_partials_from_files(
+        spark, fpaths, spec, salt_buckets=4))
+    whole_sk = final_sketches(build_partials_from_files(
+        spark, paths, spec, salt_buckets=4))
+    assert split_sk["dds"].to_bytes() == whole_sk["dds"].to_bytes()
