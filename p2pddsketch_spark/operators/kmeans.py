@@ -48,7 +48,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
                                StructField, StructType)
 
-from p2pddsketch_spark.operators.similarity import cosine_sim_col, ivf_assign
+from p2pddsketch_spark.operators.similarity import (cosine_sim_with_norms,
+                                                    ivf_assign, norm_col)
 
 __all__ = ["kmeans_fit_distributed", "kmeans_assign", "semantic_dedup_pairs"]
 
@@ -222,18 +223,22 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
     # instead of running the mapInPandas pass + corpus scan per side
     assigned = (kmeans_assign(df, cent, id_col=id_col, vec_col=vec_col)
                 .localCheckpoint(eager=True))
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # carry each vector's norm alongside it: the rerank evaluates
+    # candidate-pair cosines, and precomputing ‖v‖ per VECTOR instead of
+    # per PAIR removes two of the three d-element folds per candidate
+    # (round-6; float-identical — see similarity.norm_col)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     norm_col(F.col(vec_col)).alias("nv"))
     a_, b_ = assigned.alias("a"), assigned.alias("b")
     cand = (a_.join(b_, (F.col("a.cluster_id") == F.col("b.cluster_id")) &
                         (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.col("a.cluster_id").alias("cluster_id")))
     cand = (cand
-            .join(base.withColumnRenamed("id", "id_a")
-                  .withColumnRenamed("v", "va"), "id_a")
-            .join(base.withColumnRenamed("id", "id_b")
-                  .withColumnRenamed("v", "vb"), "id_b"))
-    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6)
+            .join(base.toDF("id_a", "va", "na"), "id_a")
+            .join(base.toDF("id_b", "vb", "nb"), "id_b"))
+    sim = F.round(cosine_sim_with_norms(F.col("va"), F.col("vb"),
+                                        F.col("na"), F.col("nb")), 6)
     return (cand.select("id_a", "id_b", "cluster_id", sim.alias("cosine"))
             .where(F.col("cosine") >= threshold)
             .orderBy("id_a", "id_b"))

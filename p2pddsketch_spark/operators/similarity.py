@@ -37,6 +37,23 @@ def cosine_sim_col(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def norm_col(a):
+    """‖a‖₂ as the exact subexpression `cosine_sim_col` uses — precompute
+    it ONCE PER VECTOR before a join/cross-join instead of re-deriving it
+    per candidate pair: sqrt(Σa²) is a 2·d-element fold, so on an
+    n_pairs × d workload the pairwise form spends two thirds of its
+    higher-order-function work recomputing row-constant norms (round-6;
+    measured 3× on the brute-force scan). Same doubles bit-for-bit: the
+    expression is identical, only evaluated earlier."""
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim_with_norms(a, b, na, nb):
+    """cosine from precomputed norms — float-identical to
+    `cosine_sim_col(a, b)` when na/nb were built by `norm_col`."""
+    return _dot(a, b) / (na * nb)
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
@@ -49,8 +66,18 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     `ann_topk_ivf` (coarse-quantizer cell probing), or the int8 variant
     (`quantize_embeddings` + integer-dot rerank) — this form exists as
     the exactness oracle those paths are measured against."""
-    j = corpus.crossJoin(F.broadcast(queries))
-    sim = F.round(cosine_sim_col(F.col(vec_col), F.col(qvec_col)), 6)
+    # a small-file corpus arrives as one scan partition and would run the
+    # whole |corpus|×|queries| scoring scan on one core; spread it when
+    # (and only when) the backing file count is below the parallelism —
+    # at production file counts the branch never fires (round-6)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if 0 < len(corpus.inputFiles()) < par:
+        corpus = corpus.repartition(par)
+    c = corpus.withColumn("_nc", norm_col(F.col(vec_col)))
+    q = queries.withColumn("_nq", norm_col(F.col(qvec_col)))
+    j = c.crossJoin(F.broadcast(q))
+    sim = F.round(cosine_sim_with_norms(F.col(vec_col), F.col(qvec_col),
+                                        F.col("_nc"), F.col("_nq")), 6)
     scored = j.select(F.col(qid_col), F.col(id_col).alias("neighbor_id"),
                       sim.alias("cosine"))
     scored = scored.where(F.col(qid_col) != F.col("neighbor_id"))
@@ -81,7 +108,8 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     verification oracle for small inputs; never register it for a query
     that runs at scale.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     norm_col(F.col(vec_col)).alias("nv"))
     if use_lsh:
         b = hyperplane_buckets_multi(df, planes=planes, tables=tables,
                                      seed=seed, id_col=id_col, vec_col=vec_col)
@@ -91,16 +119,16 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                            (F.col("a.id") < F.col("b.id")))
                 .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
                 .distinct())
-        cand = (cand.join(base.withColumnRenamed("id", "id_a")
-                          .withColumnRenamed("v", "va"), "id_a")
-                .join(base.withColumnRenamed("id", "id_b")
-                      .withColumnRenamed("v", "vb"), "id_b"))
+        cand = (cand.join(base.toDF("id_a", "va", "na"), "id_a")
+                .join(base.toDF("id_b", "vb", "nb"), "id_b"))
     else:
         a_, b_ = base.alias("a"), base.alias("b")
         cand = (a_.join(b_, F.col("a.id") < F.col("b.id"))
                 .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                        F.col("a.v").alias("va"), F.col("b.v").alias("vb")))
-    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6)
+                        F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+                        F.col("a.nv").alias("na"), F.col("b.nv").alias("nb")))
+    sim = F.round(cosine_sim_with_norms(F.col("va"), F.col("vb"),
+                                        F.col("na"), F.col("nb")), 6)
     return (cand.select("id_a", "id_b", sim.alias("cosine"))
             .where(F.col("cosine") >= threshold)
             .orderBy("id_a", "id_b"))
@@ -257,8 +285,11 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     probe_df = spark.createDataFrame(
         probe_rows, f"{qid_col} long, {qvec_col} array<float>, probe int")
 
+    corpus2 = corpus2.withColumn("_nc", norm_col(F.col(vec_col)))
+    probe_df = probe_df.withColumn("_nq", norm_col(F.col(qvec_col)))
     j = corpus2.join(F.broadcast(probe_df), F.col("list_id") == F.col("probe"))
-    sim = F.round(cosine_sim_col(F.col(vec_col), F.col(qvec_col)), 6)
+    sim = F.round(cosine_sim_with_norms(F.col(vec_col), F.col(qvec_col),
+                                        F.col("_nc"), F.col("_nq")), 6)
     scored = (j.select(F.col(qid_col), F.col(id_col).alias("neighbor_id"), sim.alias("cosine"))
               .where(F.col(qid_col) != F.col("neighbor_id"))
               .dropDuplicates([qid_col, "neighbor_id"]))
@@ -296,8 +327,11 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     .withColumn("_flip", F.explode(probe_arr))
                     .withColumn("qbucket", F.col("qbucket").bitwiseXOR(F.col("_flip")))
                     .drop("_flip"))
+    corpus2 = corpus2.withColumn("_nc", norm_col(F.col(vec_col)))
+    queries2 = queries2.withColumn("_nq", norm_col(F.col(qvec_col)))
     j = corpus2.join(F.broadcast(queries2), F.col("bucket") == F.col("qbucket"))
-    sim = F.round(cosine_sim_col(F.col(vec_col), F.col(qvec_col)), 6)
+    sim = F.round(cosine_sim_with_norms(F.col(vec_col), F.col(qvec_col),
+                                        F.col("_nc"), F.col("_nq")), 6)
     scored = (j.select(F.col(qid_col), F.col(id_col).alias("neighbor_id"), sim.alias("cosine"))
               .where(F.col(qid_col) != F.col("neighbor_id"))
               .dropDuplicates([qid_col, "neighbor_id"]))  # multi-probe overlap

@@ -268,12 +268,14 @@ def test_simhash128_trailing_empty_rows(spark):
 
 
 def test_minhash_lsh_releases_cached_blocks(spark):
-    """Every explicit persist() inside minhash_lsh_pairs is matched by an
-    unpersist before the function returns: at most ONE new entry may
-    remain in the persistent-RDD registry — the eager localCheckpoint of
-    the candidate set, whose blocks are ContextCleaner-owned and die with
-    the returned DataFrame (documented lifetime). An unmatched persist
-    (the round-3 nit) shows up as a second leaked entry."""
+    """minhash_lsh_pairs materializes exactly THREE intermediates, all as
+    eager localCheckpoints whose blocks are ContextCleaner-owned and die
+    with their DataFrames (documented lifetime): the signature table
+    (round-6: eager, so the band self-join cannot race a lazy cache fill
+    and run the Python sign stage twice), the candidate pair set, and
+    the candidate docs' shingle sets for the verify join. A stray
+    .persist() without an unpersist (the round-3 nit) shows up as a
+    FOURTH registry entry."""
     jsc = spark.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet())
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
@@ -281,7 +283,7 @@ def test_minhash_lsh_releases_cached_blocks(spark):
     out.count()
     after = set(jsc.getPersistentRDDs().keySet())
     leaked = after - before
-    assert len(leaked) <= 1, f"unmatched persist() left RDDs: {leaked}"
+    assert len(leaked) <= 3, f"unmatched persist() left RDDs: {leaked}"
 
 
 # ------------------------------------------------- token-array MinHash
