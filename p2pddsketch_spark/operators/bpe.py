@@ -59,19 +59,32 @@ def _pair_counts(syms: DataFrame) -> DataFrame:
             .agg(F.sum("wc").alias("c")))
 
 
-def _train(df: DataFrame, k: int, text_col: str):
+# un-checkpointed merge applications a round's aggregation may stack on
+# top of the last materialized vocabulary: each is one literal replace()
+# over a vocab-sized table, so recomputing up to this many per round is
+# far cheaper than a materialization JOB per round (round-6: halves the
+# per-round Spark job count for small k), while plan depth and
+# executor-loss recompute stay bounded for real (k ≈ 10⁴) runs
+_CHECKPOINT_EVERY = 8
+
+
+def _train(df: DataFrame, k: int, text_col: str, need_final: bool = True):
     """Run the k-round merge loop; returns (merges, final_syms) where
     merges = [(iteration, l, r, merged, count)] and final_syms is the
-    MATERIALIZED (w, wc, s) vocabulary after all merges (persisted in
-    round 0, localCheckpoint'ed thereafter; the caller's unpersist is a
-    cache-drop for the former and a no-op for the latter — checkpoint
-    blocks are ContextCleaner-owned and die with the DataFrame). One
-    corpus shuffle; each iteration re-reads the materialized vocab-sized
-    table — bounded storage, O(k) not O(k²) recompute."""
+    (w, wc, s) vocabulary after all merges — MATERIALIZED (eager
+    localCheckpoint, ContextCleaner-owned blocks; the caller's unpersist
+    is a no-op kept for API symmetry) when `need_final`, else None and
+    the loop skips the final materialization entirely (the train-only
+    caller reads just the merge rows). One corpus shuffle into the
+    persisted round-0 table; each round is ONE argmax job over the
+    vocab-sized table with ≤ _CHECKPOINT_EVERY stacked replaces, with a
+    lineage-cutting checkpoint job every _CHECKPOINT_EVERY rounds —
+    bounded storage and O(k · _CHECKPOINT_EVERY) worst-case recompute."""
     if k < 1:
         from p2pddsketch_spark.errors import ParamError
         raise ParamError(f"k must be >= 1, got {k}")
-    syms = word_symbol_table(df, text_col).persist()
+    base = word_symbol_table(df, text_col).persist()
+    syms, depth = base, 0
     merges = []
     for it in range(1, k + 1):
         best = (_pair_counts(syms)
@@ -81,19 +94,21 @@ def _train(df: DataFrame, k: int, text_col: str):
             break
         l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((it, l, r, l + r, c))
-        # eager localCheckpoint = materialize + lineage cut in ONE
-        # action. Tradeoffs vs persist+count: previous rounds' blocks
-        # are ContextCleaner-owned and freed at driver GC (bounded by
-        # k vocab-sized tables meanwhile), and truncated lineage means
-        # an executor loss mid-round re-runs the round rather than
-        # recomputing — acceptable for a vocabulary-sized table
-        nxt = syms.select(
+        syms = syms.select(
             "w", "wc",
             F.replace(F.col("s"), F.lit(f" {l}  {r} "),
-                      F.lit(f" {l}{r} ")).alias("s")) \
-            .localCheckpoint(eager=True)
-        syms.unpersist()
-        syms = nxt
+                      F.lit(f" {l}{r} ")).alias("s"))
+        depth += 1
+        if depth >= _CHECKPOINT_EVERY:
+            syms = syms.localCheckpoint(eager=True)
+            base.unpersist()
+            base, depth = syms, 0
+    if not need_final:
+        base.unpersist()
+        return merges, None
+    if depth > 0 or syms is base:
+        syms = syms.localCheckpoint(eager=True)
+    base.unpersist()
     return merges, syms
 
 
@@ -112,8 +127,7 @@ def bpe_train_merges(df: DataFrame, k: int = 5,
     merge order. Deterministic: ties break on (count DESC, l ASC,
     r ASC). Stops early if no pair remains (tiny corpora)."""
     spark = df.sparkSession
-    merges, syms = _train(df, k, text_col)
-    syms.unpersist()
+    merges, _ = _train(df, k, text_col, need_final=False)
     return _merges_df(spark, merges)
 
 

@@ -207,13 +207,20 @@ def q_dds_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window p95 of event value per hour bucket — the batch twin
     of the streaming windowed sketch (tz-safe epoch-hour bucketing)."""
     # string bucketing on the NTZ timestamp — tz-free, so the result is
-    # independent of spark.sql.session.timeZone (oracle parity everywhere)
+    # independent of spark.sql.session.timeZone (oracle parity everywhere).
+    # GROUP on the truncated TIMESTAMP and format only the ~hundreds of
+    # surviving group rows: date_format is injective on hour-truncated
+    # NTZ timestamps, so the output strings are identical, but the
+    # per-row string build (1M format calls at sf1.0) and the string
+    # group keys drop out of the scan stage (round-6, guide §2.3)
     ev = load(spark, sf_dir, "events").withColumn(
-        "hour_bucket", F.date_format(F.date_trunc("hour", F.col("ts")),
-                                     "yyyy-MM-dd HH:00:00"))
+        "_hb", F.date_trunc("hour", F.col("ts")))
     out = ddsketch_quantile_plan(ev, "value", [0.95], alpha=0.01,
-                                 group_cols=("hour_bucket",))
-    return out.orderBy("hour_bucket", "q")
+                                 group_cols=("_hb",))
+    return (out.select(F.date_format("_hb", "yyyy-MM-dd HH:00:00")
+                       .alias("hour_bucket"),
+                       "q", "bucket_key", "estimate", "n")
+            .orderBy("hour_bucket", "q"))
 
 
 def q_dds_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
