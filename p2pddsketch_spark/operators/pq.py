@@ -64,6 +64,37 @@ def _split(mtx: np.ndarray, m: int) -> list[np.ndarray]:
     return [mtx[:, j * w:(j + 1) * w] for j in range(m)]
 
 
+def _euclid_kmeans_from_init(x: np.ndarray, uniq: np.ndarray,
+                             init_idx, k: int, iters: int) -> np.ndarray:
+    """Lloyd iterations from a pre-drawn init (see `_euclid_kmeans` for
+    the contract). The centroid update is the house sorted-segment
+    reduceat (one stable sort + one contiguous pass) instead of a
+    256-way boolean-mask loop — round-6: the mask loop was ~20k masked
+    mean() calls per training and dominated the driver-side build. The
+    stable sort keeps members in original row order, so per-cluster
+    summation order (and, below numpy's 128-element pairwise block,
+    the exact float result) matches the masked form."""
+    if len(uniq) <= k:
+        cent = np.zeros((k, x.shape[1]))
+        cent[:len(uniq)] = uniq           # lossless: every point is a codeword
+        cent[len(uniq):] = uniq[0] if len(uniq) else 0.0
+        return cent
+    cent = uniq[init_idx].copy()
+    for _ in range(iters):
+        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+        assign = d2.argmin(axis=1)
+        order = np.argsort(assign, kind="stable")
+        a_s, x_s = assign[order], x[order]
+        starts = np.empty(a_s.size, dtype=bool)
+        starts[0] = True
+        starts[1:] = a_s[1:] != a_s[:-1]
+        seg = np.flatnonzero(starts)
+        live = a_s[seg]
+        cnt = np.diff(np.append(seg, a_s.size))
+        cent[live] = np.add.reduceat(x_s, seg, axis=0) / cnt[:, None]
+    return cent
+
+
 def _euclid_kmeans(x: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
     """Plain Euclidean Lloyd on a driver sample — deterministic: seeded
     distinct-row init (duplicates collapsed first so tiny alphabets get
@@ -71,20 +102,9 @@ def _euclid_kmeans(x: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
     ties to the lowest index, empty codewords keep their previous
     position."""
     uniq = np.unique(x, axis=0)
-    if len(uniq) <= k:
-        cent = np.zeros((k, x.shape[1]))
-        cent[:len(uniq)] = uniq           # lossless: every point is a codeword
-        cent[len(uniq):] = uniq[0] if len(uniq) else 0.0
-        return cent
-    cent = uniq[rng.choice(len(uniq), size=k, replace=False)].copy()
-    for _ in range(iters):
-        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
-        assign = d2.argmin(axis=1)
-        for c in range(k):
-            members = x[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-    return cent
+    init = rng.choice(len(uniq), size=k, replace=False) \
+        if len(uniq) > k else None
+    return _euclid_kmeans_from_init(x, uniq, init, k, iters)
 
 
 def train_pq_mat(x: np.ndarray, m: int = 8, k: int = 256, iters: int = 10,
@@ -92,10 +112,29 @@ def train_pq_mat(x: np.ndarray, m: int = 8, k: int = 256, iters: int = 10,
     """Fit (m, k, d/m) PQ codebooks on an in-memory sample matrix — the
     numpy half of `train_pq`, exposed so callers that quantize a
     TRANSFORM of the vectors (e.g. the IVF-PQ residual x − c_cell in
-    `operators/pq_index.py`) can train on exactly what gets encoded."""
+    `operators/pq_index.py`) can train on exactly what gets encoded.
+
+    The init draws replay the sequential rng stream subspace-by-subspace
+    (identical codebook inits to the serial form), then the independent
+    Lloyd loops run on a thread pool — numpy's matmul releases the GIL,
+    so the m subspaces train concurrently (round-6; ~4× on the driver
+    build phase)."""
+    from concurrent.futures import ThreadPoolExecutor
     rng = np.random.default_rng(seed)
-    return np.stack([_euclid_kmeans(sub, k, iters, rng)
-                     for sub in _split(x, m)])
+    tasks = []
+    for sub in _split(x, m):
+        uniq = np.unique(sub, axis=0)
+        init = rng.choice(len(uniq), size=k, replace=False) \
+            if len(uniq) > k else None
+        tasks.append((sub, uniq, init))
+    if len(tasks) == 1:
+        sub, uniq, init = tasks[0]
+        return np.stack([_euclid_kmeans_from_init(sub, uniq, init, k, iters)])
+    with ThreadPoolExecutor(max_workers=min(len(tasks), 8)) as ex:
+        cents = list(ex.map(
+            lambda t: _euclid_kmeans_from_init(t[0], t[1], t[2], k, iters),
+            tasks))
+    return np.stack(cents)
 
 
 def train_pq(df: DataFrame, vec_col: str = "embedding", m: int = 8,

@@ -236,6 +236,15 @@ def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
                                1e-12)
         cb = train_pq_mat(x - coarse[(x @ coarse.T).argmax(axis=1)],
                           m=m, k=nk, iters=iters, seed=seed)
+    elif sample is not None:
+        # the driver coarse fit already collected the identical sample
+        # (same plan, same rows) — train on it instead of collecting a
+        # second time (round-6; one fewer driver round-trip per build)
+        x = sample
+        if normalize:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                               1e-12)
+        cb = train_pq_mat(x, m=m, k=nk, iters=iters, seed=seed)
     else:
         cb = train_pq(df, vec_col=vec_col, m=m, k=nk, iters=iters,
                       sample_size=sample_size, seed=seed,
@@ -257,10 +266,16 @@ def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
                            residual=(encode == "residual")) \
             .repartition("list_id") \
             .write.mode("overwrite").partitionBy("list_id").parquet(codes_p)
+        # repartition(1), NOT coalesce(1): coalescing a parallelized
+        # local collection folds its ~defaultParallelism python slices
+        # into ONE task that pays a per-slice Python-channel round trip
+        # serially (measured 6-10 s for a 16-row write; with the shuffle
+        # the slices evaluate in parallel and one reducer writes the
+        # single file — round-6)
         spark.createDataFrame(
             [(i, [float(v) for v in coarse[i]]) for i in range(nlist)],
             "list_id int, centroid array<double>") \
-            .coalesce(1).write.mode("overwrite") \
+            .repartition(1).write.mode("overwrite") \
             .parquet(index_dir.rstrip("/") + "/coarse")
     else:
         encode_pq(df, cb, id_col=id_col, vec_col=vec_col,
@@ -272,7 +287,7 @@ def save_pq_index(spark: SparkSession, df: DataFrame, index_dir: str,
                  for j in range(m) for c in range(nk_eff)]
     spark.createDataFrame(
         book_rows, "subspace int, code int, centroid array<double>") \
-        .coalesce(1).write.mode("overwrite").parquet(books_p)
+        .repartition(1).write.mode("overwrite").parquet(books_p)
 
     manifest = {
         "format": PQ_INDEX_FORMAT, "version": 1,
