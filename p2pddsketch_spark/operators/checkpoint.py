@@ -78,9 +78,13 @@ def build_sketches_checkpointed(spark: SparkSession, path: str,
     for gi, lo in enumerate(range(0, len(missing), chunks_per_commit)):
         group = missing[lo:lo + chunks_per_commit]
         flat_files = [f for cid in group for f in chunks[cid]]
+        # split_within_files=False: resume lineage is keyed on the
+        # (partition id == file-chunk id) bijection below, which
+        # row-group/row-range splitting would break (round-6)
         partials = build_partials_from_files(
             spark, flat_files, specs, group_cols,
-            salt_buckets=salt_buckets, files_per_task=files_per_task)
+            salt_buckets=salt_buckets, files_per_task=files_per_task,
+            split_within_files=False)
         # one chunk per stage-1 partition by construction, in `group`
         # order → partition id pi maps to global chunk id group[pi]
         map_expr = F.create_map(*[x for pi, cid in enumerate(group)

@@ -537,7 +537,8 @@ def build_partials_from_files(spark: SparkSession, paths: list[str],
                               group_cols: tuple[str, ...] = (),
                               salt_buckets: int = 32,
                               files_per_task: int = 1,
-                              batch_size: int = 2048) -> DataFrame:
+                              batch_size: int = 2048,
+                              split_within_files: bool = True) -> DataFrame:
     """Stage 1 fast path: parallelize the parquet FILE LIST and read each
     file with pyarrow inside the Python task — no JVM scan, no JVM→Python
     Arrow IPC. ~10× stage-1 throughput for Python-side consumers; column
@@ -554,8 +555,12 @@ def build_partials_from_files(spark: SparkSession, paths: list[str],
     out_schema = _partial_schema(probe, group_cols)
     build = _make_stage1(specs, group_cols, salt_buckets, out_schema)
 
+    # `split_within_files=False` pins the task list to exactly one
+    # files_per_task-sized file group per partition — callers whose
+    # durable lineage is keyed on (partition id == file-chunk id), like
+    # operators/checkpoint.py, need that bijection more than parallelism
     par = max(1, int(spark.sparkContext.defaultParallelism))
-    target = max(1, par // max(1, files_per_task))
+    target = max(1, par // max(1, files_per_task)) if split_within_files else 1
     chunks = _file_work_units(paths, files_per_task, target)
     # scalar-only reads take bigger batches: the 2048-row default guards
     # the token-ARRAY workloads' mmap-churn cliff (large per-batch list
