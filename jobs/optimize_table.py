@@ -49,9 +49,18 @@ def main(argv: list[str] | None = None) -> int:
             extra_zorder_cols=cols[2:] or None)
         print(json.dumps(manifest))
         return 0
-    except ValueError as e:
-        # compact_zorder's failure contract: bad URIs / unsupported
-        # schemes / lost-row verification all raise ValueError
+    except Exception as e:
+        # one-line-JSON error contract for EVERY failure the operator
+        # documents: compact_zorder raises ValueError for bad URIs /
+        # unsupported schemes / lost-row verification, but a missing
+        # local input surfaces as FileNotFoundError from the pre-check
+        # and a missing parquet as AnalysisException (Py4J) — all of
+        # which previously escaped as raw tracebacks (round-5 verdict
+        # defect #2)
+        from pyspark.errors import AnalysisException
+        if not isinstance(e, (ValueError, FileNotFoundError,
+                              AnalysisException)):
+            raise
         print(json.dumps({"error": str(e)}))
         return 1
     finally:

@@ -159,3 +159,18 @@ def test_compact_zorder_extra_cols_clamps_bits(spark, tmp_path):
                                   "l_linenumber"]
     assert manifest["bits"] == 15                 # 63 // 4 (16 would raise)
     assert manifest["rows"] == spark.read.parquet(SRC).count()
+
+
+def test_optimize_table_cli_missing_input_one_line_json(tmp_path, capsys):
+    """The CLI's error contract covers a missing input too: the local
+    pre-check raises FileNotFoundError and a missing parquet raises
+    AnalysisException, both of which must come back as ONE JSON error
+    line + rc 1, never a raw traceback (round-5 verdict defect #2)."""
+    from jobs.optimize_table import main
+    rc = main(["--input", str(tmp_path / "does_not_exist"),
+               "--output", str(tmp_path / "out"),
+               "--zorder", "a,b"])
+    captured = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 1
+    import json as _json
+    assert "error" in _json.loads(captured)
